@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Execution is measured with a noop-format write so we time the full
+distributed plan (scan -> shuffle -> agg) without driver-collect overhead
+distorting large result sets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan/agg, joins (shuffle,
+# broadcast, asof), windows, top-k, set ops, scalar suites, parse pipeline
+# and LLM-data ops (added by their milestones).
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "agg_metrics",
+    "agg_rollup",
+    "agg_distinct",
+    "win_rank",
+    "win_running_sum",
+    "sort_limit_topk",
+    "setop_except",
+    "fn_string_suite",
+    "fn_array",
+    "parse_full_entry",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from logpump_spark.session import get_spark
+
+    import __spark_entry__ as se
+
+    spark = get_spark("bench")
+    queries = se.queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup costs
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

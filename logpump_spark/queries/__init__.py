@@ -1,0 +1,35 @@
+"""Driver-facing query registry.
+
+Each submodule exposes ``SPARK_QUERIES`` (name -> callable(spark, sf_dir)
+-> DataFrame) and ``ORACLE_SQL`` (name -> DuckDB SQL over the same parquet
+views).  ``all_queries()`` / ``all_oracles()`` merge them for
+``__spark_entry__``.  Queries without an oracle entry get the driver's
+weaker rows-only check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import functions_q, llm_q, parse_q, relational_q, streaming_q, windows_q
+
+_MODULES = (relational_q, windows_q, functions_q, parse_q, streaming_q, llm_q)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        overlap = merged.keys() & mod.SPARK_QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query ids across modules: {overlap}")
+        merged.update(mod.SPARK_QUERIES)
+    return merged
+
+
+def all_oracles() -> dict[str, str]:
+    merged: dict[str, str] = {}
+    for mod in _MODULES:
+        merged.update(mod.ORACLE_SQL)
+    return merged

@@ -1,0 +1,198 @@
+"""Window functions (SURVEY.md §2.G): ranking, analytic, running frames.
+
+All windows partition by a key (event_type / user_id), so at 100 TB each
+window computation is a single shuffle on the partition key followed by a
+within-partition sort — no global sort, no driver involvement.  Skewed
+partition keys (one user with millions of events) are the risk at scale;
+AQE skew handling covers joins but not window sorts, so heavy-hitter users
+would need a two-level (salted prefix-agg) rewrite — documented here, not
+needed at these volumes.
+
+Determinism: every ORDER BY includes a unique tiebreaker (event_id), and
+running double sums aggregate in decimal (see compat.py) so the fold is
+order-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..compat import quant
+from ..tables import load
+
+
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events by value per type via row_number — the scalable top-k
+    per group (shuffle on the group key, heap-free rank within)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "value", "rn", "rnk", "drnk")
+        .orderBy("event_type", "rn")
+    )
+
+
+_WIN_RANK_SQL = """
+SELECT event_type, event_id, value, rn, rnk, drnk
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn,
+         RANK()       OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS drnk
+  FROM events
+)
+WHERE rn <= 5
+ORDER BY event_type, rn
+"""
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum of value over event time (ROWS UNBOUNDED
+    PRECEDING frame).  Summed in decimal so the cumulative fold is exact and
+    engine-independent."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.sum(quant("value")).over(w).cast("double") / 10000.0).alias("running_value"),
+            F.count(F.lit(1)).over(w).alias("running_n"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+_WIN_RUNNING_SUM_SQL = """
+SELECT user_id, event_id, ts,
+       CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w AS DOUBLE) / 10000.0 AS running_value,
+       COUNT(*) OVER w AS running_n
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
+
+
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-user inter-event gap in seconds and value
+    delta against the previous event."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+_WIN_LAG_SQL = """
+SELECT user_id, event_id, ts,
+       LAG(value)  OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       value - LAG(value) OVER w AS value_delta,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, ts, event_id
+"""
+
+
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value over a full-partition frame: each user's first and
+    latest event type + ntile quartile by value."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w_ord = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_full = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.first("event_type").over(w_full).alias("first_type"),
+            F.last("event_type").over(w_full).alias("last_type"),
+            F.ntile(4).over(W.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())).alias("quartile"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_WIN_FIRST_LAST_SQL = """
+SELECT user_id, event_id,
+       FIRST_VALUE(event_type) OVER w2 AS first_type,
+       LAST_VALUE(event_type)  OVER w2 AS last_type,
+       NTILE(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS quartile
+FROM events
+WHERE user_id < 50
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id, event_id
+"""
+
+
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: count of this user's events within the trailing hour —
+    the 'sliding lookback' shape used for rate limiting / sessionization
+    over tech logs."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hour_us = 3_600_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_WIN_RANGE_FRAME_SQL = """
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+FROM events
+WHERE user_id < 50
+ORDER BY user_id, event_id
+"""
+
+
+SPARK_QUERIES = {
+    "win_rank": win_rank,
+    "win_running_sum": win_running_sum,
+    "win_lag": win_lag,
+    "win_first_last": win_first_last,
+    "win_range_frame": win_range_frame,
+}
+
+ORACLE_SQL = {
+    "win_rank": _WIN_RANK_SQL,
+    "win_running_sum": _WIN_RUNNING_SUM_SQL,
+    "win_lag": _WIN_LAG_SQL,
+    "win_first_last": _WIN_FIRST_LAST_SQL,
+    "win_range_frame": _WIN_RANGE_FRAME_SQL,
+}
