@@ -1,0 +1,223 @@
+"""Record -> LogEntry parsing as pure Column expressions.
+
+Faithful to /root/reference/internal/parser/*.go, field by field:
+
+- record split at the first ``Sql=`` marker (parser.go:50-66); the char
+  right after the marker is the quote delimiter
+- escape-aware quoted SQL scan where a backslash escapes the next char AND
+  is itself dropped from the output (sql_extractor.go:30-37: the escape
+  byte is never written) — regex equivalent: capture ``(?:[^q\\]|\\.)*``
+  then strip the backslashes with a second regexp_replace
+- embedded ``YYYY-MM-DD HH:MM:SS`` literals scrubbed from SQL, then trim
+  (sql_extractor.go:14, 25-27, 41-43); unterminated quote keeps the whole
+  tail (sql_extractor.go:40-44)
+- Context = substring after the first ``,Context='`` up to the LAST single
+  quote; no closing quote keeps the whole tail (context_extractor.go:6-17)
+- positional header: fields 0/1/2 are LogTimestamp/Component/Severity
+  (space-trimmed); remaining comma parts split on the FIRST '=' with key
+  space-trimmed and value trimmed of spaces AND single quotes
+  (parser.go:68-88); duplicate keys: last wins (Go map overwrite)
+- silent-zero numeric parses: Go strconv with errors ignored -> 0, with
+  the exact base-10 digit grammar and width-overflow -> 0 semantics
+  (parser.go:98-116)
+
+Everything stays in whole-stage codegen; the only session knob needed is
+mapKeyDedupPolicy=LAST_WIN to match Go's map overwrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U8_MAX = 255
+_U32_MAX = 4_294_967_295
+_I32_MIN, _I32_MAX = -2_147_483_648, 2_147_483_647
+
+# keys projected out of the header map (parser.go:17-43); everything else
+# is silently dropped, missing keys default to '' (parser.go:91-96)
+HEADER_KEYS = {
+    "Level": "level",
+    "Process": "process",
+    "ProcessName": "p:processName",
+    "OSThread": "OSThread",
+    "ClientID": "t:clientID",
+    "ApplicationName": "t:applicationName",
+    "ComputerName": "t:computerName",
+    "ConnectID": "t:connectID",
+    "SessionID": "SessionID",
+    "User": "Usr",
+    "DBMS": "DBMS",
+    "Database": "DataBase",
+    "Trans": "Trans",
+    "DBPID": "dbpid",
+    "EventType": "Event",
+    "File": "File",
+}
+
+
+def parse_uint(s: Column, max_value: int) -> Column:
+    """Go strconv.ParseUint(s, 10, bits) with error->0: digits only, no
+    sign, no spaces; overflow -> 0."""
+    n = s.try_cast("long")
+    ok = s.rlike("^[0-9]+$") & n.isNotNull() & (n >= 0) & (n <= max_value)
+    return F.when(ok, n).otherwise(F.lit(0)).cast("long")
+
+
+def parse_int32(s: Column) -> Column:
+    """Go strconv.ParseInt(s, 10, 32) with error->0: optional sign,
+    overflow -> 0."""
+    n = s.try_cast("long")
+    ok = s.rlike("^[+-]?[0-9]+$") & n.isNotNull() & (n >= _I32_MIN) & (n <= _I32_MAX)
+    return F.when(ok, n).otherwise(F.lit(0)).cast("int")
+
+
+def _scrub_sql(sql: Column) -> Column:
+    """Timestamp scrub + trim (sql_extractor.go:14, 25-27)."""
+    return F.trim(
+        F.regexp_replace(sql, r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", "")
+    )
+
+
+def _unescape(s: Column) -> Column:
+    """Drop escape backslashes: Go's scanner never writes the escape byte
+    (sql_extractor.go:30-37)."""
+    return F.regexp_replace(s, r"\\(.)", "$1")
+
+
+def split_record(rec: Column) -> tuple[Column, Column, Column]:
+    """-> (header_part, sql_text, context_text), per ParseLogRecord
+    (parser.go:50-66)."""
+    sql_idx = F.instr(rec, "Sql=")  # first occurrence, 1-based, 0 if absent
+    has_sql = sql_idx > 0
+    header_part = F.when(has_sql, rec.substr(F.lit(1), sql_idx - 1)).otherwise(rec)
+
+    quote = rec.substr(sql_idx + F.lit(4), F.lit(1))  # '' when at end of record
+    rest = rec.substr(sql_idx + F.lit(5), F.length(rec))
+
+    # Escape-aware scan to the closing quote.  The quote delimiter is
+    # whatever char follows 'Sql=' (almost always '); supported explicitly
+    # for ' and ", anything else falls back to "no closing quote" = rest.
+    def _sql_and_after(q: str) -> tuple[Column, Column]:
+        qe = "\\" + q
+        pat = r"(?s)^((?:[^" + qe + r"\\]|\\.)*)" + qe + r"(.*)$"
+        raw = F.regexp_extract(rest, pat, 1)
+        after = F.regexp_extract(rest, pat, 2)
+        closed = rest.rlike(r"(?s)^(?:[^" + qe + r"\\]|\\.)*" + qe)
+        return (
+            F.when(closed, raw).otherwise(rest),
+            F.when(closed, after).otherwise(F.lit("")),
+        )
+
+    sq_sql, sq_after = _sql_and_after("'")
+    dq_sql, dq_after = _sql_and_after('"')
+    raw_sql = (
+        F.when(quote == "'", sq_sql).when(quote == '"', dq_sql).otherwise(rest)
+    )
+    after_sql = (
+        F.when(quote == "'", sq_after).when(quote == '"', dq_after).otherwise(F.lit(""))
+    )
+
+    sql_text = F.when(has_sql & (F.length(rec) >= sql_idx + 4), _scrub_sql(_unescape(raw_sql))).otherwise(F.lit(""))
+
+    # Context comes from the remainder after SQL, or the whole record when
+    # there is no Sql= marker (parser.go:53-54, :65)
+    ctx_source = F.when(has_sql, after_sql).otherwise(rec)
+    ctx_idx = F.instr(ctx_source, ",Context='")
+    ctx_tail = ctx_source.substr(ctx_idx + F.lit(10), F.length(ctx_source))
+    # to the LAST quote (context_extractor.go:12); none -> whole tail
+    ctx = F.when(
+        ctx_tail.contains("'"), F.regexp_extract(ctx_tail, r"(?s)^(.*)'", 1)
+    ).otherwise(ctx_tail)
+    context_text = F.when(ctx_idx > 0, ctx).otherwise(F.lit(""))
+    # no-Sql= + empty-after-marker edge: Sql= at very end of record
+    context_text = F.when(
+        has_sql & (F.length(rec) < sql_idx + 4), F.lit("")
+    ).otherwise(context_text)
+
+    return header_part, sql_text, context_text
+
+
+def header_map(header_part: Column) -> Column:
+    """key=value pairs from comma parts 3.. (parser.go:80-86): key
+    space-trimmed, value trimmed of spaces and single quotes, first '='
+    splits, '=' at position 0 skipped, last duplicate wins."""
+    parts = F.split(header_part, ",")
+    kv = F.slice(parts, 4, F.greatest(F.size(parts) - 3, F.lit(0)))
+    # Go: eq := strings.Index(part, "="); eq > 0  => at least one char
+    # before the '=' (1-based instr > 1)
+    valid = F.filter(kv, lambda p: F.instr(p, "=") > 1)
+    entries = F.transform(
+        valid,
+        lambda p: F.struct(
+            F.trim(p.substr(F.lit(1), F.instr(p, "=") - 1)).alias("key"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    p.substr(F.instr(p, "=") + 1, F.length(p)),
+                    r"^[ ']+",
+                    "",
+                ),
+                r"[ ']+$",
+                "",
+            ).alias("value"),
+        ),
+    )
+    return F.map_from_entries(entries)
+
+
+def parse_records(df: DataFrame, record_col: str = "record", filename_col: str = "filename") -> DataFrame:
+    """records -> 24-field LogEntry DataFrame (models.go:8-34).
+
+    Column types follow SURVEY.md §1.3 (unsigned Go ints -> long;
+    InsertedAt = current_timestamp(), parser.go:42).
+    """
+    spark = df.sparkSession
+    # Go map assignment overwrites on duplicate keys (parser.go:84)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+    rec = F.col(record_col)
+    header_part, sql_text, context_text = split_record(rec)
+    parts = F.split(header_part, ",")
+    m = header_map(header_part)
+
+    def hv(go_key: str) -> Column:
+        return F.coalesce(F.element_at(m, go_key), F.lit(""))
+
+    cols = [
+        F.col(filename_col).alias("Timestamp"),  # filename (tail.go:77)
+        # Go guards each positional field with a len(parts) check
+        # (parser.go:71-77) -> try_element_at, missing -> ''
+        F.coalesce(F.trim(F.try_element_at(parts, F.lit(1))), F.lit("")).alias(
+            "LogTimestamp"
+        ),
+        F.coalesce(F.trim(F.try_element_at(parts, F.lit(2))), F.lit("")).alias(
+            "Component"
+        ),
+        parse_uint(F.coalesce(F.trim(F.try_element_at(parts, F.lit(3))), F.lit("")), _U8_MAX)
+        .cast("smallint")
+        .alias("Severity"),
+        hv("level").alias("Level"),
+        hv("process").alias("Process"),
+        hv("p:processName").alias("ProcessName"),
+        parse_uint(hv("OSThread"), _U32_MAX).alias("OSThread"),
+        parse_uint(hv("t:clientID"), _U32_MAX).alias("ClientID"),
+        hv("t:applicationName").alias("ApplicationName"),
+        hv("t:computerName").alias("ComputerName"),
+        parse_uint(hv("t:connectID"), _U32_MAX).alias("ConnectID"),
+        # ParseUint 64-bit; long covers 1C's realistic range, overflow -> 0
+        parse_uint(hv("SessionID"), (1 << 63) - 1).alias("SessionID"),
+        hv("Usr").alias("User"),
+        hv("DBMS").alias("DBMS"),
+        hv("DataBase").alias("Database"),
+        parse_uint(hv("Trans"), _U32_MAX).alias("Trans"),
+        parse_uint(hv("dbpid"), _U32_MAX).alias("DBPID"),
+        sql_text.alias("SQL"),
+        parse_int32(hv("Rows")).alias("Rows"),
+        parse_int32(hv("RowsAffected")).alias("RowsAffected"),
+        context_text.alias("Context"),
+        hv("Event").alias("EventType"),
+        hv("File").alias("File"),
+        F.current_timestamp().alias("InsertedAt"),
+    ]
+    keep = [c for c in df.columns if c not in (record_col, filename_col)]
+    return df.select(*keep, *cols)

@@ -1,0 +1,76 @@
+"""Source + record assembly for 1C technology logs.
+
+Reference behavior being reproduced:
+- glob/recursive file discovery (internal/watcher/scan.go:115-142)
+- NUL scrub with warning (internal/watcher/tail.go:98-101)
+- multi-line record assembly: a line matching ``\\d{2}:\\d{2}\\.\\d{2,}.*-``
+  starts a new record; all following lines up to the next match belong to
+  it (internal/watcher/scan.go:16-21, internal/watcher/tail.go:102-105)
+
+Spark-first design: 1C rotates log files hourly (filename = YYMMDDHH.log),
+so instead of append-tailing (Spark file sources treat files as immutable)
+we process rotated files WHOLE via the ``wholetext`` text source — one row
+per file, then a regex split + posexplode assembles records inside the
+executors.  Parallelism = one task per file; an hourly 1C log is at most a
+few hundred MB, well within executor memory.  For sub-hour latency the
+streaming job re-reads the current hour idempotently and dedups on
+(file, record) — see streaming/job.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# A new record starts at any line CONTAINING time 'mm:ss.ff...' followed by
+# a '-' later in the same line (Go regexp.MatchString is unanchored:
+# internal/watcher/scan.go:16-21).
+RECORD_START_LINE = r"[^\n]*\d{2}:\d{2}\.\d{2,}[^\n]*-"
+# Split positions: line starts whose line matches RECORD_START_LINE.
+_SPLIT_REGEX = r"(?m)^(?=" + RECORD_START_LINE + r")"
+
+
+def read_techlog(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.log",
+    recursive: bool = True,
+) -> DataFrame:
+    """Discover + read log files whole -> one row per (filename, content).
+
+    ``pathGlobFilter`` reproduces the reference's FilePattern glob
+    (scan.go:116-120); ``recursiveFileLookup`` its directory walk.
+    """
+    df = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    return df.select(
+        F.substring_index(F.input_file_name(), "/", -1).alias("filename"),
+        F.col("value").alias("content"),
+    )
+
+
+def records_from_text(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Assemble multi-line records from whole-file text.
+
+    Equivalent to the reference's buffer/flush loop (tail.go:57-114):
+    - scrub NUL bytes first (tail.go:98)
+    - any content before the first record-start line is flushed as its own
+      (headless) record, exactly like the Go buffer that accumulates lines
+      before the first match
+    - each record keeps interior newlines (multi-line SQL/Context);
+      the trailing newline belongs to the line separator, not the record
+      (Go joins buffered lines with '\\n' — parser.go:14)
+    """
+    clean = F.regexp_replace(F.col(content_col), "\x00", "")
+    rec = F.posexplode(F.split(clean, _SPLIT_REGEX))
+    out = df.select("*", rec.alias("record_no", "record")).drop(content_col)
+    record = F.regexp_replace(F.col("record"), r"\r?\n$", "")
+    return (
+        out.withColumn("record", record)
+        .filter(F.length("record") > 0)
+    )
