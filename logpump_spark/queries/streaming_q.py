@@ -1,4 +1,157 @@
-"""Placeholder — filled in by a later milestone this round."""
+"""Batch-checkable window/routing queries (SURVEY.md §2.G streaming rows,
+§2.D R1).  The window builders are the same code the streaming job uses —
+Spark window operators are identical in batch and streaming — so the
+DuckDB oracle genuinely checks the streaming semantics."""
 
-SPARK_QUERIES = {}
-ORACLE_SQL = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import sql_dsum
+from ..streaming.job import table_routing_column
+from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
+from ..tables import load
+
+# the reference's component->table routing from config.yaml:25-27
+_TABLE_MAP = {"error": "tech_log_errors", "purchase": "tech_log_sales"}
+_DEFAULT_TABLE = "tech_log"
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return tumbling_agg(ev).orderBy("window_start", "event_type")
+
+
+_TUMBLING_SQL = f"""
+SELECT
+  date_trunc('day', ts) AS window_start,
+  date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return sliding_agg(ev).orderBy("window_start", "event_type")
+
+
+# every event belongs to exactly two [2-day) windows sliding by 1 day:
+# the one starting at its own day and the one starting the day before
+_SLIDING_SQL = """
+SELECT window_start, event_type, COUNT(*) AS n_events FROM (
+  SELECT date_trunc('day', ts) - (off * INTERVAL 1 DAY) AS window_start, event_type
+  FROM events CROSS JOIN (VALUES (0), (1)) AS offs(off)
+)
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return session_agg(ev, gap="6 hours").orderBy("user_id", "session_start")
+
+
+# gaps-and-islands replication of session_window semantics: a new session
+# starts when the gap to the previous event is >= the 6h window (Spark
+# session end = last_ts + gap, exclusive)
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 21600000000
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 100
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, island
+ORDER BY user_id, session_start
+"""
+
+
+def route_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: component->table routing as a map-literal column + per-table
+    counts — the scalable form of the reference's per-group INSERT loop
+    (clickhouse.go:65-72)."""
+    ev = load(spark, sf_dir, "events")
+    routed = ev.withColumn(
+        "sink_table", table_routing_column(_TABLE_MAP, _DEFAULT_TABLE, "event_type")
+    )
+    return (
+        routed.groupBy("sink_table")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_type").alias("n_components"),
+        )
+        .orderBy("sink_table")
+    )
+
+
+_ROUTE_SQL = """
+SELECT
+  CASE event_type WHEN 'error' THEN 'tech_log_errors'
+                  WHEN 'purchase' THEN 'tech_log_sales'
+                  ELSE 'tech_log' END AS sink_table,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT event_type) AS n_components
+FROM events
+GROUP BY 1
+ORDER BY sink_table
+"""
+
+
+def agg_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.F partitioned-storage query shape: per-EventDate rollup that a
+    PARTITION BY EventDate layout answers with partition pruning."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_AGG_BY_DAY_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY event_date
+"""
+
+
+SPARK_QUERIES = {
+    "stream_tumbling": stream_tumbling,
+    "stream_sliding": stream_sliding,
+    "stream_session": stream_session,
+    "route_group_by_key": route_group_by_key,
+    "agg_by_day": agg_by_day,
+}
+
+ORACLE_SQL = {
+    "stream_tumbling": _TUMBLING_SQL,
+    "stream_sliding": _SLIDING_SQL,
+    "stream_session": _SESSION_SQL,
+    "route_group_by_key": _ROUTE_SQL,
+    "agg_by_day": _AGG_BY_DAY_SQL,
+}

