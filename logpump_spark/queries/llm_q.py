@@ -1,4 +1,326 @@
-"""Placeholder — filled in by a later milestone this round."""
+"""Driver-facing queries for the LLM-data operators (north star).
 
-SPARK_QUERIES = {}
-ORACLE_SQL = {}
+Oracle-checked wherever the computation is SQL-expressible with
+engine-exact math; MinHash/SimHash candidate generation uses Spark's
+xxhash64 (no DuckDB twin exists), so those two take the rows-only check
+with planted duplicates proving they actually detect near-dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llmdata.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from ..llmdata.multimodal import attach_media, decode_image_features
+from ..llmdata.similarity import brute_force_topk, embedding_neardup_pairs, ivf_topk
+from ..llmdata.text import bpe_token_count, fingerprint, lang_id, quality_features
+from ..tables import load
+
+_QUERY_IDS = list(range(10))
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + copies of the 20 lowest doc_ids (ids shifted by 10^6):
+    guaranteed duplicate pairs so detection queries provably fire."""
+    docs = load(spark, sf_dir, "documents")
+    clones = (
+        docs.orderBy("doc_id")
+        .limit(20)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    return docs.unionByName(clones)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    return (
+        exact_dedup(docs, ["text"], "doc_id")
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+)
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM docs GROUP BY text ORDER BY keep_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (rows-only: xxhash64 has no DuckDB
+    twin).  The planted exact dups MUST appear with est_jaccard 1.0;
+    tests/test_llm_ops.py asserts recall on planted near-dups too."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    return minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only, same reason)."""
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over a deterministic candidate space
+    (same source, |n_chars| within 20) — fully oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2).orderBy("id_a", "id_b")
+
+
+_DEDUP_NGRAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, n_chars, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_tok FROM documents
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM tok a JOIN tok b
+    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 20
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       n_shared / (na.n_tok + nb.n_tok - n_shared) AS jaccard
+FROM shared
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE n_shared / (na.n_tok + nb.n_tok - n_shared) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+# cosine formula shared by the similarity oracles: double-cast elements,
+# explicit dot/(sqrt*sqrt), round 6 to absorb fold-order ULPs
+_COS = """(
+  list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
+                   list_transform({b}, x -> CAST(x AS DOUBLE)))
+  / (sqrt(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
+          list_transform({a}, x -> CAST(x AS DOUBLE))))
+   * sqrt(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)),
+          list_transform({b}, x -> CAST(x AS DOUBLE)))))
+)"""
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exactness
+    baseline every ANN variant is measured against."""
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _QUERY_IDS, k=5)
+
+
+_SIM_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_COS.format(a='q.qv', b='e.embedding')}, 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: search restricted to the query's coarse cell
+    (label column as the precomputed quantizer cell)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _QUERY_IDS, k=5)
+
+
+_SIM_IVF_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS qcell, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_COS.format(a='q.qv', b='e.embedding')}, 6) AS cos
+  FROM embeddings e JOIN q ON e.label = q.qcell AND e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a coarse cell."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+_SIM_NEARDUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
+       ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token counts, ratios)."""
+    docs = load(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "upper_ratio",
+    ).orderBy("doc_id")
+
+
+_TEXT_STATS_SQL = """
+SELECT doc_id, lang,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  (LENGTH(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) AS mean_token_len,
+  len(list_filter(string_split(text, ' '),
+      t -> list_contains(['the','a','of','and','is','to','in'], t)))
+    / len(string_split(text, ' ')) AS stopword_ratio,
+  LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) / LENGTH(text) AS punct_ratio,
+  LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) / LENGTH(text) AS upper_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with deterministic tie order."""
+    docs = load(spark, sf_dir, "documents")
+    return lang_id(docs).select(
+        "doc_id", "lang", "score_en", "score_de", "score_es", "lang_pred"
+    ).orderBy("doc_id")
+
+
+_TEXT_LANG_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text, ' '),
+        t -> list_contains(['the','a','of','and','is'], t))) AS score_en,
+    len(list_filter(string_split(text, ' '),
+        t -> list_contains(['der','die','und','ist','das'], t))) AS score_de,
+    len(list_filter(string_split(text, ' '),
+        t -> list_contains(['el','la','de','y','es'], t))) AS score_es
+  FROM documents
+)
+SELECT doc_id, lang, score_en, score_de, score_es,
+  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en > 0 THEN 'en'
+       WHEN score_de >= score_es AND score_de > 0 THEN 'de'
+       WHEN score_es > 0 THEN 'es'
+       ELSE 'und' END AS lang_pred
+FROM scored ORDER BY doc_id
+"""
+
+
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts."""
+    docs = load(spark, sf_dir, "documents")
+    return bpe_token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens").orderBy(
+        "doc_id"
+    )
+
+
+_TEXT_BPE_SQL = r"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form md5/sha256 fingerprints."""
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint(docs).select(
+        "doc_id", "fp_md5", "fp_sha256", "fp_head", "norm_len"
+    ).orderBy("doc_id")
+
+
+_DOC_FP_SQL = r"""
+SELECT doc_id,
+  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5,
+  sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_sha256,
+  substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp_head,
+  length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> features through the REAL mapInPandas Arrow
+    path; the (stub) decoder is deterministic arithmetic on payload size,
+    so even the Python-side batch plumbing is oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_media(docs, "doc_id", "text", "image", "source")
+    feats = decode_image_features(media, strict=False)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "width", "height", "mode", "decoder"
+    ).orderBy("media_id")
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+  'image' AS kind,
+  octet_length(CAST(text AS BLOB)) AS n_bytes,
+  CAST(64 + octet_length(CAST(text AS BLOB)) % 193 AS INT) AS width,
+  CAST(64 + (octet_length(CAST(text AS BLOB)) * 31) % 129 AS INT) AS height,
+  CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode,
+  'fake' AS decoder
+FROM documents ORDER BY media_id
+"""
+
+
+SPARK_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "sim_topk": sim_topk,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_neardup": sim_neardup,
+    "text_stats": text_stats,
+    "text_lang_id": text_lang_id,
+    "text_token_bpe": text_token_bpe,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_decode": multimodal_decode,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    # dedup_minhash_lsh / dedup_simhash: rows-only (xxhash64-based)
+    "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
+    "sim_topk": _SIM_TOPK_SQL,
+    "sim_ivf_topk": _SIM_IVF_SQL,
+    "sim_neardup": _SIM_NEARDUP_SQL,
+    "text_stats": _TEXT_STATS_SQL,
+    "text_lang_id": _TEXT_LANG_SQL,
+    "text_token_bpe": _TEXT_BPE_SQL,
+    "doc_fingerprint": _DOC_FP_SQL,
+    "multimodal_decode": _MULTIMODAL_SQL,
+}

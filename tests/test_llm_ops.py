@@ -1,0 +1,133 @@
+"""Behavioral tests for the LLM-data operators — especially the
+rows-only-checked ones (MinHash, SimHash), which get planted-duplicate
+recall assertions here since the DuckDB oracle can't cover them."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from logpump_spark.llmdata.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from logpump_spark.llmdata.multimodal import (
+    attach_media,
+    decode_image_features,
+    sample_frames,
+)
+from logpump_spark.llmdata.similarity import brute_force_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base, "src0", len(base)),
+        (2, base, "src0", len(base)),  # exact dup of 1
+        (3, base.replace("today", "tomorrow"), "src0", len(base) + 3),  # near dup
+        (4, "completely different words about spark shuffles and parquet files", "src0", 66),
+        (5, "another unrelated document mentioning catalyst optimizer internals", "src0", 66),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+
+
+def test_exact_dedup_groups(docs):
+    res = {r.keep_id: r.n_copies for r in exact_dedup(docs, ["text"], "doc_id").collect()}
+    assert res[1] == 2  # docs 1 and 2 collapse
+    assert res[3] == 1 and res[4] == 1 and res[5] == 1
+
+
+def test_minhash_finds_planted_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup -> identical signatures
+    assert (1, 3) in pairs  # near dup caught by at least one band
+    assert pairs[(1, 3)] >= 0.4
+    assert (1, 4) not in pairs and (4, 5) not in pairs  # unrelated docs
+
+
+def test_simhash_properties(docs):
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far  # near dup closer in Hamming space
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_neardup_pairs(docs, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # near-dup pair: token sets differ by one substitution
+    assert 0.7 < pairs[(1, 3)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        # two clusters in 8-d: label = cluster; vector = unit direction
+        # + small deterministic wiggle
+        label = i % 2
+        base = [1.0, 0.0, 0.0, 0.0] if label == 0 else [0.0, 1.0, 0.0, 0.0]
+        wig = [(math.sin(i * 1.7 + d) * 0.05) for d in range(4)]
+        rows.append((i, [b + w for b, w in zip(base, wig)], label))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_selfcluster(emb):
+    res = brute_force_topk(emb, [0, 1], k=3).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q[0]) == 3 and len(by_q[1]) == 3
+    # neighbors of query 0 (cluster 0) should be even ids (same cluster)
+    assert all(r.neighbor_id % 2 == 0 for r in by_q[0])
+    assert all(r.rank == i + 1 for i, r in enumerate(by_q[0]))
+
+
+def test_ivf_matches_brute_force_when_cluster_aligned(emb):
+    bf = {(r.query_id, r.rank): r.neighbor_id for r in brute_force_topk(emb, [0, 1], k=3).collect()}
+    ivf = {(r.query_id, r.rank): r.neighbor_id for r in ivf_topk(emb, [0, 1], k=3).collect()}
+    # quantizer cells align with true clusters here -> identical results
+    assert bf == ivf
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_media(docs, "doc_id", "text", "image", "source")
+    assert [f.name for f in media.schema] == ["media_id", "kind", "payload", "meta"]
+    feats = decode_image_features(media, strict=False).collect()
+    assert len(feats) == 5
+    by_id = {r.media_id: r for r in feats}
+    # deterministic fake decode: identical payloads -> identical features
+    assert by_id[1].width == by_id[2].width and by_id[1].height == by_id[2].height
+    assert all(r.decoder == "fake" for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+
+
+def test_multimodal_strict_raises(spark, docs):
+    media = attach_media(docs, "doc_id", "text", "image", "source")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL available; strict path would actually decode")
+    except ImportError:
+        pass
+    with pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary
+        decode_image_features(media, strict=True).collect()
+
+
+def test_frame_sampling(spark, docs):
+    media = attach_media(docs, "doc_id", "text", "video", "source")
+    frames = sample_frames(media, every_n_bytes=20).collect()
+    one = [r for r in frames if r.media_id == 4]
+    # n_bytes=66 -> offsets 0,20,40,60
+    assert [r.byte_offset for r in sorted(one, key=lambda r: r.frame_no)] == [0, 20, 40, 60]
