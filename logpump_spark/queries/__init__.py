@@ -13,9 +13,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import functions_q, llm_q, parse_q, relational_q, streaming_q, windows_q
+from . import (
+    functions2_q,
+    functions_q,
+    llm_q,
+    parse_q,
+    relational2_q,
+    relational_q,
+    streaming_q,
+    windows_q,
+)
 
-_MODULES = (relational_q, windows_q, functions_q, parse_q, streaming_q, llm_q)
+_MODULES = (
+    relational_q,
+    relational2_q,
+    windows_q,
+    functions_q,
+    functions2_q,
+    parse_q,
+    streaming_q,
+    llm_q,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

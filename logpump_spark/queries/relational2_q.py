@@ -1,0 +1,379 @@
+"""Relational coverage, batch 2 (SURVEY.md §2.G): statistical aggregates,
+percentiles, pivot, grouping sets, full-outer/cross joins, and the SQL-API
+subquery surface (IN / EXISTS / scalar / CTE via spark.sql over temp
+views).
+
+Engine-parity technique for second-moment statistics: variance/stddev/
+covariance/correlation are computed from QUANTIZED INTEGER power sums
+(n, S=sum(q), S2=sum(q^2), q=floor(x*10^4)) and combined with one fixed
+double formula — integer sums are order-independent and the final
+arithmetic is identical IEEE in both engines.  Raw stddev_samp(double)
+would differ in merge order between Spark partials and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import dsum, quant, sql_dsum, sql_quant
+from ..tables import load
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev per event type from quantized power sums.
+    Map-side combinable (two integer sums + count) -> one shuffle row per
+    group at any scale."""
+    ev = load(spark, sf_dir, "events")
+    q = quant("value")
+    n = F.count(F.lit(1)).cast("double")
+    s = F.sum(q).cast("double")
+    # square-sum in decimal(38,0): exact at any row count (int64 would
+    # overflow past ~1e6 rows of 1e12-sized squares)
+    s2 = F.sum(q.cast("decimal(19,0)") * q.cast("decimal(19,0)")).cast("double")
+    var = (s2 - s * s / n) / (n - F.lit(1.0)) / F.lit(1e8)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            var.alias("var_value"),
+            F.sqrt(var).alias("std_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q2 = (
+    f"CAST(SUM(CAST({sql_quant('value')} AS DECIMAL(19,0))"
+    f" * CAST({sql_quant('value')} AS DECIMAL(19,0))) AS DOUBLE)"
+)
+
+_AGG_STATS_SQL = f"""
+SELECT event_type,
+  COUNT(*) AS n,
+  ({_Q2}
+   - CAST(SUM({sql_quant('value')}) AS DOUBLE) * CAST(SUM({sql_quant('value')}) AS DOUBLE)
+     / CAST(COUNT(*) AS DOUBLE))
+  / (CAST(COUNT(*) AS DOUBLE) - 1.0) / 1e8 AS var_value,
+  sqrt(({_Q2}
+   - CAST(SUM({sql_quant('value')}) AS DOUBLE) * CAST(SUM({sql_quant('value')}) AS DOUBLE)
+     / CAST(COUNT(*) AS DOUBLE))
+  / (CAST(COUNT(*) AS DOUBLE) - 1.0) / 1e8) AS std_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance of (quantity, price)
+    per return flag, from quantized cross sums."""
+    li = load(spark, sf_dir, "lineitem")
+    qx, qy = quant("l_quantity"), quant("l_extendedprice")
+
+    # second moments overflow int64 (q^2 ~ 1e18 per ROW for 1e5-scale
+    # prices) -> multiply and sum in decimal(38,0): still exact and
+    # order-independent, headroom to ~1e38
+    def dsum2(a, b):
+        return F.sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
+
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum(qx).cast("double"), F.sum(qy).cast("double")
+    sxx = dsum2(qx, qx)
+    syy = dsum2(qy, qy)
+    sxy = dsum2(qx, qy)
+    cov = (sxy - sx * sy / n) / n / F.lit(1e8)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(cov.alias("covar_pop_qp"), corr.alias("corr_qp"))
+        .orderBy("l_returnflag")
+    )
+
+
+_AGG_CORR_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM({sql_quant('l_quantity')}) AS DOUBLE) AS sx,
+    CAST(SUM({sql_quant('l_extendedprice')}) AS DOUBLE) AS sy,
+    CAST(SUM(CAST({sql_quant('l_quantity')} AS DECIMAL(19,0)) * CAST({sql_quant('l_quantity')} AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST({sql_quant('l_extendedprice')} AS DECIMAL(19,0)) * CAST({sql_quant('l_extendedprice')} AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST({sql_quant('l_quantity')} AS DECIMAL(19,0)) * CAST({sql_quant('l_extendedprice')} AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  (sxy - sx * sy / n) / n / 1e8 AS covar_pop_qp,
+  (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qp
+FROM s ORDER BY l_returnflag
+"""
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (median, p25, p90) per event
+    type, rounded 6dp to absorb interpolation-arithmetic ULPs.  The exact
+    form needs a per-group sort; approx_percentile is the sketch-merge
+    variant for 100 TB (checked rows-only via agg_approx_distinct's
+    pattern)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AGG_PERCENTILE_SQL = """
+SELECT event_type,
+  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS p25,
+  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type with per-day counts.  Spark's
+    pivot with an EXPLICIT value list compiles to conditional aggregates —
+    no extra pass to discover values (required form at scale)."""
+    ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .orderBy("day")
+    )
+
+
+_AGG_PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS signup,
+  COUNT(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube) via the SQL
+    API over a temp view."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST
+        """
+    )
+
+
+_AGG_GROUPING_SETS_SQL = """
+SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER with genuinely unmatched rows on both sides, classified."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("matched")
+    )
+    return j.groupBy(side.alias("side")).agg(F.count(F.lit(1)).alias("n")).orderBy("side")
+
+
+_JOIN_FULL_OUTER_SQL = """
+SELECT side, COUNT(*) AS n FROM (
+  SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+              WHEN o.o_orderkey IS NULL THEN 'customer_only'
+              ELSE 'matched' END AS side
+  FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+  FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    ON c.c_custkey = o.o_custkey
+) GROUP BY side ORDER BY side
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two tiny dimensions (broadcast NLJ)."""
+    region = load(spark, sf_dir, "region").select("r_name")
+    status = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    return region.crossJoin(F.broadcast(status)).orderBy("r_name", "status")
+
+
+_JOIN_CROSS_SQL = """
+SELECT r_name, status
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+ORDER BY r_name, status
+"""
+
+
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (uncorrelated subquery) through the SQL entry point."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer_v
+        WHERE c_acctbal > 9500
+          AND c_custkey IN (SELECT o_custkey FROM orders_v WHERE o_orderstatus = 'O')
+        ORDER BY c_custkey
+        """
+    )
+
+
+_SQL_IN_SUBQUERY_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_acctbal > 9500
+  AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+ORDER BY c_custkey
+"""
+
+
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate; the scalar (a mean) uses the
+    quantized-sum form so both engines compare against the identical
+    double."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM orders_v2
+        WHERE o_totalprice > (
+          SELECT {sql_dsum("o_totalprice")} / COUNT(*) FROM orders_v2
+        )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+_SQL_SCALAR_SUBQUERY_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_above
+FROM orders
+WHERE o_totalprice > (
+  SELECT {sql_dsum("o_totalprice")} / COUNT(*) FROM orders
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE chain through the SQL entry point: revenue per nation via two
+    CTEs and a dim join."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_c")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_c")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_c")
+    return spark.sql(
+        f"""
+        WITH cust_orders AS (
+          SELECT c_nationkey, {sql_quant("o_totalprice")} AS qprice
+          FROM customer_c JOIN orders_c ON c_custkey = o_custkey
+        ),
+        by_nation AS (
+          SELECT c_nationkey, CAST(SUM(qprice) AS DOUBLE) / 10000.0 AS revenue,
+                 COUNT(*) AS n_orders
+          FROM cust_orders GROUP BY c_nationkey
+        )
+        SELECT n_name, revenue, n_orders
+        FROM by_nation JOIN nation_c ON c_nationkey = n_nationkey
+        ORDER BY n_name
+        """
+    )
+
+
+_SQL_CTE_SQL = f"""
+WITH cust_orders AS (
+  SELECT c_nationkey, {sql_quant("o_totalprice")} AS qprice
+  FROM customer JOIN orders ON c_custkey = o_custkey
+),
+by_nation AS (
+  SELECT c_nationkey, CAST(SUM(qprice) AS DOUBLE) / 10000.0 AS revenue,
+         COUNT(*) AS n_orders
+  FROM cust_orders GROUP BY c_nationkey
+)
+SELECT n_name, revenue, n_orders
+FROM by_nation JOIN nation ON c_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / nth_value window analytics."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("event_id", 2).over(w_full).alias("second_event"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_WIN_PERCENT_RANK_SQL = """
+SELECT user_id, event_id,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume,
+  NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS second_event
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+ORDER BY user_id, event_id
+"""
+
+
+SPARK_QUERIES = {
+    "agg_stats": agg_stats,
+    "agg_corr": agg_corr,
+    "agg_percentile": agg_percentile,
+    "agg_pivot": agg_pivot,
+    "agg_grouping_sets": agg_grouping_sets,
+    "join_full_outer": join_full_outer,
+    "join_cross": join_cross,
+    "sql_in_subquery": sql_in_subquery,
+    "sql_scalar_subquery": sql_scalar_subquery,
+    "sql_cte": sql_cte,
+    "win_percent_rank": win_percent_rank,
+}
+
+ORACLE_SQL = {
+    "agg_stats": _AGG_STATS_SQL,
+    "agg_corr": _AGG_CORR_SQL,
+    "agg_percentile": _AGG_PERCENTILE_SQL,
+    "agg_pivot": _AGG_PIVOT_SQL,
+    "agg_grouping_sets": _AGG_GROUPING_SETS_SQL,
+    "join_full_outer": _JOIN_FULL_OUTER_SQL,
+    "join_cross": _JOIN_CROSS_SQL,
+    "sql_in_subquery": _SQL_IN_SUBQUERY_SQL,
+    "sql_scalar_subquery": _SQL_SCALAR_SUBQUERY_SQL,
+    "sql_cte": _SQL_CTE_SQL,
+    "win_percent_rank": _WIN_PERCENT_RANK_SQL,
+}
