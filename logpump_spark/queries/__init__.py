@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    coverage_q,
     functions2_q,
     functions_q,
     llm_q,
@@ -33,6 +34,7 @@ _MODULES = (
     parse_q,
     streaming_q,
     llm_q,
+    coverage_q,
 )
 
 
