@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    coverage2_q,
     coverage_q,
     functions2_q,
     functions_q,
@@ -35,6 +36,7 @@ _MODULES = (
     streaming_q,
     llm_q,
     coverage_q,
+    coverage2_q,
 )
 
 

@@ -1,0 +1,128 @@
+"""Final §2.G odds and ends: collection aggregates, min_by/max_by,
+generator functions (stack/explode_outer/sequence), unionByName with
+missing columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set/collect_list as SORTED arrays (unsorted collections are
+    nondeterministic across partitioning — sort_array makes them
+    hash-stable, which is also the only sane contract for users)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.size(F.collect_list("event_id")).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_AGG_COLLECT_SQL = """
+SELECT user_id,
+  list_sort(list(DISTINCT event_type)) AS types,
+  len(list(event_id)) AS n_events
+FROM events WHERE user_id < 30
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by: the argmin/argmax aggregate.  Tie-broken through a
+    unique composite ordering key (value, event_id) — raw min_by on a
+    non-unique key is nondeterministic in a distributed engine."""
+    ev = load(spark, sf_dir, "events")
+    # unique ordering key: value is not unique, event_id is
+    key = F.col("value") * 1_000_000_000 + F.col("event_id")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.min_by("event_id", key).alias("min_event"),
+            F.max_by("event_id", key).alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AGG_MIN_MAX_BY_SQL = """
+SELECT event_type,
+  arg_min(event_id, value * 1000000000 + event_id) AS min_event,
+  arg_max(event_id, value * 1000000000 + event_id) AS max_event
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def fn_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator functions: sequence + explode_outer (NULL-preserving)
+    over a derived array that is empty for some rows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    # 0..(user_id%3 - 1): empty when user_id%3 == 0
+    arr = F.when(
+        F.col("user_id") % 3 > 0,
+        F.sequence(F.lit(0), (F.col("user_id") % 3) - 1),
+    )
+    return (
+        ev.select("event_id", F.explode_outer(arr).alias("gen"))
+        .orderBy("event_id", F.col("gen").asc_nulls_first())
+    )
+
+
+_FN_GENERATORS_SQL = """
+SELECT event_id, CAST(u.gen AS BIGINT) AS gen
+FROM (
+  SELECT event_id,
+    CASE WHEN user_id % 3 > 0
+         THEN range(0, user_id % 3)
+         ELSE NULL END AS xs
+  FROM events WHERE event_id < 200
+) t
+LEFT JOIN LATERAL UNNEST(COALESCE(t.xs, [NULL])) AS u(gen) ON TRUE
+ORDER BY event_id, gen NULLS FIRST
+"""
+
+
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: schema-mismatched sources
+    merge with NULL fill — the multi-source ingestion shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    a = ev.select("event_id", "event_type", "value")
+    b = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("uid")
+    )
+    return (
+        a.unionByName(b.withColumn("src", F.lit("b")), allowMissingColumns=True)
+        .withColumn("src", F.coalesce(F.col("src"), F.lit("a")))
+        .orderBy("src", "event_id")
+    )
+
+
+_SETOP_UNION_BY_NAME_SQL = """
+SELECT event_id, event_type, value, CAST(NULL AS BIGINT) AS uid, 'a' AS src
+FROM events WHERE event_id < 500
+UNION ALL
+SELECT event_id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), user_id, 'b'
+FROM events WHERE event_id < 500 AND event_type = 'error'
+ORDER BY src, event_id
+"""
+
+
+SPARK_QUERIES = {
+    "agg_collect": agg_collect,
+    "agg_min_max_by": agg_min_max_by,
+    "fn_generators": fn_generators,
+    "setop_union_by_name": setop_union_by_name,
+}
+
+ORACLE_SQL = {
+    "agg_collect": _AGG_COLLECT_SQL,
+    "agg_min_max_by": _AGG_MIN_MAX_BY_SQL,
+    "fn_generators": _FN_GENERATORS_SQL,
+    "setop_union_by_name": _SETOP_UNION_BY_NAME_SQL,
+}
