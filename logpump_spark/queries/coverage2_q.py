@@ -113,7 +113,41 @@ ORDER BY src, event_id
 """
 
 
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G grouped-map UDF surface: applyInPandas computes a per-group
+    rank with deterministic pandas ops (stable sort on a unique composite
+    key), so the oracle can replicate it with ROW_NUMBER.  This is the
+    template for group-local algorithms Spark lacks natively; each group
+    arrives as ONE Arrow batch, so group cardinality must be bounded
+    (here: events per type per day)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        pdf = pdf.reset_index(drop=True)
+        pdf["grp_rank"] = pdf.index + 1
+        return pdf[["event_type", "event_id", "grp_rank"]]
+
+    return (
+        ev.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(rank_group, "event_type string, event_id long, grp_rank long")
+        .orderBy("event_type", "grp_rank")
+    )
+
+
+_UDF_GROUPED_MAP_SQL = """
+SELECT event_type, event_id,
+  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS grp_rank
+FROM events WHERE event_id < 2000
+ORDER BY event_type, grp_rank
+"""
+
+
 SPARK_QUERIES = {
+    "udf_grouped_map": udf_grouped_map,
     "agg_collect": agg_collect,
     "agg_min_max_by": agg_min_max_by,
     "fn_generators": fn_generators,
@@ -121,6 +155,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "udf_grouped_map": _UDF_GROUPED_MAP_SQL,
     "agg_collect": _AGG_COLLECT_SQL,
     "agg_min_max_by": _AGG_MIN_MAX_BY_SQL,
     "fn_generators": _FN_GENERATORS_SQL,

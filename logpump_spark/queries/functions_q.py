@@ -30,9 +30,7 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 12).alias("prefix12"),
             F.instr(F.col("text"), "data").alias("pos_data"),
             F.col("text").contains("join").cast("int").alias("has_join"),
-            F.replace(F.col("text"), F.lit("data"), F.lit("DATA")).alias("replaced")
-            if hasattr(F, "replace")
-            else F.regexp_replace("text", "data", "DATA").alias("replaced"),
+            F.replace(F.col("text"), F.lit("data"), F.lit("DATA")).alias("replaced"),
             F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("trimmed"),
             F.concat_ws("|", "lang", "source").alias("lang_source"),
             F.md5(F.col("text")).alias("text_md5"),
