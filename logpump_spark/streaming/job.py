@@ -60,7 +60,7 @@ def route_and_write(
 
 def build_techlog_stream(
     spark: SparkSession,
-    input_dir: str,
+    input_dir: str | list[str],
     sink_dir: str,
     checkpoint_dir: str,
     table_map: dict[str, str] | None = None,
@@ -72,6 +72,9 @@ def build_techlog_stream(
 ):
     """Assemble (not start) the streaming query.
 
+    - ``input_dir`` accepts a list — the reference's LogDirectoryMap
+      watches several roots (config.yaml LogDirectoryMap); the streams
+      union into one query so routing/sink/checkpoint stay single
     - ``pathGlobFilter`` + ``recursiveFileLookup``: S1 glob walk
     - new-file discovery per micro-batch: S4/S5 (inotify + rescan)
     - ``checkpointLocation``: T1-T5 offset store (stronger: per-batch)
@@ -83,18 +86,25 @@ def build_techlog_stream(
     Returns a DataStreamWriter; call ``.start()`` (or use
     ``run_stream``).
     """
-    reader = (
-        spark.readStream.format("text")
-        .option("wholetext", "true")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", "true")
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    files = reader.load(input_dir).select(
-        F.substring_index(F.input_file_name(), "/", -1).alias("filename"),
-        F.col("value").alias("content"),
-    )
+    dirs = [input_dir] if isinstance(input_dir, str) else list(input_dir)
+
+    def _one(d: str):
+        reader = (
+            spark.readStream.format("text")
+            .option("wholetext", "true")
+            .option("pathGlobFilter", glob)
+            .option("recursiveFileLookup", "true")
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader.load(d).select(
+            F.substring_index(F.input_file_name(), "/", -1).alias("filename"),
+            F.col("value").alias("content"),
+        )
+
+    files = _one(dirs[0])
+    for d in dirs[1:]:
+        files = files.unionByName(_one(d))
     entries = parse_records(records_from_text(files))
     tmap = table_map or {}
 

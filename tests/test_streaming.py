@@ -123,3 +123,22 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
     # first window (hour 0) but not hour 1
     starts = {str(r.window_start): r.n_events for r in res}
     assert starts.get("2024-01-01 00:00:00") == 2
+
+
+def test_multi_directory_ingestion(spark, tmp_path):
+    # LogDirectoryMap analog: two roots union into one stream
+    d1, d2 = str(tmp_path / "r1"), str(tmp_path / "r2")
+    out, ckpt = str(tmp_path / "out_m"), str(tmp_path / "ckpt_m")
+    os.makedirs(d1)
+    os.makedirs(d2)
+    with open(f"{d1}/25052607.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_A)
+    with open(f"{d2}/25052608.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_C)
+
+    writer = build_techlog_stream(
+        spark, [d1, d2], out, ckpt, table_map=TABLE_MAP, available_now=True
+    )
+    run_stream(writer, timeout_seconds=120)
+    types = sorted(r.EventType for r in spark.read.parquet(out).collect())
+    assert types == ["CALL", "DBMSSQL"]
