@@ -275,33 +275,19 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up — this is the 100 TB-safe shape (a correlated subquery or a
     range self-join would be quadratic per user).
     """
+    from ..operators.asof import asof_join
+
     ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
-        F.col("ts"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("click_ts"),
-        F.lit(0).alias("kind"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts"),
-        F.col("event_id"),
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        F.lit(1).alias("kind"),
-    )
-    from pyspark.sql import Window as W
-
-    # clicks sort before purchases at equal ts => "at or before" inclusive
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "kind")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+        F.col("ts").alias("cts"),
+        F.col("ts").alias("last_click_ts"),
     )
     return (
-        clicks.unionByName(purchases)
-        .withColumn("last_click_ts", F.max("click_ts").over(w))
-        .filter(F.col("kind") == 1)
+        asof_join(purchases, clicks, ["user_id"], "ts", "cts", suffix="")
         .select("event_id", "user_id", "ts", "last_click_ts")
         .orderBy("event_id")
     )
