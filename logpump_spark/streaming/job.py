@@ -52,7 +52,14 @@ def route_and_write(
     (the reference instead DROPS failed batches, batch.go:43-49)."""
     routed = rows.withColumn("_table", table_routing_column(table_map, default_table))
     (
-        routed.write.mode("append")
+        # sortWithinPartitions = the MergeTree ORDER BY (EventDate,
+        # EventTime) clustering (README.md:131): rows land time-ordered
+        # inside each partition file, so time-sliced reads skip row groups
+        # via parquet min/max stats.  zstd mirrors the reference's wire
+        # compression choice at the storage layer (clickhouse.go:48).
+        routed.sortWithinPartitions("_table", "EventDate", "EventTime")
+        .write.mode("append")
+        .option("compression", "zstd")
         .partitionBy("_table", "EventDate")
         .parquet(base_path)
     )
