@@ -100,10 +100,14 @@ def split_record(rec: Column) -> tuple[Column, Column, Column]:
     # for ' and ", anything else falls back to "no closing quote" = rest.
     def _sql_and_after(q: str) -> tuple[Column, Column]:
         qe = "\\" + q
-        pat = r"(?s)^((?:[^" + qe + r"\\]|\\.)*)" + qe + r"(.*)$"
+        # "unrolled loop" form [^q\]*(?:\.[^q\]*)* instead of the per-char
+        # alternation (?:[^q\]|\.)* — same language, linear-time on Java's
+        # backtracking regex engine instead of alternation-per-character
+        body = r"[^" + qe + r"\\]*(?:\\.[^" + qe + r"\\]*)*"
+        pat = r"(?s)^(" + body + r")" + qe + r"(.*)$"
         raw = F.regexp_extract(rest, pat, 1)
         after = F.regexp_extract(rest, pat, 2)
-        closed = rest.rlike(r"(?s)^(?:[^" + qe + r"\\]|\\.)*" + qe)
+        closed = rest.rlike(r"(?s)^" + body + qe)
         return (
             F.when(closed, raw).otherwise(rest),
             F.when(closed, after).otherwise(F.lit("")),

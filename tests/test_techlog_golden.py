@@ -184,7 +184,7 @@ def test_headless_prefix_lines(spark, tmp_path):
         "garbage preamble\n07:15.123456-5,CALL,1,Usr=x\n", encoding="utf-8"
     )
     files = read_techlog(spark, str(d))
-    entries = parse_records(records_from_text(files))
+    entries = parse_records(records_from_text(files, with_position=True))
     rows = entries.orderBy("record_no").collect()
     assert len(rows) == 2
     assert rows[0].LogTimestamp == "garbage preamble"
