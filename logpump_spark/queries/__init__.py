@@ -17,6 +17,7 @@ from . import (
     coverage2_q,
     coverage_q,
     functions2_q,
+    functions3_q,
     functions_q,
     llm_q,
     parse_q,
@@ -32,6 +33,7 @@ _MODULES = (
     windows_q,
     functions_q,
     functions2_q,
+    functions3_q,
     parse_q,
     streaming_q,
     llm_q,

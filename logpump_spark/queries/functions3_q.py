@@ -1,0 +1,80 @@
+"""Scalar coverage batch 3: bitwise ops, hex encoding, structured
+to_json/from_json round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(0xFF)).alias("and_ff"),
+        e.bitwiseOR(F.lit(0x10)).alias("or_10"),
+        e.bitwiseXOR(F.col("user_id")).alias("xor_uid"),
+        F.shiftleft(e, 3).alias("shl3"),
+        F.shiftright(e, 2).alias("shr2"),
+        F.bit_count(e).alias("popcount"),
+        F.hex(F.col("user_id")).alias("uid_hex"),
+    ).orderBy("event_id")
+
+
+_FN_BITWISE_SQL = """
+SELECT event_id,
+  event_id & 255 AS and_ff,
+  event_id | 16 AS or_10,
+  xor(event_id, user_id) AS xor_uid,
+  event_id << 3 AS shl3,
+  event_id >> 2 AS shr2,
+  bit_count(event_id) AS popcount,
+  hex(user_id) AS uid_hex
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
+def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct, transform, re-serialize with
+    to_json — both engines render compact JSON identically for
+    int/string fields."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    parsed = F.from_json(F.col("props"), "k INT")
+    rebuilt = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("t"),
+            (parsed["k"] * 2).alias("k2"),
+        )
+    )
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        rebuilt.alias("json_out"),
+    ).orderBy("event_id")
+
+
+_FN_JSON_ROUNDTRIP_SQL = """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+  to_json(struct_pack(
+    id := event_id,
+    t := event_type,
+    k2 := CAST(json_extract_string(props, '$.k') AS INT) * 2
+  )) AS json_out
+FROM events WHERE event_id < 2000 ORDER BY event_id
+"""
+
+
+SPARK_QUERIES = {
+    "fn_bitwise": fn_bitwise,
+    "fn_json_roundtrip": fn_json_roundtrip,
+}
+
+ORACLE_SQL = {
+    "fn_bitwise": _FN_BITWISE_SQL,
+    "fn_json_roundtrip": _FN_JSON_ROUNDTRIP_SQL,
+}
