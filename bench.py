@@ -38,8 +38,14 @@ HEADLINE = [
     "parse_full_entry",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "sim_topk",
+    "sim_ivf_topk",
     "text_stats",
+    "stream_session",
+    "agg_stats",
+    "udf_grouped_map",
+    "multimodal_decode",
 ]
 
 

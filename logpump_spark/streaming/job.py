@@ -65,6 +65,44 @@ def route_and_write(
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    base_path: str,
+    target_files_per_partition: int = 1,
+    partition_filter: str | None = None,
+) -> int:
+    """Small-files maintenance for the streaming sink: each micro-batch
+    appends its own files, so hot (_table, EventDate) partitions
+    accumulate many small parquet files — the classic streaming-sink tax.
+    Rewrites matching partitions into ``target_files_per_partition``
+    sorted files (dynamic partition overwrite keeps untouched partitions
+    intact).  Run out-of-band (e.g. on rotated dates); returns the number
+    of partitions rewritten.
+
+    The ClickHouse counterpart is MergeTree's background merges — here
+    it's an explicit, schedulable operator.
+    """
+    df = spark.read.parquet(base_path)
+    if partition_filter:
+        df = df.filter(partition_filter)
+    parts = [
+        (r._table, str(r.EventDate))
+        for r in df.select("_table", "EventDate").distinct().collect()
+    ]
+    if not parts:
+        return 0
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.repartition(target_files_per_partition * len(parts), "_table", "EventDate")
+        .sortWithinPartitions("EventTime")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("_table", "EventDate")
+        .parquet(base_path)
+    )
+    return len(parts)
+
+
 def build_techlog_stream(
     spark: SparkSession,
     input_dir: str | list[str],

@@ -142,3 +142,29 @@ def test_multi_directory_ingestion(spark, tmp_path):
     run_stream(writer, timeout_seconds=120)
     types = sorted(r.EventType for r in spark.read.parquet(out).collect())
     assert types == ["CALL", "DBMSSQL"]
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from logpump_spark.streaming.job import compact_partitions
+
+    d = _dirs(tmp_path)
+    # three drains = three appends = several files per partition
+    for i, rec in enumerate((RECORD_A, RECORD_B, RECORD_C)):
+        with open(f"{d['in']}/2505260{i + 1}.log", "w", encoding="utf-8") as f:
+            f.write(rec)
+        _run_once(spark, d)
+
+    before = spark.read.parquet(d["out"])
+    rows_before = sorted(map(tuple, before.drop("_table").collect()))
+    import glob as g
+
+    files_before = len(g.glob(f"{d['out']}/_table=*/EventDate=*/*.parquet"))
+
+    n = compact_partitions(spark, d["out"])
+    assert n >= 1
+
+    after = spark.read.parquet(d["out"])
+    rows_after = sorted(map(tuple, after.drop("_table").collect()))
+    files_after = len(g.glob(f"{d['out']}/_table=*/EventDate=*/*.parquet"))
+    assert rows_after == rows_before  # lossless rewrite
+    assert files_after <= files_before
