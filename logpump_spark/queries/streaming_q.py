@@ -140,7 +140,81 @@ ORDER BY event_date
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join in batch mode (the SAME builder the
+    streaming tests run with watermarks): each error correlated with this
+    user's purchases in the preceding 2 hours."""
+    from ..streaming.joins import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("err_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    joined = interval_join(
+        errors,
+        purchases.withColumnRenamed("p_user", "user_id"),
+        ["user_id"],
+        "ts",
+        "pts",
+        lookback="2 hours",
+    )
+    return joined.select("err_id", "purchase_id", "user_id").orderBy(
+        "err_id", "purchase_id"
+    )
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+SELECT e.event_id AS err_id, p.event_id AS purchase_id, e.user_id
+FROM events e JOIN events p
+  ON e.user_id = p.user_id
+ AND e.event_type = 'error' AND p.event_type = 'purchase'
+ AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 2 HOUR
+ORDER BY err_id, purchase_id
+"""
+
+
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL API: each region's
+    top-2 customers by balance (per-row dependent subplan — Catalyst
+    decorrelates into a ranked join)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_l")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_l")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_l n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_l
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+        """
+    )
+
+
+_SQL_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC
+  LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+"""
+
+
 SPARK_QUERIES = {
+    "stream_interval_join": stream_interval_join,
+    "sql_lateral": sql_lateral,
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
@@ -149,6 +223,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
+    "sql_lateral": _SQL_LATERAL_SQL,
     "stream_tumbling": _TUMBLING_SQL,
     "stream_sliding": _SLIDING_SQL,
     "stream_session": _SESSION_SQL,
