@@ -146,7 +146,54 @@ ORDER BY event_type, grp_rank
 """
 
 
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram + boolean aggregates per event type —
+    the metric-distribution query shape over tech-log Durations."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 100), F.lit(5)).cast("int")
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 400).alias("any_gt400"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_AGG_HISTOGRAM_SQL = """
+SELECT event_type,
+  CAST(LEAST(FLOOR(value / 100), 5) AS INT) AS bucket,
+  COUNT(*) AS n,
+  bool_and(value >= 0) AS all_nonneg,
+  bool_or(value > 400) AS any_gt400
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bucket
+"""
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the mergeable-sketch quantile for 100 TB (the
+    exact form in agg_percentile needs a per-group sort).  Rows-only:
+    Spark's KLL-style sketch and DuckDB's approx_quantile give different
+    approximations by design; the exact twin is oracle-checked in
+    agg_percentile."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SPARK_QUERIES = {
+    "agg_histogram": agg_histogram,
+    "agg_approx_percentile": agg_approx_percentile,
     "udf_grouped_map": udf_grouped_map,
     "agg_collect": agg_collect,
     "agg_min_max_by": agg_min_max_by,
@@ -155,6 +202,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "agg_histogram": _AGG_HISTOGRAM_SQL,
+    # agg_approx_percentile: rows-only (different sketch families)
     "udf_grouped_map": _UDF_GROUPED_MAP_SQL,
     "agg_collect": _AGG_COLLECT_SQL,
     "agg_min_max_by": _AGG_MIN_MAX_BY_SQL,
