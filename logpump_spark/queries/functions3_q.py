@@ -69,12 +69,47 @@ FROM events WHERE event_id < 2000 ORDER BY event_id
 """
 
 
+def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic (the money-typed path a ClickHouse user
+    expects): cast to DECIMAL(12,2), multiply/add exactly, aggregate in
+    decimal.  Outputs are presented as double because the two engines'
+    pandas bridges disagree on decimal objects (Spark keeps Decimal,
+    DuckDB narrows to float64) — the ARITHMETIC is decimal end-to-end and
+    therefore exact/order-independent either way."""
+    li = load(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    line_total = (p * q).cast("decimal(24,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(line_total).cast("double").alias("sum_line_total"),
+            F.max(p).cast("double").alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_FN_DECIMAL_SQL = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS sum_line_total,
+  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 SPARK_QUERIES = {
     "fn_bitwise": fn_bitwise,
     "fn_json_roundtrip": fn_json_roundtrip,
+    "fn_decimal": fn_decimal,
 }
 
 ORACLE_SQL = {
     "fn_bitwise": _FN_BITWISE_SQL,
     "fn_json_roundtrip": _FN_JSON_ROUNDTRIP_SQL,
+    "fn_decimal": _FN_DECIMAL_SQL,
 }

@@ -1,0 +1,69 @@
+"""Executable coverage contract: every planned query id from SURVEY.md §2
+(and the north-star additions) must exist in the driver registry.  Guards
+later rounds against silently dropping an operator."""
+
+from __future__ import annotations
+
+import __spark_entry__ as se
+
+# SURVEY.md §2 "planned query id" column + §2.G + north star, as shipped.
+PLANNED_IDS = {
+    # §2.A sources
+    "scan_glob", "records_explode", "fn_string_clean",
+    # §2.B parsing/transforms
+    "parse_record_split", "parse_header_positional", "parse_kv_map",
+    "parse_sql_quoted", "fn_sql_scrub", "parse_context", "fn_safe_cast",
+    "parse_full_entry", "xform_filename_date", "xform_event_time",
+    "xform_duration", "xform_project_sink", "fn_null_columns",
+    "filter_valid_rows",
+    # §2.C scalar suites
+    "fn_string_suite", "fn_string_suite2", "fn_date_suite", "fn_date_suite2",
+    "fn_cast_suite", "fn_math_suite", "fn_regexp_suite", "fn_json",
+    "fn_json_roundtrip", "fn_array", "fn_explode", "fn_map",
+    "fn_conditional", "fn_generators", "fn_bitwise", "fn_decimal",
+    # §2.D routing/sink
+    "route_group_by_key", "sink_insert_schema",
+    # §2.F delegated analytical surface
+    "agg_by_day", "sort_time", "filter_pushdown", "agg_metrics",
+    # §2.G engine surface
+    "join_inner", "join_left", "join_semi", "join_anti", "join_broadcast",
+    "join_range", "join_asof", "join_full_outer", "join_cross",
+    "agg_distinct", "agg_approx_distinct", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_stats", "agg_corr", "agg_percentile",
+    "agg_approx_percentile", "agg_pivot", "agg_collect", "agg_min_max_by",
+    "agg_histogram",
+    "win_rank", "win_running_sum", "win_lag", "win_first_last",
+    "win_range_frame", "win_percent_rank",
+    "sort_limit_topk", "setop_union", "setop_intersect", "setop_except",
+    "setop_union_by_name",
+    "sql_in_subquery", "sql_scalar_subquery", "sql_cte", "sql_lateral",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_interval_join",
+    "udf_pandas_demo", "udf_grouped_map",
+    "q1_pricing_summary",
+    # north star
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "sim_topk", "sim_ivf_topk", "sim_neardup",
+    "text_stats", "text_lang_id", "text_token_bpe", "doc_fingerprint",
+    "multimodal_decode",
+}
+
+# ops whose oracle is intentionally absent (non-SQL-expressible hashing /
+# different sketch families) — everything else MUST be oracle-checked
+ROWS_ONLY_ALLOWED = {"dedup_minhash_lsh", "dedup_simhash", "agg_approx_percentile"}
+
+
+def test_every_planned_id_is_registered():
+    qs = set(se.queries())
+    missing = PLANNED_IDS - qs
+    assert not missing, f"planned ids missing from registry: {sorted(missing)}"
+
+
+def test_oracle_discipline():
+    qs, oracles = set(se.queries()), set(se.oracle_sql())
+    rows_only = qs - oracles
+    assert rows_only <= ROWS_ONLY_ALLOWED, (
+        f"queries without oracle beyond the sanctioned set: "
+        f"{sorted(rows_only - ROWS_ONLY_ALLOWED)}"
+    )
+    assert oracles <= qs, f"orphan oracles: {sorted(oracles - qs)}"
