@@ -119,6 +119,50 @@ def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(_batches, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, sample_rate int, n_samples long, "
+    "duration_ms long, decoder string"
+)
+
+
+def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Audio twin of decode_image_features: mapInPandas feature extraction
+    with a deterministic fake decode (sample rate / duration derived from
+    payload size) standing in for soundfile/librosa."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        try:
+            import soundfile  # noqa: F401
+
+            have_real = True
+        except ImportError:
+            have_real = False
+            if strict:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile; install it or "
+                    "use strict=False"
+                )
+
+        for pdf in it:
+            n_bytes = [len(bytes(p)) for p in pdf["payload"]]
+            rate = [16000 if n % 2 == 0 else 22050 for n in n_bytes]
+            samples = [n * 4 for n in n_bytes]  # fake: 4 samples per byte
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": n_bytes,
+                    "sample_rate": rate,
+                    "n_samples": samples,
+                    "duration_ms": [s * 1000 // r for s, r in zip(samples, rate)],
+                    "decoder": ["soundfile" if have_real else "fake"] * len(n_bytes),
+                }
+            )
+
+    return media.mapInPandas(_batches, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
     """Frame-sampling shape for video payloads: one output row per sampled
     frame offset.  Pure column ops (sequence+explode) — the decode of each

@@ -1,0 +1,55 @@
+"""corpus_prepare: the composed LLM-training-data pipeline.
+
+The point of the individual operators (dedup, quality, token counting,
+fingerprinting) is that they CHAIN into one declarative corpus-prep plan:
+
+    raw documents
+      -> exact dedup (canonical min-id winner per normalized text)
+      -> quality gate (token count, stopword ratio, mean token length)
+      -> annotate (BPE-ish token counts, fingerprints)
+
+Everything is one Catalyst plan — a 100 TB corpus makes one pass plus the
+dedup shuffle.  Fuzzy dedup (MinHash) slots in between the exact-dedup
+and quality stages when needed; it is kept out of this default chain so
+the composed pipeline stays fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import bpe_token_count, fingerprint, quality_features
+
+
+def _norm(text_col: str) -> Column:
+    return F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+
+def corpus_prepare(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_stopword_ratio: float = 0.5,
+    min_mean_token_len: float = 2.0,
+) -> DataFrame:
+    """-> cleaned, deduplicated, annotated corpus (one row per kept doc)."""
+    # exact dedup on normalized text: winner = min id (deterministic)
+    win = docs.withColumn("_norm", _norm(text_col))
+    winners = win.groupBy("_norm").agg(F.min(id_col).alias("_keep_id"))
+    kept = (
+        win.join(winners, (win["_norm"] == winners["_norm"]) & (win[id_col] == winners["_keep_id"]))
+        .drop("_keep_id")
+        .drop(winners["_norm"])
+        .drop(win["_norm"])
+    )
+    # quality gate
+    q = quality_features(kept, text_col)
+    gated = q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("mean_token_len") >= min_mean_token_len)
+    )
+    # annotate
+    return fingerprint(bpe_token_count(gated, text_col), text_col)

@@ -296,7 +296,81 @@ FROM documents ORDER BY media_id
 """
 
 
+def corpus_prepare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline (dedup -> quality gate ->
+    annotate) with planted duplicates, fully oracle-checked."""
+    from ..llmdata.pipeline import corpus_prepare
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    return corpus_prepare(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "bpe_tokens", "fp_md5"
+    ).orderBy("doc_id")
+
+
+_CORPUS_PREPARE_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+),
+normed AS (
+  SELECT doc_id, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+  FROM docs
+),
+kept AS (
+  SELECT n.* FROM normed n
+  JOIN (SELECT norm, MIN(doc_id) AS keep_id FROM normed GROUP BY norm) w
+    ON n.norm = w.norm AND n.doc_id = w.keep_id
+),
+quality AS (
+  SELECT doc_id, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '),
+        t -> list_contains(['the','a','of','and','is','to','in'], t)))
+      / len(string_split(text, ' ')) AS stopword_ratio,
+    (LENGTH(text) - (len(string_split(text, ' ')) - 1))
+      / len(string_split(text, ' ')) AS mean_token_len
+  FROM kept
+)
+SELECT doc_id, n_tokens, stopword_ratio,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS bpe_tokens,
+  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+FROM quality
+WHERE n_tokens >= 20 AND stopword_ratio <= 0.5 AND mean_token_len >= 2.0
+ORDER BY doc_id
+"""
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through mapInPandas (deterministic fake
+    decode), oracle-checked arithmetic on payload size."""
+    from ..llmdata.multimodal import decode_audio_features
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_media(docs, "doc_id", "text", "audio", "source")
+    return decode_audio_features(media, strict=False).select(
+        "media_id", "n_bytes", "sample_rate", "n_samples", "duration_ms", "decoder"
+    ).orderBy("media_id")
+
+
+_MULTIMODAL_AUDIO_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+)
+SELECT media_id, n_bytes,
+  CAST(CASE WHEN n_bytes % 2 = 0 THEN 16000 ELSE 22050 END AS INT) AS sample_rate,
+  n_bytes * 4 AS n_samples,
+  (n_bytes * 4 * 1000) // (CASE WHEN n_bytes % 2 = 0 THEN 16000 ELSE 22050 END) AS duration_ms,
+  'fake' AS decoder
+FROM b ORDER BY media_id
+"""
+
+
 SPARK_QUERIES = {
+    "corpus_prepare": corpus_prepare_q,
+    "multimodal_audio": multimodal_audio,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -312,6 +386,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_prepare": _CORPUS_PREPARE_SQL,
+    "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     # dedup_minhash_lsh / dedup_simhash: rows-only (xxhash64-based)
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,

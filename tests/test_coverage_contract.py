@@ -45,7 +45,7 @@ PLANNED_IDS = {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "sim_topk", "sim_ivf_topk", "sim_neardup",
     "text_stats", "text_lang_id", "text_token_bpe", "doc_fingerprint",
-    "multimodal_decode",
+    "multimodal_decode", "multimodal_audio", "corpus_prepare",
 }
 
 # ops whose oracle is intentionally absent (non-SQL-expressible hashing /
