@@ -89,15 +89,31 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-filter.  Co-locating via bucketing on orderkey would remove the
     shuffle entirely for repeated runs (documented, not forced here).
     """
+    from .. import compat
+
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    return (
+    # two-level aggregation instead of COUNT(DISTINCT): pre-aggregate per
+    # (priority, orderkey) — the partial agg compresses each order's
+    # lineitems BEFORE the wide shuffle, and the distinct count becomes a
+    # plain COUNT of the pre-aggregated rows.  Catalyst's Expand-based
+    # distinct would instead double the shuffled row count; at 100 TB the
+    # pre-aggregation is the difference between shuffling |lineitem| x 2
+    # and shuffling |orders|.
+    per_order = (
         orders.join(li, orders.o_orderkey == li.l_orderkey, "inner")
-        .groupBy("o_orderpriority")
+        .groupBy("o_orderpriority", "o_orderkey")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(compat.quant(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("qrev"),
+        )
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").alias("n_items"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("qrev").cast("double") / 10000.0).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )

@@ -73,7 +73,14 @@ def records_from_text(
     through this stage than plain explode, and the pipeline doesn't need
     positions.
     """
-    clean = F.regexp_replace(F.col(content_col), "\x00", "")
+    # NUL scrub (tail.go:98) + CRLF normalization: 1C on Windows writes
+    # \r\n; the reference's line reader hands records line-by-line without
+    # terminators, so interior \r must not leak into record text (the
+    # split_reader and tail_source strip per line; this path normalizes
+    # up front)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(content_col), "\x00", ""), "\r\n", "\n"
+    )
     parts = F.split(clean, _SPLIT_REGEX)
     if with_position:
         rec = F.posexplode(parts)

@@ -189,3 +189,19 @@ def test_headless_prefix_lines(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0].LogTimestamp == "garbage preamble"
     assert rows[1].Component == "CALL"
+
+
+def test_crlf_records(spark, tmp_path):
+    # Windows 1C logs: CRLF line endings must not leak \r into any field
+    d = tmp_path / "crlf"
+    d.mkdir()
+    (d / "25052607.log").write_bytes(
+        b"07:15.123456-5,CALL,1,Usr=win,Context='line1\r\nline2'\r\n"
+        b"07:16.123456-6,EXCP,2,Usr=next\r\n"
+    )
+    files = read_techlog(spark, str(d))
+    entries = parse_records(records_from_text(files))
+    rows = {r.Component: r for r in entries.collect()}
+    assert rows["CALL"].Context == "line1\nline2"
+    assert "\r" not in rows["CALL"].Context
+    assert rows["EXCP"].User == "next"
