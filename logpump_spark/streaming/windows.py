@@ -12,7 +12,7 @@ merge sessions within partitions (Spark's native session_window operator).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..compat import dsum
