@@ -27,18 +27,24 @@ from . import (
     windows_q,
 )
 
+# Order matters: the driver's CORRECTNESS gate verifies the first 50
+# registry entries per round, so modules whose queries have not yet
+# received a driver-green row go FIRST.  Round 1 verified the relational /
+# window / scalar-function modules (CORRECTNESS_r01.json); round 2 rotates
+# the parse plane, streaming, LLM-data, and coverage modules into the
+# window (48 ids, leaving 2 slots for q1_pricing_summary / join_inner).
 _MODULES = (
+    parse_q,
+    streaming_q,
+    llm_q,
+    coverage_q,
+    coverage2_q,
     relational_q,
     relational2_q,
     windows_q,
     functions_q,
     functions2_q,
     functions3_q,
-    parse_q,
-    streaming_q,
-    llm_q,
-    coverage_q,
-    coverage2_q,
 )
 
 
