@@ -129,16 +129,19 @@ FROM s ORDER BY event_id
 
 
 def fn_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7: the silent-zero cast grammar on crafted inputs: plain digits,
-    signs (uint rejects, int accepts), uint32/int32 overflow -> 0,
-    garbage -> 0 (parser.go:98-116)."""
+    """P7: the Go strconv cast grammar on crafted inputs: plain digits,
+    signs (uint rejects, int accepts), garbage/space -> 0 (ErrSyntax),
+    width overflow -> saturated bit-size max/min (ErrRange value, error
+    discarded; parser.go:98-116) — including values beyond int64."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < _N)
     variant = (
-        F.when(F.col("event_id") % 6 == 0, F.lit("4294967296"))  # u32 overflow
-        .when(F.col("event_id") % 6 == 1, F.lit("-5"))  # sign
-        .when(F.col("event_id") % 6 == 2, F.lit("2147483648"))  # i32 overflow
-        .when(F.col("event_id") % 6 == 3, F.lit(" 7"))  # space -> invalid
-        .when(F.col("event_id") % 6 == 4, F.lit("abc"))
+        F.when(F.col("event_id") % 8 == 0, F.lit("4294967296"))  # u32 overflow -> u32 max
+        .when(F.col("event_id") % 8 == 1, F.lit("-5"))  # sign: uint rejects, int keeps
+        .when(F.col("event_id") % 8 == 2, F.lit("2147483648"))  # i32 overflow -> i32 max
+        .when(F.col("event_id") % 8 == 3, F.lit(" 7"))  # space -> invalid
+        .when(F.col("event_id") % 8 == 4, F.lit("abc"))
+        .when(F.col("event_id") % 8 == 5, F.lit("99999999999999999999"))  # > int64
+        .when(F.col("event_id") % 8 == 6, F.lit("-99999999999999999999"))  # < -int64
         .otherwise(F.col("user_id").cast("string"))
     )
     return (
@@ -157,21 +160,25 @@ def fn_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FN_SAFE_CAST_SQL = f"""
 WITH v AS (
   SELECT event_id,
-    CASE WHEN event_id % 6 = 0 THEN '4294967296'
-         WHEN event_id % 6 = 1 THEN '-5'
-         WHEN event_id % 6 = 2 THEN '2147483648'
-         WHEN event_id % 6 = 3 THEN ' 7'
-         WHEN event_id % 6 = 4 THEN 'abc'
+    CASE WHEN event_id % 8 = 0 THEN '4294967296'
+         WHEN event_id % 8 = 1 THEN '-5'
+         WHEN event_id % 8 = 2 THEN '2147483648'
+         WHEN event_id % 8 = 3 THEN ' 7'
+         WHEN event_id % 8 = 4 THEN 'abc'
+         WHEN event_id % 8 = 5 THEN '99999999999999999999'
+         WHEN event_id % 8 = 6 THEN '-99999999999999999999'
          ELSE CAST(user_id AS VARCHAR) END AS raw
   FROM events WHERE event_id < {_N}
 )
 SELECT event_id, raw,
   CASE WHEN regexp_matches(raw, '^[0-9]+$')
-        AND TRY_CAST(raw AS BIGINT) <= 4294967295
-       THEN TRY_CAST(raw AS BIGINT) ELSE 0 END AS as_u32,
+       THEN LEAST(COALESCE(TRY_CAST(raw AS BIGINT), 4294967295), 4294967295)
+       ELSE 0 END AS as_u32,
   CAST(CASE WHEN regexp_matches(raw, '^[+-]?[0-9]+$')
-        AND TRY_CAST(raw AS BIGINT) BETWEEN -2147483648 AND 2147483647
-       THEN TRY_CAST(raw AS BIGINT) ELSE 0 END AS INT) AS as_i32
+       THEN GREATEST(LEAST(COALESCE(TRY_CAST(raw AS BIGINT),
+              CASE WHEN raw LIKE '-%' THEN -2147483648 ELSE 2147483647 END),
+            2147483647), -2147483648)
+       ELSE 0 END AS INT) AS as_i32
 FROM v ORDER BY event_id
 """
 

@@ -38,14 +38,23 @@ def _record_col():
     sub_us = F.unix_micros(F.col("ts")) % 60_000_000
     ss = (sub_us / F.lit(1_000_000)).cast("long")
     us = sub_us % 1_000_000
-    dur = F.when(F.col("event_id") % 5 == 0, F.lit("notnum")).otherwise(
-        F.floor(F.col("value") * 1000).cast("long").cast("string")
+    # overflow variants exercise the Go strconv ErrRange saturation:
+    # duration > MaxUint32 -> 4294967295, severity > MaxUint8 -> 255,
+    # session beyond int64 -> long-max (documented 64-bit divergence)
+    dur = (
+        F.when(F.col("event_id") % 5 == 0, F.lit("notnum"))
+        .when(F.col("event_id") % 19 == 0, F.lit("5000000000"))
+        .otherwise(F.floor(F.col("value") * 1000).cast("long").cast("string"))
     )
-    sev = F.when(F.col("event_id") % 3 == 0, F.lit("xx")).otherwise(
-        (F.col("user_id") % 4).cast("string")
+    sev = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("xx"))
+        .when(F.col("event_id") % 13 == 0, F.lit("300"))
+        .otherwise((F.col("user_id") % 4).cast("string"))
     )
-    sess = F.when(F.col("event_id") % 11 == 0, F.lit("notanumber")).otherwise(
-        F.col("event_id").cast("string")
+    sess = (
+        F.when(F.col("event_id") % 11 == 0, F.lit("notanumber"))
+        .when(F.col("event_id") % 17 == 0, F.lit("99999999999999999999"))
+        .otherwise(F.col("event_id").cast("string"))
     )
     k = F.get_json_object("props", "$.k").cast("long")
     return F.format_string(
@@ -77,13 +86,16 @@ _RECORD_SQL = f"""printf(
   (epoch_us(ts) % 60000000) // 1000000,
   epoch_us(ts) % 1000000,
   CASE WHEN event_id % 5 = 0 THEN 'notnum'
+       WHEN event_id % 19 = 0 THEN '5000000000'
        ELSE CAST(CAST(FLOOR(value * 1000) AS BIGINT) AS VARCHAR) END,
   event_type,
   CASE WHEN event_id % 3 = 0 THEN 'xx'
+       WHEN event_id % 13 = 0 THEN '300'
        ELSE CAST(user_id % 4 AS VARCHAR) END,
   user_id % 4,
   user_id % 5,
   CASE WHEN event_id % 11 = 0 THEN 'notanumber'
+       WHEN event_id % 17 = 0 THEN '99999999999999999999'
        ELSE CAST(event_id AS VARCHAR) END,
   CAST(json_extract_string(props, '$.k') AS BIGINT),
   event_id,
@@ -252,12 +264,7 @@ def xform_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_ts = F.trim(F.try_element_at(F.split(header, ","), F.lit(1)))
     dash = F.instr(log_ts, "-")
     dur_str = F.when(dash > 0, log_ts.substr(dash + 1, F.length(log_ts)))
-    n = dur_str.try_cast("long")
-    duration = (
-        F.when(dur_str.rlike("^[0-9]+$") & n.isNotNull() & (n <= _U32_MAX), n)
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
+    duration = parse_uint(F.coalesce(dur_str, F.lit("")), _U32_MAX)
     return df.select("event_id", duration.alias("duration")).orderBy("event_id")
 
 
@@ -353,16 +360,19 @@ SELECT event_id,
   trim(string_split(header, ',')[1]) AS log_ts,
   trim(string_split(header, ',')[2]) AS component,
   CASE WHEN regexp_matches(trim(string_split(header, ',')[3]), '^[0-9]+$')
-        AND TRY_CAST(trim(string_split(header, ',')[3]) AS BIGINT) <= 255
-       THEN CAST(trim(string_split(header, ',')[3]) AS BIGINT) ELSE 0 END AS severity,
+       THEN LEAST(COALESCE(TRY_CAST(trim(string_split(header, ',')[3]) AS BIGINT), 255), 255)
+       ELSE 0 END AS severity,
   trim(regexp_extract(header, 'process=([^,]*)', 1), ' ''') AS process,
   trim(regexp_extract(header, 'Usr=([^,]*)', 1), ' ''') AS usr,
   trim(regexp_extract(header, 'DataBase=([^,]*)', 1), ' ''') AS infobase,
   CASE WHEN regexp_matches(trim(regexp_extract(header, 'SessionID=([^,]*)', 1), ' '''), '^[0-9]+$')
-       THEN COALESCE(TRY_CAST(trim(regexp_extract(header, 'SessionID=([^,]*)', 1), ' ''') AS BIGINT), 0)
+       THEN COALESCE(TRY_CAST(trim(regexp_extract(header, 'SessionID=([^,]*)', 1), ' ''') AS BIGINT), 9223372036854775807)
        ELSE 0 END AS session_id,
-  CASE WHEN regexp_matches(trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' '''), '^[+-]?[0-9]+$')
-       THEN CAST(trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' ''') AS INT) ELSE 0 END AS rows_parsed,
+  CAST(CASE WHEN regexp_matches(trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' '''), '^[+-]?[0-9]+$')
+       THEN GREATEST(LEAST(COALESCE(TRY_CAST(trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' ''') AS BIGINT),
+              CASE WHEN trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' ''') LIKE '-%' THEN -2147483648 ELSE 2147483647 END),
+            2147483647), -2147483648)
+       ELSE 0 END AS INT) AS rows_parsed,
   0 AS rows_affected,
   {_SQL_EXTRACT} AS sql_text,
   {_CTX_EXTRACT} AS context,
@@ -377,8 +387,8 @@ SELECT event_id,
   trim(string_split(header, ',')[1]) AS log_ts,
   trim(string_split(header, ',')[2]) AS component,
   CASE WHEN regexp_matches(trim(string_split(header, ',')[3]), '^[0-9]+$')
-        AND TRY_CAST(trim(string_split(header, ',')[3]) AS BIGINT) <= 255
-       THEN CAST(trim(string_split(header, ',')[3]) AS BIGINT) ELSE 0 END AS severity
+       THEN LEAST(COALESCE(TRY_CAST(trim(string_split(header, ',')[3]) AS BIGINT), 255), 255)
+       ELSE 0 END AS severity
 FROM split ORDER BY event_id
 """
 
@@ -388,10 +398,13 @@ SELECT event_id,
   trim(regexp_extract(header, 'DataBase=([^,]*)', 1), ' ''') AS infobase,
   trim(regexp_extract(header, 'process=([^,]*)', 1), ' ''') AS process,
   CASE WHEN regexp_matches(trim(regexp_extract(header, 'SessionID=([^,]*)', 1), ' '''), '^[0-9]+$')
-       THEN COALESCE(TRY_CAST(trim(regexp_extract(header, 'SessionID=([^,]*)', 1), ' ''') AS BIGINT), 0)
+       THEN COALESCE(TRY_CAST(trim(regexp_extract(header, 'SessionID=([^,]*)', 1), ' ''') AS BIGINT), 9223372036854775807)
        ELSE 0 END AS session_id,
-  CASE WHEN regexp_matches(trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' '''), '^[+-]?[0-9]+$')
-       THEN CAST(trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' ''') AS INT) ELSE 0 END AS rows_parsed,
+  CAST(CASE WHEN regexp_matches(trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' '''), '^[+-]?[0-9]+$')
+       THEN GREATEST(LEAST(COALESCE(TRY_CAST(trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' ''') AS BIGINT),
+              CASE WHEN trim(regexp_extract(header, 'Rows=([^,]*)', 1), ' ''') LIKE '-%' THEN -2147483648 ELSE 2147483647 END),
+            2147483647), -2147483648)
+       ELSE 0 END AS INT) AS rows_parsed,
   '' AS missing_key
 FROM split ORDER BY event_id
 """
@@ -446,8 +459,7 @@ _XFORM_DURATION_SQL = _BASE + """
 SELECT event_id,
   CASE WHEN strpos(trim(string_split(header, ',')[1]), '-') > 0
         AND regexp_matches(substr(trim(string_split(header, ',')[1]), strpos(trim(string_split(header, ',')[1]), '-') + 1), '^[0-9]+$')
-        AND TRY_CAST(substr(trim(string_split(header, ',')[1]), strpos(trim(string_split(header, ',')[1]), '-') + 1) AS BIGINT) <= 4294967295
-       THEN CAST(substr(trim(string_split(header, ',')[1]), strpos(trim(string_split(header, ',')[1]), '-') + 1) AS BIGINT)
+       THEN LEAST(COALESCE(TRY_CAST(substr(trim(string_split(header, ',')[1]), strpos(trim(string_split(header, ',')[1]), '-') + 1) AS BIGINT), 4294967295), 4294967295)
        ELSE 0 END AS duration
 FROM split ORDER BY event_id
 """

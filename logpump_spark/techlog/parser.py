@@ -17,9 +17,12 @@ Faithful to /root/reference/internal/parser/*.go, field by field:
   (space-trimmed); remaining comma parts split on the FIRST '=' with key
   space-trimmed and value trimmed of spaces AND single quotes
   (parser.go:68-88); duplicate keys: last wins (Go map overwrite)
-- silent-zero numeric parses: Go strconv with errors ignored -> 0, with
-  the exact base-10 digit grammar and width-overflow -> 0 semantics
-  (parser.go:98-116)
+- silent numeric parses: Go strconv with the error DISCARDED
+  (parser.go:98-116).  Syntax errors yield 0 (Go returns 0 with
+  ErrSyntax), but RANGE errors saturate: strconv.ParseUint returns the
+  max value for the bit size on ErrRange, ParseInt returns MaxInt32 /
+  MinInt32 by sign — and since the reference ignores the error, the
+  saturated value is what lands in the row
 
 Everything stays in whole-stage codegen; the only session knob needed is
 mapKeyDedupPolicy=LAST_WIN to match Go's map overwrite.
@@ -57,19 +60,38 @@ HEADER_KEYS = {
 
 
 def parse_uint(s: Column, max_value: int) -> Column:
-    """Go strconv.ParseUint(s, 10, bits) with error->0: digits only, no
-    sign, no spaces; overflow -> 0."""
+    """Go strconv.ParseUint(s, 10, bits) with the error discarded
+    (parser.go:98-116): digits only, no sign, no spaces.  Syntax error
+    -> 0; range overflow -> ``max_value`` (Go returns the bit-size max on
+    ErrRange and the reference keeps that value).  A 64-bit caller passes
+    ``(1 << 63) - 1``: values in [2^63, 2^64) don't fit a Spark long, so
+    they saturate to long max instead of Go's MaxUint64 — documented
+    divergence, unreachable for real 1C ids."""
     n = s.try_cast("long")
-    ok = s.rlike("^[0-9]+$") & n.isNotNull() & (n >= 0) & (n <= max_value)
-    return F.when(ok, n).otherwise(F.lit(0)).cast("long")
+    digits = s.rlike("^[0-9]+$")
+    in_range = n.isNotNull() & (n <= max_value)
+    return (
+        F.when(digits & in_range, n)
+        .when(digits, F.lit(max_value))  # ErrRange (incl. > long max)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
 
 
 def parse_int32(s: Column) -> Column:
-    """Go strconv.ParseInt(s, 10, 32) with error->0: optional sign,
-    overflow -> 0."""
+    """Go strconv.ParseInt(s, 10, 32) with the error discarded: optional
+    sign; syntax error -> 0; range overflow saturates to MaxInt32 /
+    MinInt32 by sign (Go's ErrRange value)."""
     n = s.try_cast("long")
-    ok = s.rlike("^[+-]?[0-9]+$") & n.isNotNull() & (n >= _I32_MIN) & (n <= _I32_MAX)
-    return F.when(ok, n).otherwise(F.lit(0)).cast("int")
+    syntax = s.rlike("^[+-]?[0-9]+$")
+    in_range = n.isNotNull() & (n >= _I32_MIN) & (n <= _I32_MAX)
+    return (
+        F.when(syntax & in_range, n)
+        .when(syntax & s.startswith("-"), F.lit(_I32_MIN))
+        .when(syntax, F.lit(_I32_MAX))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
 
 
 def _scrub_sql(sql: Column) -> Column:

@@ -10,7 +10,8 @@ sink schema (models.go:38-55, DDL README.md:111-131):
   fraction to be EXACTLY six digits — shorter fractions fail both parses
   and the row is rejected (transform.go:27-45)
 - Duration = uint32 parse of everything after the FIRST '-' in
-  LogTimestamp; parse failure or overflow -> 0 (transform.go:47-53)
+  LogTimestamp; parse failure -> 0, overflow -> MaxUint32 (Go ParseUint
+  ErrRange value, error discarded; transform.go:47-53)
 - SessionID downcast u64 -> u32 truncates mod 2^32 (transform.go:62)
 - ExceptionType/ErrorText always NULL (transform.go:65-66); SQLText/Rows/
   RowsAffected/Context are non-nil pointers -> never NULL (transform.go:67-70)
@@ -29,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .parser import _U32_MAX
+from .parser import _U32_MAX, parse_uint
 
 TECHLOG_COLUMNS = (
     "EventDate EventTime EventType Duration User InfoBase SessionID ClientID "
@@ -76,14 +77,7 @@ def transform_entries(entries: DataFrame) -> DataFrame:
 
     dash_idx = F.instr(raw, "-")
     dur_str = F.when(dash_idx > 0, raw.substr(dash_idx + 1, F.length(raw)))
-    dur_n = dur_str.try_cast("long")
-    duration = (
-        F.when(
-            dur_str.rlike("^[0-9]+$") & dur_n.isNotNull() & (dur_n <= _U32_MAX), dur_n
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
+    duration = parse_uint(F.coalesce(dur_str, F.lit("")), _U32_MAX)
 
     reject_reason = (
         F.when(~len_ok, F.lit("bad_filename"))

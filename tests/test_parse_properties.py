@@ -23,17 +23,24 @@ from logpump_spark.techlog.parser import parse_int32, parse_uint, split_record
 # ---------------------------------------------------------------------------
 
 def go_parse_uint(s: str, max_value: int) -> int:
+    # strconv.ParseUint: syntax error -> 0; range error -> bit-size max
+    # (the reference discards the error and keeps the value)
     if not re.fullmatch(r"[0-9]+", s or ""):
         return 0
     n = int(s)
-    return n if n <= max_value else 0
+    return n if n <= max_value else max_value
 
 
 def go_parse_int32(s: str) -> int:
+    # strconv.ParseInt: syntax error -> 0; range error -> MaxInt32/MinInt32
     if not re.fullmatch(r"[+-]?[0-9]+", s or ""):
         return 0
     n = int(s)
-    return n if -(2**31) <= n <= 2**31 - 1 else 0
+    if n > 2**31 - 1:
+        return 2**31 - 1
+    if n < -(2**31):
+        return -(2**31)
+    return n
 
 
 def go_extract_sql(s: str, quote: str) -> tuple[str, str]:

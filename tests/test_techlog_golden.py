@@ -28,13 +28,20 @@ EDGE_RECORD = (
     "07:16.500000-999,CALL,1,SessionID=notanumber,Rows=,"
     "Sql='INSERT INTO T VALUES (\\'a\\',\\'b\\')'"
 )
+# strconv ErrRange saturation: Severity 300 -> 255 (u8), OSThread/duration
+# > MaxUint32 -> 4294967295, Rows beyond int32 -> MaxInt32/MinInt32
+OVERFLOW_RECORD = (
+    "07:17.000001-5000000000,SCALL,300,OSThread=9999999999,"
+    "Rows=2147483648,RowsAffected=-2147483649,Usr=ovf"
+)
 
 
 @pytest.fixture(scope="module")
 def logdir(tmp_path_factory):
     d = tmp_path_factory.mktemp("techlog")
     (d / "25052607.log").write_text(
-        FULL_RECORD + "\n" + NO_SQL_RECORD + "\n" + EDGE_RECORD + "\n",
+        FULL_RECORD + "\n" + NO_SQL_RECORD + "\n" + EDGE_RECORD + "\n"
+        + OVERFLOW_RECORD + "\n",
         encoding="utf-8",
     )
     # rejection cases: bad filename (short), plus NUL bytes and BOM
@@ -64,9 +71,23 @@ def _one(entries, **eq):
 
 
 def test_record_assembly_counts(entries):
-    # 3 records in the main file (multi-line Context folds into record 1),
+    # 4 records in the main file (multi-line Context folds into record 1),
     # 1 each in the two bad-name files, 1 in the NUL/BOM file
-    assert entries.count() == 6
+    assert entries.count() == 7
+
+
+def test_strconv_range_saturation(entries, spark, logdir):
+    # Go strconv keeps the ErrRange value: ParseUint -> bit-size max,
+    # ParseInt -> MaxInt32/MinInt32 by sign (parser.go:98-116 discards err)
+    r = _one(entries, Component="SCALL")
+    assert r.Severity == 255
+    assert r.OSThread == 4294967295
+    assert r.Rows == 2147483647
+    assert r.RowsAffected == -2147483648
+    # transform duration: '5000000000' > MaxUint32 saturates (transform.go:47-53)
+    rows_df, _ = techlog_pipeline(spark, logdir)
+    ovf = rows_df.filter(rows_df.User == "ovf").collect()
+    assert len(ovf) == 1 and ovf[0].Duration == 4294967295
 
 
 def test_full_record_fields(entries):
@@ -124,10 +145,10 @@ def test_techlog_rows_and_rejects(spark, logdir):
     rows = rows_df.collect()
     rejects = rejects_df.collect()
 
-    # 4 valid (3 from main file + the BOM/NUL file); '1.log' is too short
+    # 5 valid (4 from main file + the BOM/NUL file); '1.log' is too short
     # (transform.go:17-18) and '250526xx.log' has a non-numeric hour
     # (transform.go:21-24)
-    assert len(rows) == 4
+    assert len(rows) == 5
     assert sorted(r.reject_reason for r in rejects) == ["bad_filename", "bad_hour"]
     # BOM/NUL file: hour 08 from filename, mm:ss from the (BOM-stripped) line
     bom_row = [r for r in rows if r.EventType == "CALL" and r.Duration == 77][0]
