@@ -44,24 +44,49 @@ def route_and_write(
     base_path: str,
     table_map: dict[str, str],
     default_table: str = "tech_log",
+    epoch_id: int | None = None,
 ) -> None:
     """One partitioned write for all tables: base_path/_table=<t>/EventDate=<d>/.
 
-    Idempotent per micro-batch under dynamic partition overwrite — replays
-    after a failure rewrite the same partitions instead of duplicating
-    (the reference instead DROPS failed batches, batch.go:43-49)."""
+    With ``epoch_id`` (the foreachBatch micro-batch id) the write is
+    IDEMPOTENT under micro-batch replay: rows carry an ``_epoch=<id>``
+    partition level and the write is a dynamic partition overwrite, so a
+    replayed batch rewrites exactly its own (table, date, epoch)
+    partitions instead of appending duplicates.  (The reference instead
+    DROPS failed batches outright, batch.go:43-49 — data loss; plain
+    ``epoch_id=None`` append is kept for one-shot batch use where there is
+    no replay.)  ``partitionOverwriteMode`` is passed as a per-write
+    option so no session conf is mutated."""
     routed = rows.withColumn("_table", table_routing_column(table_map, default_table))
+    part_cols = ["_table", "EventDate"]
+    if epoch_id is not None:
+        routed = routed.withColumn("_epoch", F.lit(int(epoch_id)))
+        part_cols.append("_epoch")
     (
         # sortWithinPartitions = the MergeTree ORDER BY (EventDate,
         # EventTime) clustering (README.md:131): rows land time-ordered
         # inside each partition file, so time-sliced reads skip row groups
         # via parquet min/max stats.  zstd mirrors the reference's wire
         # compression choice at the storage layer (clickhouse.go:48).
-        routed.sortWithinPartitions("_table", "EventDate", "EventTime")
-        .write.mode("append")
+        routed.sortWithinPartitions(*part_cols, "EventTime")
+        .write.mode("append" if epoch_id is None else "overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .option("compression", "zstd")
-        .partitionBy("_table", "EventDate")
+        .partitionBy(*part_cols)
         .parquet(base_path)
+    )
+
+
+def write_rejects(rejects: DataFrame, sink_dir: str, epoch_id: int) -> None:
+    """Dead-letter write, idempotent under replay: per-epoch partition +
+    dynamic overwrite, mirroring route_and_write (a replayed micro-batch
+    rewrites its own ``_epoch`` partition instead of duplicating)."""
+    (
+        rejects.withColumn("_epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(f"{sink_dir}/_rejects")
     )
 
 
@@ -85,22 +110,68 @@ def compact_partitions(
     df = spark.read.parquet(base_path)
     if partition_filter:
         df = df.filter(partition_filter)
-    parts = [
-        (r._table, str(r.EventDate))
-        for r in df.select("_table", "EventDate").distinct().collect()
+    has_epoch = "_epoch" in df.columns
+    if not has_epoch:
+        parts = [
+            (r._table, str(r.EventDate))
+            for r in df.select("_table", "EventDate").distinct().collect()
+        ]
+        if not parts:
+            return 0
+        (
+            df.repartition(target_files_per_partition * len(parts), "_table", "EventDate")
+            .sortWithinPartitions("EventTime")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "zstd")
+            .partitionBy("_table", "EventDate")
+            .parquet(base_path)
+        )
+        return len(parts)
+
+    # Epoch-aware sink (idempotent streaming layout): merge all epoch
+    # directories of each (_table, EventDate) into ONE fresh compaction
+    # epoch, then delete the consumed directories.  The target epoch id is
+    # derived deterministically from the consumed set (-(max positive
+    # epoch) - 2, compactions themselves use negative ids), so a rerun
+    # after a crash between write and cleanup finds the target already
+    # written, skips the rewrite, and just finishes the deletes —
+    # rerun-safe.  The residual window is the non-atomic job commit of the
+    # target partition itself, the same window any Hive-style
+    # table-in-place compaction has (the transactional fix is a Delta/
+    # Iceberg-style commit log, out of scope for a parquet sink).
+    epochs = [
+        (r._table, str(r.EventDate), int(r._epoch))
+        for r in df.select("_table", "EventDate", "_epoch").distinct().collect()
     ]
-    if not parts:
+    if not epochs:
         return 0
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        df.repartition(target_files_per_partition * len(parts), "_table", "EventDate")
-        .sortWithinPartitions("EventTime")
-        .write.mode("overwrite")
-        .option("compression", "zstd")
-        .partitionBy("_table", "EventDate")
-        .parquet(base_path)
-    )
-    return len(parts)
+    max_epoch = max(e for _, _, e in epochs)
+    target_epoch = -abs(max_epoch) - 2
+    groups = sorted({(t, d) for t, d, _ in epochs})
+    consumed = [(t, d, e) for t, d, e in epochs if e != target_epoch]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _delete(path: str) -> None:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(hconf).delete(p, True)
+
+    target_exists = any(e == target_epoch for _, _, e in epochs)
+    if not target_exists:
+        (
+            df.withColumn("_epoch", F.lit(target_epoch))
+            .repartition(target_files_per_partition * len(groups), "_table", "EventDate")
+            .sortWithinPartitions("EventTime")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "zstd")
+            .partitionBy("_table", "EventDate", "_epoch")
+            .parquet(base_path)
+        )
+    for t, d, e in consumed:
+        _delete(f"{base_path}/_table={t}/EventDate={d}/_epoch={e}")
+    return len(groups)
 
 
 def build_techlog_stream(
@@ -155,10 +226,10 @@ def build_techlog_stream(
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         rows, rejects = to_techlog_rows(batch_df)
-        route_and_write(rows, sink_dir, tmap, default_table)
+        route_and_write(rows, sink_dir, tmap, default_table, epoch_id=epoch_id)
         # dead-letter branch (improvement over the silent drop,
         # clickhouse.go:92-95): keep rejects auditable next to the sink
-        rejects.write.mode("append").parquet(f"{sink_dir}/_rejects")
+        write_rejects(rejects, sink_dir, epoch_id)
 
     writer = (
         entries.writeStream.foreachBatch(_sink)

@@ -155,16 +155,64 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
         _run_once(spark, d)
 
     before = spark.read.parquet(d["out"])
-    rows_before = sorted(map(tuple, before.drop("_table").collect()))
+    rows_before = sorted(map(tuple, before.drop("_table", "_epoch").collect()))
     import glob as g
 
-    files_before = len(g.glob(f"{d['out']}/_table=*/EventDate=*/*.parquet"))
+    pat = f"{d['out']}/_table=*/EventDate=*/_epoch=*/*.parquet"
+    files_before = len(g.glob(pat))
+    epochs_before = len(g.glob(f"{d['out']}/_table=*/EventDate=*/_epoch=*"))
 
     n = compact_partitions(spark, d["out"])
     assert n >= 1
 
     after = spark.read.parquet(d["out"])
-    rows_after = sorted(map(tuple, after.drop("_table").collect()))
-    files_after = len(g.glob(f"{d['out']}/_table=*/EventDate=*/*.parquet"))
+    rows_after = sorted(map(tuple, after.drop("_table", "_epoch").collect()))
+    files_after = len(g.glob(pat))
+    epochs_after = len(g.glob(f"{d['out']}/_table=*/EventDate=*/_epoch=*"))
     assert rows_after == rows_before  # lossless rewrite
     assert files_after <= files_before
+    # consumed epoch dirs are gone: one compaction epoch per partition
+    assert epochs_after <= epochs_before
+
+    # compaction rerun is a no-op on an already-compacted sink (the
+    # deterministic target epoch already exists)
+    compact_partitions(spark, d["out"])
+    rows_rerun = sorted(
+        map(tuple, spark.read.parquet(d["out"]).drop("_table", "_epoch").collect())
+    )
+    assert rows_rerun == rows_before
+
+
+def test_replay_idempotent_sink_and_rejects(spark, tmp_path):
+    # a foreachBatch retry re-runs the SAME epoch id: both the main sink
+    # and the dead-letter sink must not duplicate rows (the round-1
+    # append-mode write did; the reference drops the batch instead,
+    # batch.go:43-49)
+    import datetime as dt
+
+    from logpump_spark.streaming.job import route_and_write, write_rejects
+
+    rows = spark.createDataFrame(
+        [
+            ("DBMSSQL", dt.date(2025, 5, 26), dt.datetime(2025, 5, 26, 7, 0, 0)),
+            ("EXCP", dt.date(2025, 5, 26), dt.datetime(2025, 5, 26, 8, 0, 0)),
+        ],
+        "EventType string, EventDate date, EventTime timestamp",
+    )
+    out = str(tmp_path / "replay_out")
+    route_and_write(rows, out, TABLE_MAP, epoch_id=3)
+    route_and_write(rows, out, TABLE_MAP, epoch_id=3)  # replay
+    assert spark.read.parquet(out).count() == 2
+
+    rejects = spark.createDataFrame(
+        [("bad.log", "xx", "bad_filename")],
+        "Timestamp string, LogTimestamp string, reject_reason string",
+    )
+    write_rejects(rejects, out, epoch_id=3)
+    write_rejects(rejects, out, epoch_id=3)  # replay
+    assert spark.read.parquet(f"{out}/_rejects").count() == 1
+    # a DIFFERENT epoch appends rather than clobbering earlier epochs
+    route_and_write(rows, out, TABLE_MAP, epoch_id=4)
+    write_rejects(rejects, out, epoch_id=4)
+    assert spark.read.parquet(out).count() == 4
+    assert spark.read.parquet(f"{out}/_rejects").count() == 2
