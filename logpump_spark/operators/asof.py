@@ -37,18 +37,25 @@ def asof_join(
     if overlap:
         raise ValueError(f"value columns collide with left columns: {overlap}")
 
+    # Carry the whole right row as ONE struct: the struct is non-null for
+    # every right row even when individual value columns are NULL, so
+    # last(ignorenulls) tracks row-level recency — the latest matching
+    # right row's NULL value stays NULL instead of leaking a stale
+    # earlier value (standard as-of semantics).
+    rv_type = right.select(F.struct(*value_cols).alias("_rv")).schema["_rv"].dataType
+
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(rv_type).alias("_rv"),
         F.struct(*left.columns).alias("_row"),
     )
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *value_cols,
+        F.struct(*value_cols).alias("_rv"),
         F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
     )
     # right rows sort before left rows at equal _ts => inclusive <=
@@ -60,14 +67,9 @@ def asof_join(
     carried = l_tag.unionByName(r_tag).select(
         "_is_left",
         "_row",
-        *[
-            F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv_last"),
     )
     out_cols: list[Column] = [
         F.col("_row")[c].alias(c) for c in left.columns
-    ] + [F.col(f"{c}{suffix}") for c in value_cols]
+    ] + [F.col("_rv_last")[c].alias(f"{c}{suffix}") for c in value_cols]
     return carried.filter(F.col("_is_left") == 1).select(*out_cols)

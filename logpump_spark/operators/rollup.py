@@ -21,6 +21,7 @@ over history.  Finalization (avg = sum/count) happens at read time via
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,9 +61,18 @@ def upsert_rollup(
     assert partition_col in grain
     new_states = partial_states(batch, grain, value_col)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         current = spark.read.parquet(rollup_path)
+    except AnalysisException as e:
+        # ONLY a missing rollup table means "first batch".  Any other
+        # analysis error — and every transient read error — must
+        # propagate: swallowing it would silently overwrite the touched
+        # partitions with batch-only partials (permanent state loss that
+        # looks like success).
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        merged = merge_states(new_states, grain)
+    else:
         # partition-dir type inference may widen the partition column
         # (e.g. '2024-01-01' -> DATE); pin it back to the batch's type
         tgt_type = dict(new_states.dtypes)[partition_col]
@@ -75,11 +85,12 @@ def upsert_rollup(
         # partition-pruned read of only the grains this batch touches
         current = current.filter(F.col(partition_col).isin(touched))
         merged = merge_states(current.unionByName(new_states), grain)
-    except Exception:  # first batch: no rollup yet
-        merged = merge_states(new_states, grain)
 
     (
+        # dynamic overwrite as a per-write option (no session-conf
+        # mutation): only the touched partitions are rewritten
         merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(rollup_path)
     )

@@ -37,25 +37,36 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import StructType
 
-RECORD_START = re.compile(r"\d{2}:\d{2}\.\d{2,}.*-")  # scan.go:16-21
+RECORD_START = re.compile(rb"\d{2}:\d{2}\.\d{2,}.*-")  # scan.go:16-21
 
 SCHEMA = "filename string, record string"
 
 
-def _complete_records(chunk: str) -> tuple[list[str], int]:
-    """Assemble records from a decoded chunk.
+def _decode(raw: bytes) -> str:
+    return raw.decode("utf-8", errors="replace")
 
-    Returns (complete_records, chars_consumed) where chars_consumed stops
+
+def _complete_records(chunk: bytes) -> tuple[list[str], int]:
+    """Assemble records from a RAW BYTE chunk.
+
+    Returns (complete_records, bytes_consumed) where bytes_consumed stops
     at the start of the last (possibly incomplete) record — the tail.go
-    buffer that waits for the next record-start line."""
+    buffer that waits for the next record-start line.
+
+    Record assembly and offset accounting both stay in the BYTES domain:
+    decoding happens only on the emitted record text.  (Decoding first
+    would desync offsets — an invalid UTF-8 byte is 1 byte on disk but
+    re-encodes as a 3-byte U+FFFD — and a committed offset must land on a
+    real file position.)  Offsets always land on line starts, which are
+    byte-exact regardless of encoding errors inside lines."""
     records: list[str] = []
-    buf: list[str] = []
-    consumed = 0  # char offset of the start of the current (open) record
+    buf: list[bytes] = []
+    consumed = 0  # byte offset of the start of the current (open) record
     pos = 0
     for line in chunk.splitlines(keepends=True):
-        stripped = line.replace("\x00", "").rstrip("\r\n")
+        stripped = line.replace(b"\x00", b"").rstrip(b"\r\n")
         if RECORD_START.search(stripped) and buf:
-            records.append("\n".join(buf))
+            records.append(_decode(b"\n".join(buf)))
             buf = []
             consumed = pos
         buf.append(stripped)
@@ -96,22 +107,24 @@ class TechlogTailReader(SimpleDataSourceStreamReader):
             with open(path, "rb") as f:
                 f.seek(start)
                 raw = f.read(size - start)
-            chunk = raw.decode("utf-8", errors="replace")
-            records, consumed = _complete_records(chunk)
+            records, consumed = _complete_records(raw)
             base = os.path.basename(path)
             rows.extend((base, r) for r in records)
             if self.emit_tail:
-                tail = chunk[consumed:].replace("\x00", "")
-                tail_rec = "\n".join(
-                    line.rstrip("\r\n") for line in tail.splitlines()
+                tail_rec = _decode(
+                    b"\n".join(
+                        line.replace(b"\x00", b"").rstrip(b"\r\n")
+                        for line in raw[consumed:].splitlines()
+                    )
                 )
                 if tail_rec:
                     rows.append((base, tail_rec))
                 new_offsets[path] = size
             else:
                 # commit only up to the last COMPLETE record; the open one
-                # is re-read next batch (idempotent partial-record seek)
-                new_offsets[path] = start + len(chunk[:consumed].encode("utf-8"))
+                # is re-read next batch (idempotent partial-record seek).
+                # consumed is already a byte offset — no re-encoding.
+                new_offsets[path] = start + consumed
         return rows, {"offsets": new_offsets}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
@@ -131,12 +144,13 @@ class TechlogTailReader(SimpleDataSourceStreamReader):
             with open(path, "rb") as f:
                 f.seek(s)
                 raw = f.read(e - s)
-            chunk = raw.decode("utf-8", errors="replace")
-            records, consumed = _complete_records(chunk)
-            if self.emit_tail or consumed < len(chunk):
-                tail_rec = "\n".join(
-                    line.replace("\x00", "").rstrip("\r\n")
-                    for line in chunk[consumed:].splitlines()
+            records, consumed = _complete_records(raw)
+            if self.emit_tail or consumed < len(raw):
+                tail_rec = _decode(
+                    b"\n".join(
+                        line.replace(b"\x00", b"").rstrip(b"\r\n")
+                        for line in raw[consumed:].splitlines()
+                    )
                 )
                 if tail_rec:
                     records.append(tail_rec)

@@ -55,6 +55,43 @@ def test_asof_join_inclusive_tie(spark):
     assert row.px_asof == 7.0  # exact-tie rows match (<= semantics)
 
 
+def test_asof_join_null_value_from_latest_right_row(spark):
+    # the latest matching right row carries a genuinely NULL value: the
+    # join must return that NULL, not a stale earlier non-null value
+    # (row-level recency via the carried (ts, values) struct)
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "k long, ts_s string"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 100.0, "early"),
+            (1, "2024-01-01 11:00:00", None, "late"),
+        ],
+        "k long, rts_s string, px double, label string",
+    ).select(
+        "k", F.col("rts_s").cast("timestamp").alias("rts"), "px", "label"
+    )
+    row = asof_join(left, right, ["k"], "ts", "rts").collect()[0]
+    assert row.label_asof == "late"  # latest right row wins...
+    assert row.px_asof is None  # ...including its NULL value column
+
+
+def test_rollup_transient_read_error_propagates(spark, tmp_path):
+    # a corrupt/unreadable existing rollup must RAISE, not be silently
+    # treated as "first batch" (which would overwrite accumulated state
+    # with batch-only partials); only PATH_NOT_FOUND means first batch
+    import pytest
+
+    path = tmp_path / "rollup_corrupt"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"this is not parquet")
+    df = spark.createDataFrame(
+        [("2024-01-01", "a", 1.0)], "day string, event_type string, value double"
+    )
+    with pytest.raises(Exception):
+        upsert_rollup(spark, df, str(path), ["day", "event_type"], "value", "day")
+
+
 def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     from logpump_spark.tables import load
 

@@ -20,11 +20,36 @@ R3 = "07:17.000002-20,CALL,1,Usr=x"
 
 
 def test_complete_records_holds_back_tail():
-    chunk = R1 + "\n" + R2_L1 + "\n" + R2_L2 + "\n"
+    chunk = (R1 + "\n" + R2_L1 + "\n" + R2_L2 + "\n").encode("utf-8")
     records, consumed = _complete_records(chunk)
     # R1 completes when R2's start line arrives; R2 stays buffered
     assert records == [R1]
-    assert chunk[:consumed] == R1 + "\n"
+    assert chunk[:consumed] == (R1 + "\n").encode("utf-8")
+
+
+def test_byte_offsets_survive_invalid_utf8(tmp_path):
+    # an invalid UTF-8 byte is 1 byte on disk but would re-encode as a
+    # 3-byte U+FFFD; offsets must stay in the bytes domain so the next
+    # micro-batch resumes at a real file position (no mid-record reads)
+    d = str(tmp_path)
+    p = f"{d}/25052607.log"
+    bad = "07:15.123456-5,CALL,1,Usr=".encode("utf-8") + b"\xff\xfe" + b"bad"
+    with open(p, "wb") as f:
+        f.write(bad + b"\n" + R2_L1.encode("utf-8") + b"\n")
+
+    reader = TechlogTailReader({"path": d})
+    rows1, off1 = reader._read_new({})
+    # record 1 (with replacement chars) completes when R2's start arrives
+    assert len(rows1) == 1 and rows1[0][1].startswith("07:15.123456-5")
+    # committed offset = byte length of record 1 + newline, NOT the
+    # re-encoded length (which would be 4 bytes longer)
+    assert off1["offsets"][p] == len(bad) + 1
+
+    # growth resumes exactly at R2's start: R2 completes, no garbled reads
+    with open(p, "ab") as f:
+        f.write((R3 + "\n").encode("utf-8"))
+    rows2, _ = reader._read_new(off1["offsets"])
+    assert rows2 == [("25052607.log", R2_L1)]
 
 
 def test_reader_resumes_from_byte_offset(tmp_path):
