@@ -24,8 +24,11 @@ Faithful to /root/reference/internal/parser/*.go, field by field:
   MinInt32 by sign — and since the reference ignores the error, the
   saturated value is what lands in the row
 
-Everything stays in whole-stage codegen; the only session knob needed is
-mapKeyDedupPolicy=LAST_WIN to match Go's map overwrite.
+Everything stays in whole-stage codegen, and no session conf is touched:
+Go's last-duplicate-wins map overwrite (parser.go:84) is expressed by
+dropping earlier duplicates from the entries array before
+map_from_entries, instead of mutating spark.sql.mapKeyDedupPolicy on a
+possibly-shared session.
 """
 
 from __future__ import annotations
@@ -188,7 +191,19 @@ def header_map(header_part: Column) -> Column:
             ).alias("value"),
         ),
     )
-    return F.map_from_entries(entries)
+    # Go map assignment overwrites on duplicate keys (parser.go:84):
+    # keep only the LAST occurrence of each key.  Done in-expression (an
+    # entry survives iff no later entry shares its key) so the default
+    # EXCEPTION dedup policy never fires and no session conf is mutated.
+    # O(k^2) over the ~16 header keys of one record — stays in codegen.
+    last_wins = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    return F.map_from_entries(last_wins)
 
 
 def parse_records(df: DataFrame, record_col: str = "record", filename_col: str = "filename") -> DataFrame:
@@ -197,10 +212,6 @@ def parse_records(df: DataFrame, record_col: str = "record", filename_col: str =
     Column types follow SURVEY.md §1.3 (unsigned Go ints -> long;
     InsertedAt = current_timestamp(), parser.go:42).
     """
-    spark = df.sparkSession
-    # Go map assignment overwrites on duplicate keys (parser.go:84)
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-
     rec = F.col(record_col)
     header_part, sql_text, context_text = split_record(rec)
     parts = F.split(header_part, ",")

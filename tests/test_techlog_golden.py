@@ -132,6 +132,19 @@ def test_silent_zero_and_escapes(entries):
     assert r.SQL == "INSERT INTO T VALUES ('a','b')"
 
 
+def test_duplicate_key_last_wins(spark):
+    # Go map assignment overwrites on duplicate keys (parser.go:84);
+    # expressed conf-free via in-array dedup, so it must hold on a
+    # vanilla session with the default EXCEPTION dedup policy
+    df = spark.createDataFrame(
+        [("07:18.000001-1,CALL,1,Usr=first,Trans=7,Usr=second", "25052607.log")],
+        "record string, filename string",
+    )
+    r = parse_records(df).collect()[0]
+    assert r.User == "second"
+    assert r.Trans == 7
+
+
 def test_nul_scrub_and_bom(entries):
     r = _one(entries, Timestamp="25052608.log")
     assert r.User == "null"  # NULs scrubbed (tail.go:98)
