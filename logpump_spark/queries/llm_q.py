@@ -140,20 +140,86 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+_IVF_CELLS = 8
+_IVF_ITERS = 2
+_IVF_NPROBE = 2
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: search restricted to the query's coarse cell
-    (label column as the precomputed quantizer cell)."""
+    """IVF ANN with a REAL fitted coarse quantizer: integer-quantized
+    k-means ({_IVF_ITERS} Lloyd iterations, deterministic init/ties), then
+    each query searches only its {_IVF_NPROBE} nearest cells.  The oracle
+    re-derives the identical centroids in SQL — the fit itself is
+    correctness-checked, not just the search."""
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _QUERY_IDS, k=5)
+    return ivf_topk(
+        emb, _QUERY_IDS, k=5, n_cells=_IVF_CELLS, iters=_IVF_ITERS, nprobe=_IVF_NPROBE
+    )
+
+
+def _ivf_fit_cte(n_cells: int, iters: int) -> str:
+    """CTE chain replaying fit_ivf exactly: quantize -> init -> (assign,
+    update) x iters.  Distances are exact integer sums of squares; the
+    centroid update is one floored double division of exact integers."""
+    dist = "list_sum(list_transform(list_zip(b.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    parts = [
+        f"""base AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+cent0 AS (SELECT vec_id AS cid, q AS c FROM base WHERE vec_id < {n_cells})"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""d{i} AS (
+  SELECT b.vec_id, c.cid, {dist} AS dist
+  FROM base b CROSS JOIN cent{i - 1} c
+),
+a{i} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+cent{i} AS (
+  SELECT cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT cell AS cid, pos,
+           CAST(FLOOR(CAST(SUM(val) AS BIGINT) / COUNT(*)) AS BIGINT) AS cv
+    FROM (
+      SELECT a.cell, generate_subscripts(b.q, 1) AS pos, unnest(b.q) AS val
+      FROM a{i} a JOIN base b USING (vec_id)
+    ) GROUP BY cell, pos
+  ) GROUP BY cid
+)""")
+    parts.append(f"""cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {dist}, c.cid) rn
+    FROM base b CROSS JOIN cent{iters} c
+  ) WHERE rn = 1
+)""")
+    return ",\n".join(parts)
 
 
 _SIM_IVF_SQL = f"""
-WITH q AS (SELECT vec_id AS query_id, label AS qcell, embedding AS qv
-           FROM embeddings WHERE vec_id < 10),
+WITH {_ivf_fit_cte(_IVF_CELLS, _IVF_ITERS)},
+probes AS (
+  SELECT vec_id AS query_id, cid AS pcell FROM (
+    SELECT b.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+             list_sum(list_transform(list_zip(b.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) rn
+    FROM base b CROSS JOIN cent{_IVF_ITERS} c
+    WHERE b.vec_id < 10
+  ) WHERE rn <= {_IVF_NPROBE}
+),
 scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         ROUND({_COS.format(a='q.qv', b='e.embedding')}, 6) AS cos
-  FROM embeddings e JOIN q ON e.label = q.qcell AND e.vec_id != q.query_id
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         ROUND({_COS.format(a='qe.embedding', b='e.embedding')}, 6) AS cos
+  FROM probes p
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN cells ce ON ce.cell = p.pcell
+  JOIN embeddings e ON e.vec_id = ce.vec_id AND e.vec_id != p.query_id
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -172,9 +238,13 @@ def sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIM_NEARDUP_SQL = f"""
+WITH capped AS (
+  SELECT * FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) <= 10000
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
        ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
-FROM embeddings a JOIN embeddings b
+FROM capped a JOIN capped b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
 ORDER BY id_a, id_b

@@ -96,9 +96,54 @@ def test_brute_force_topk_selfcluster(emb):
 
 def test_ivf_matches_brute_force_when_cluster_aligned(emb):
     bf = {(r.query_id, r.rank): r.neighbor_id for r in brute_force_topk(emb, [0, 1], k=3).collect()}
-    ivf = {(r.query_id, r.rank): r.neighbor_id for r in ivf_topk(emb, [0, 1], k=3).collect()}
-    # quantizer cells align with true clusters here -> identical results
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(emb, [0, 1], k=3, cell_col="label").collect()
+    }
+    # precomputed cells align with true clusters here -> identical results
     assert bf == ivf
+
+
+def test_ivf_fitted_full_probe_equals_brute_force(emb):
+    # nprobe = n_cells covers every cell: the fitted IVF must return
+    # EXACTLY the brute-force result (the ANN-degenerates-to-exact bound)
+    bf = {(r.query_id, r.rank): r.neighbor_id for r in brute_force_topk(emb, [0, 1], k=3).collect()}
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(emb, [0, 1], k=3, n_cells=4, iters=2, nprobe=4).collect()
+    }
+    assert bf == ivf
+
+
+def test_ivf_fitted_recall_at_nprobe(emb):
+    # fitted quantizer, partial probing: recall@3 vs brute force must be
+    # high on clusterable data (cells subdivide the two true clusters, so
+    # probing the 2 nearest cells keeps most true neighbors in scope)
+    queries = [0, 1, 2, 3]
+    bf = {}
+    for r in brute_force_topk(emb, queries, k=3).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ivf_topk(emb, queries, k=3, n_cells=4, iters=2, nprobe=2).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf[q] & got.get(q, set())) for q in queries)
+    total = sum(len(bf[q]) for q in queries)
+    assert hits / total >= 0.75, f"recall {hits}/{total}"
+
+
+def test_fit_ivf_deterministic_and_integer(emb):
+    from logpump_spark.llmdata.similarity import fit_ivf
+
+    cells1, cent1 = fit_ivf(emb, n_cells=4, iters=2)
+    cells2, cent2 = fit_ivf(emb, n_cells=4, iters=2)
+    a1 = sorted(map(tuple, cells1.collect()))
+    a2 = sorted(map(tuple, cells2.collect()))
+    assert a1 == a2
+    c1 = {r.cid: list(r.c) for r in cent1.collect()}
+    c2 = {r.cid: list(r.c) for r in cent2.collect()}
+    assert c1 == c2
+    # centroids live in the quantized integer domain
+    assert all(isinstance(x, int) for v in c1.values() for x in v)
 
 
 def test_multimodal_plumbing(spark, docs):
