@@ -46,6 +46,8 @@ HEADLINE = [
     "agg_stats",
     "udf_grouped_map",
     "multimodal_decode",
+    # r2 additions (list stays append-only for cross-round comparability)
+    "parse_scaled",
 ]
 
 

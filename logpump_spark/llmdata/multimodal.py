@@ -1,12 +1,16 @@
 """Multimodal columns: images/audio/video as opaque binary payloads with
 typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The Spark-side plumbing here is real and tested — schema, partitioning,
-mapInPandas batch shapes, metadata extraction.  The actual media DECODE is
-stubbed: the container has no image/audio libraries, so ``decode_image``
-falls back to a clearly-marked deterministic fake when PIL is absent and
-raises NotImplementedError when asked for a strict real decode.  Swapping
-in a real decoder changes ONE function body, not the pipeline.
+Decode resolution order, per payload format:
+
+1. PIL / soundfile when importable (broad format coverage);
+2. the pure-stdlib codecs in ``codecs.py`` for PNG and WAV payloads —
+   a REAL decode (chunk walk, CRC check, zlib inflate, scanline
+   unfilter / RIFF parse), so ``strict=True`` is an exercised path in
+   this dependency-free container, not an aspirational one;
+3. with ``strict=False`` only, a clearly-marked deterministic fake for
+   payloads in formats neither path understands; ``strict=True`` raises
+   instead.
 
 Batch shape matters at scale: mapInPandas streams Arrow record batches,
 so a 100 TB corpus of ~1 MB payloads flows through Python in bounded
@@ -21,6 +25,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .codecs import PNG_SIGNATURE, decode_png, decode_wav, encode_png, encode_wav
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -63,8 +69,10 @@ def attach_media(df: DataFrame, id_col: str, payload_text_col: str, kind: str, s
 
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic FAKE decode: derives a plausible (width, height,
-    mode) from payload bytes.  Stands in for PIL.Image.open until a real
-    decoder is available in the runtime."""
+    mode) from payload bytes.  Reached only with strict=False for
+    payloads in formats neither PIL nor the stdlib PNG codec can read
+    (e.g. text standing in for media in plumbing tests); the decoder
+    column marks these rows 'fake'."""
     n = len(payload)
     width = 64 + (n % 193)
     height = 64 + ((n * 31) % 129)
@@ -75,31 +83,40 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Extract image features via mapInPandas (Arrow batches).
 
-    strict=True demands a real decoder and raises NotImplementedError if
-    none is importable; strict=False uses the deterministic fake so the
-    distributed plumbing stays testable in this container.
+    PNG payloads always take a REAL decode (PIL if importable, else the
+    pure-stdlib decoder — CRC walk, inflate, unfilter).  Other formats
+    fall back to PIL when available; with strict=True an undecodable
+    payload raises, with strict=False it gets the deterministic fake.
     """
 
     def _batches(it: Iterator) -> Iterator:
         import pandas as pd
 
-        try:  # real decoder if the runtime has it
-            from PIL import Image  # noqa: F401
+        try:  # broad-coverage decoder if the runtime has it
             import io
 
-            def decode(p: bytes) -> tuple[int, int, str, str]:
+            from PIL import Image
+
+            def pil_decode(p: bytes) -> tuple[int, int, str, str]:
                 img = Image.open(io.BytesIO(p))
                 return img.width, img.height, img.mode, "pil"
 
         except ImportError:
-            if strict:
-                raise NotImplementedError(
-                    "real image decode requires PIL; install pillow or use strict=False"
-                )
+            pil_decode = None
 
-            def decode(p: bytes) -> tuple[int, int, str, str]:
-                w, h, m = _fake_decode(p)
-                return w, h, m, "fake"
+        def decode(p: bytes) -> tuple[int, int, str, str]:
+            if pil_decode is not None:
+                return pil_decode(p)
+            if p[:8] == PNG_SIGNATURE:
+                d = decode_png(p)
+                return d["width"], d["height"], d["mode"], "png"
+            if strict:
+                raise ValueError(
+                    "strict decode: payload is not PNG and no broad-coverage "
+                    "decoder (PIL) is importable"
+                )
+            w, h, m = _fake_decode(p)
+            return w, h, m, "fake"
 
         for pdf in it:
             payloads = pdf["payload"]
@@ -126,41 +143,138 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Audio twin of decode_image_features: mapInPandas feature extraction
-    with a deterministic fake decode (sample rate / duration derived from
-    payload size) standing in for soundfile/librosa."""
+    """Audio twin of decode_image_features: WAV payloads take a real RIFF
+    parse (soundfile first when importable, else the stdlib codec); other
+    formats raise under strict=True or get the deterministic fake."""
 
     def _batches(it: Iterator) -> Iterator:
         import pandas as pd
 
         try:
-            import soundfile  # noqa: F401
+            import io
 
-            have_real = True
+            import soundfile
+
+            def sf_decode(p: bytes) -> tuple[int, int, str]:
+                with soundfile.SoundFile(io.BytesIO(p)) as f:
+                    return f.samplerate, len(f), "soundfile"
+
         except ImportError:
-            have_real = False
+            sf_decode = None
+
+        def decode(p: bytes) -> tuple[int, int, str]:
+            if sf_decode is not None:
+                return sf_decode(p)
+            if p[:4] == b"RIFF":
+                d = decode_wav(p)
+                return d["sample_rate"], d["n_samples"], "wav"
             if strict:
-                raise NotImplementedError(
-                    "real audio decode requires soundfile; install it or "
-                    "use strict=False"
+                raise ValueError(
+                    "strict decode: payload is not WAV and no broad-coverage "
+                    "decoder (soundfile) is importable"
                 )
+            n = len(p)
+            return (16000 if n % 2 == 0 else 22050), n * 4, "fake"
 
         for pdf in it:
-            n_bytes = [len(bytes(p)) for p in pdf["payload"]]
-            rate = [16000 if n % 2 == 0 else 22050 for n in n_bytes]
-            samples = [n * 4 for n in n_bytes]  # fake: 4 samples per byte
+            payloads = [bytes(p) for p in pdf["payload"]]
+            decoded = [decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": n_bytes,
-                    "sample_rate": rate,
-                    "n_samples": samples,
-                    "duration_ms": [s * 1000 // r for s, r in zip(samples, rate)],
-                    "decoder": ["soundfile" if have_real else "fake"] * len(n_bytes),
+                    "n_bytes": [len(p) for p in payloads],
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_samples": [d[1] for d in decoded],
+                    "duration_ms": [d[1] * 1000 // d[0] for d in decoded],
+                    "decoder": [d[2] for d in decoded],
                 }
             )
 
     return media.mapInPandas(_batches, AUDIO_FEATURES_SCHEMA)
+
+
+def synthesize_png_media(df: DataFrame, id_col: str, width_col: str, height_col: str, mode_col: str, source_col: str) -> DataFrame:
+    """Build REAL PNG payloads from per-row dimensions via mapInPandas —
+    the test/demo producer for the decode path (the encoder is the
+    stdlib codec, so the payloads are genuine zlib-compressed PNGs)."""
+
+    cols = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(width_col).cast("int").alias("w"),
+        F.col(height_col).cast("int").alias("h"),
+        F.col(mode_col).alias("m"),
+        F.col(source_col).alias("source"),
+    )
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                encode_png(int(w), int(h), str(m))
+                for w, h, m in zip(pdf["w"], pdf["h"], pdf["m"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                    "source": pdf["source"],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = cols.mapInPandas(
+        _batches,
+        "media_id long, kind string, payload binary, source string, n_bytes long",
+    )
+    return flat.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct("source", "n_bytes").alias("meta"),
+    )
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str, rate_col: str, n_samples_col: str, source_col: str) -> DataFrame:
+    """Build REAL PCM16 WAV payloads (deterministic triangle-ish samples)
+    from per-row (sample_rate, n_samples)."""
+
+    cols = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(rate_col).cast("int").alias("rate"),
+        F.col(n_samples_col).cast("int").alias("n"),
+        F.col(source_col).alias("source"),
+    )
+
+    def _batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                encode_wav(int(r), [(i * 257) % 1024 - 512 for i in range(int(n))])
+                for r, n in zip(pdf["rate"], pdf["n"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["audio"] * len(payloads),
+                    "payload": payloads,
+                    "source": pdf["source"],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = cols.mapInPandas(
+        _batches,
+        "media_id long, kind string, payload binary, source string, n_bytes long",
+    )
+    return flat.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct("source", "n_bytes").alias("meta"),
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:

@@ -147,10 +147,10 @@ _IVF_NPROBE = 2
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a REAL fitted coarse quantizer: integer-quantized
-    k-means ({_IVF_ITERS} Lloyd iterations, deterministic init/ties), then
-    each query searches only its {_IVF_NPROBE} nearest cells.  The oracle
-    re-derives the identical centroids in SQL — the fit itself is
-    correctness-checked, not just the search."""
+    k-means (2 Lloyd iterations, deterministic init/ties), then each
+    query searches only its 2 nearest cells.  The oracle re-derives the
+    identical centroids in SQL — the fit itself is correctness-checked,
+    not just the search."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, _QUERY_IDS, k=5, n_cells=_IVF_CELLS, iters=_IVF_ITERS, nprobe=_IVF_NPROBE
@@ -343,25 +343,40 @@ FROM documents ORDER BY doc_id
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column -> features through the REAL mapInPandas Arrow
-    path; the (stub) decoder is deterministic arithmetic on payload size,
-    so even the Python-side batch plumbing is oracle-checked."""
-    docs = load(spark, sf_dir, "documents")
-    media = attach_media(docs, "doc_id", "text", "image", "source")
-    feats = decode_image_features(media, strict=False)
+    """Encode REAL PNGs (stdlib codec: zlib-compressed filtered
+    scanlines, CRC'd chunks) with per-doc dimensions, then decode them
+    back through the strict mapInPandas path.  The oracle recomputes the
+    expected dimensions from the same columns — so a hash match proves
+    the encode->decode roundtrip ran on genuine bytes, executor-side.
+    (n_bytes is excluded: compressed size is a zlib detail.)"""
+    from ..llmdata.multimodal import synthesize_png_media
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (1 + F.col("doc_id") % 17).alias("w"),
+        (1 + (F.col("doc_id") * 7) % 13).alias("h"),
+        F.when(F.col("doc_id") % 3 == 0, "RGB")
+        .when(F.col("doc_id") % 3 == 1, "L")
+        .otherwise("RGBA")
+        .alias("m"),
+    )
+    media = synthesize_png_media(docs, "doc_id", "w", "h", "m", "source")
+    feats = decode_image_features(media, strict=True)
     return feats.select(
-        "media_id", "kind", "n_bytes", "width", "height", "mode", "decoder"
+        "media_id", "kind", "width", "height", "mode", "decoder"
     ).orderBy("media_id")
 
 
 _MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
   'image' AS kind,
-  octet_length(CAST(text AS BLOB)) AS n_bytes,
-  CAST(64 + octet_length(CAST(text AS BLOB)) % 193 AS INT) AS width,
-  CAST(64 + (octet_length(CAST(text AS BLOB)) * 31) % 129 AS INT) AS height,
-  CASE WHEN octet_length(CAST(text AS BLOB)) % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode,
-  'fake' AS decoder
+  CAST(1 + doc_id % 17 AS INT) AS width,
+  CAST(1 + (doc_id * 7) % 13 AS INT) AS height,
+  CASE WHEN doc_id % 3 = 0 THEN 'RGB'
+       WHEN doc_id % 3 = 1 THEN 'L'
+       ELSE 'RGBA' END AS mode,
+  'png' AS decoder
 FROM documents ORDER BY media_id
 """
 
@@ -413,27 +428,37 @@ ORDER BY doc_id
 
 
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction through mapInPandas (deterministic fake
-    decode), oracle-checked arithmetic on payload size."""
-    from ..llmdata.multimodal import decode_audio_features
+    """Encode REAL PCM16 WAVs with per-doc (rate, n_samples), decode them
+    back through the strict RIFF-parsing path.  PCM16 mono size is
+    deterministic (44 + 2*n_samples), so n_bytes IS oracle-checkable
+    here, unlike the zlib-sized PNGs."""
+    from ..llmdata.multimodal import decode_audio_features, synthesize_wav_media
 
-    docs = load(spark, sf_dir, "documents")
-    media = attach_media(docs, "doc_id", "text", "audio", "source")
-    return decode_audio_features(media, strict=False).select(
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, 16000).otherwise(22050).alias("rate"),
+        (50 + F.col("doc_id") % 100).alias("n"),
+    )
+    media = synthesize_wav_media(docs, "doc_id", "rate", "n", "source")
+    return decode_audio_features(media, strict=True).select(
         "media_id", "n_bytes", "sample_rate", "n_samples", "duration_ms", "decoder"
     ).orderBy("media_id")
 
 
 _MULTIMODAL_AUDIO_SQL = """
 WITH b AS (
-  SELECT doc_id AS media_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 22050 END AS rate,
+    50 + doc_id % 100 AS n
   FROM documents
 )
-SELECT media_id, n_bytes,
-  CAST(CASE WHEN n_bytes % 2 = 0 THEN 16000 ELSE 22050 END AS INT) AS sample_rate,
-  n_bytes * 4 AS n_samples,
-  (n_bytes * 4 * 1000) // (CASE WHEN n_bytes % 2 = 0 THEN 16000 ELSE 22050 END) AS duration_ms,
-  'fake' AS decoder
+SELECT media_id,
+  44 + 2 * n AS n_bytes,
+  CAST(rate AS INT) AS sample_rate,
+  n AS n_samples,
+  (n * 1000) // rate AS duration_ms,
+  'wav' AS decoder
 FROM b ORDER BY media_id
 """
 

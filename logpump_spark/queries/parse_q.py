@@ -112,13 +112,13 @@ def _events_with_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def parse_full_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8: the full record -> LogEntry projection through the REAL
-    parse_records (parser.go:13-45), on synthetic records.  InsertedAt
-    (current_timestamp, parser.go:42) is excluded — nondeterministic."""
+def _full_entry(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
     from ..techlog.parser import parse_records
 
-    df = _events_with_record(spark, sf_dir).withColumn(
+    ev = load(spark, sf_dir, "events")
+    if cap is not None:
+        ev = ev.filter(F.col("event_id") < cap)
+    df = ev.withColumn("record", _record_col()).withColumn(
         "filename", F.lit("25052607.log")
     )
     entries = parse_records(df, record_col="record", filename_col="filename")
@@ -139,6 +139,22 @@ def parse_full_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("File").alias("file_field"),
         F.col("Level").alias("level_field"),
     ).orderBy("event_id")
+
+
+def parse_full_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: the full record -> LogEntry projection through the REAL
+    parse_records (parser.go:13-45), on synthetic records.  InsertedAt
+    (current_timestamp, parser.go:42) is excluded — nondeterministic."""
+    return _full_entry(spark, sf_dir, _N)
+
+
+def parse_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 at scale: the same full parse projection over EVERY events row
+    (no _N cap), so the benched parse cost moves with the sf dir —
+    parse_full_entry keeps its fixed 1500-record subset for oracle-cost
+    sanity; THIS id is the sf-proportional parse-throughput headline
+    (file-level ingest throughput lives in tools/bench_ingest.py)."""
+    return _full_entry(spark, sf_dir, None)
 
 
 def parse_header_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,7 +371,7 @@ _CTX_EXTRACT = r"""regexp_extract(
     regexp_extract(record, '(?s)Sql=''(?:[^''\\]|\\.)*''(.*)$', 1),
     '(?s),Context=''(.*)''', 1)"""
 
-_PARSE_FULL_SQL = _BASE + f"""
+_PARSE_FULL_BODY = f"""
 SELECT event_id,
   trim(string_split(header, ',')[1]) AS log_ts,
   trim(string_split(header, ',')[2]) AS component,
@@ -381,6 +397,10 @@ SELECT event_id,
   '' AS level_field
 FROM split ORDER BY event_id
 """
+
+_PARSE_FULL_SQL = _BASE + _PARSE_FULL_BODY
+# same projection, no row cap: the sf-proportional twin
+_PARSE_SCALED_SQL = _BASE.replace(f"WHERE event_id < {_N}", "") + _PARSE_FULL_BODY
 
 _PARSE_HEADER_SQL = _BASE + """
 SELECT event_id,
@@ -513,6 +533,7 @@ SPARK_QUERIES = {
     "xform_duration": xform_duration,
     "filter_valid_rows": filter_valid_rows,
     "records_explode": records_explode,
+    "parse_scaled": parse_scaled,
 }
 
 ORACLE_SQL = {
@@ -526,4 +547,5 @@ ORACLE_SQL = {
     "xform_duration": _XFORM_DURATION_SQL,
     "filter_valid_rows": _FILTER_VALID_SQL,
     "records_explode": _RECORDS_EXPLODE_SQL,
+    "parse_scaled": _PARSE_SCALED_SQL,
 }

@@ -144,6 +144,41 @@ def test_multi_directory_ingestion(spark, tmp_path):
     assert types == ["CALL", "DBMSSQL"]
 
 
+def test_mtime_ordered_backfill(spark, tmp_path):
+    # S2: a backfill over existing files must process oldest-mtime first
+    # (the reference sorts its scan by mtime, scan.go:143-153; Spark's
+    # file stream sorts by modification time with latestFirst=false).
+    # mtimes are staggered AGAINST name order to prove it's mtime, not
+    # name: the '09' file is oldest, '07' newest.
+    import time as _time
+
+    d = _dirs(tmp_path)
+    names = ["25052609.log", "25052608.log", "25052607.log"]
+    recs = [RECORD_A, RECORD_B, RECORD_C]  # DBMSSQL, EXCP, CALL
+    now = _time.time()
+    for i, (name, rec) in enumerate(zip(names, recs)):
+        p = f"{d['in']}/{name}"
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(rec)
+        os.utime(p, (now - 3600 + i * 60, now - 3600 + i * 60))
+
+    writer = build_techlog_stream(
+        spark,
+        d["in"],
+        d["out"],
+        d["ckpt"],
+        table_map=TABLE_MAP,
+        available_now=True,
+        max_files_per_trigger=1,  # one file per micro-batch -> ordered epochs
+    )
+    run_stream(writer, timeout_seconds=180)
+
+    out = spark.read.parquet(d["out"])
+    epoch_by_type = {r.EventType: r._epoch for r in out.collect()}
+    # oldest mtime (DBMSSQL in the '09' file) processed first
+    assert epoch_by_type["DBMSSQL"] < epoch_by_type["EXCP"] < epoch_by_type["CALL"]
+
+
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     from logpump_spark.streaming.job import compact_partitions
 
