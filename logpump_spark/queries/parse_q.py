@@ -118,6 +118,14 @@ def _full_entry(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     if cap is not None:
         ev = ev.filter(F.col("event_id") < cap)
+    else:
+        # The parse projection is regex-CPU-bound, and a compact parquet
+        # scan can yield far fewer partitions than cores (sf0.1 events is
+        # ONE 2 MB row group -> one task -> a single-core parse).  One
+        # cheap round-robin shuffle of the raw rows fans the expensive
+        # work out to every core; at cluster scale the same holds when a
+        # record-assembly stage emits few/skewed partitions.
+        ev = ev.repartition(spark.sparkContext.defaultParallelism)
     df = ev.withColumn("record", _record_col()).withColumn(
         "filename", F.lit("25052607.log")
     )
