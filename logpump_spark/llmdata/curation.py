@@ -1,0 +1,77 @@
+"""Corpus-curation operators: tf-idf term weighting and deterministic
+stratified sampling.
+
+Both are single-plan Column-expression pipelines (no UDFs, no collect):
+- tf-idf: explode -> two grouped aggregations (term frequency per doc,
+  document frequency per term) joined back; the corpus total is a
+  1-row aggregate broadcast via crossJoin — a scalar, not a shuffle.
+- stratified sample: one window pass per stratum; the sampling key is a
+  Knuth-style multiplicative hash of the id, so the sample is
+  deterministic, reproducible across engines (pure int64 arithmetic),
+  and stable under reruns — properties rand()-based sampleBy lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# Knuth multiplicative constant (2654435761 = floor(2^32/phi)) modulo a
+# prime: spreads sequential ids uniformly; exact in int64 for id < ~3.4e9
+_SAMPLE_MULT = 2_654_435_761
+_SAMPLE_MOD = 1_000_000_007
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-``top_n`` terms per document by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1), ties broken on term ascending.
+
+    Scale shape: the (doc, term) explode is the only big intermediate;
+    tf and df are partial-aggregated map-side before their shuffles, and
+    the df table (one row per distinct term) is broadcast back onto tf."""
+    tok = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+        .orderBy(id_col, "rank")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    frac: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sample: rank rows inside each stratum by
+    a multiplicative hash of the id and keep the first ceil(n * frac).
+
+    Guarantees exact per-stratum proportions (rand()-based sampling only
+    hits them in expectation) and total reproducibility — the property a
+    training-data pipeline needs to re-derive the same corpus snapshot."""
+    key = (F.col(id_col) * _SAMPLE_MULT) % _SAMPLE_MOD
+    w = W.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    wn = W.partitionBy(strata_col)
+    return (
+        df.withColumn("strat_n", F.count(F.lit(1)).over(wn))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= F.ceil(F.col("strat_n") * F.lit(frac)))
+    )

@@ -25,6 +25,9 @@ ranking tiebreak (vec_id).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -205,6 +208,138 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def srp_sign(i: int, j: int) -> int:
+    """Deterministic pseudo-random hyperplane component (+1/-1) for bit
+    ``i``, dimension ``j`` — pure int64 arithmetic both Spark and any SQL
+    oracle replay exactly ((i*1000003 + j*7919) * knuth mod 97 < 48,
+    i.e. an ~49.5% +1 rate; products stay < 2^62)."""
+    return 1 if ((i * 1_000_003 + j * 7_919) * 2_654_435_761) % 97 < 48 else -1
+
+
+def srp_signs(n_bits: int, dim: int) -> list[list[int]]:
+    return [[srp_sign(i, j) for j in range(dim)] for i in range(n_bits)]
+
+
+def srp_lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    dim: int = 64,
+    max_bucket_size: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH — the
+    scale path that needs NO precomputed cells (unlike
+    ``embedding_neardup_pairs``' label/IVF cells).
+
+    Signature: bit i = sign of <v, r_i> for ``n_bits`` fixed pseudo-random
+    ±1 hyperplanes (random-hyperplane LSH: collision probability is
+    1 - angle/pi, so near-duplicates collide in some band w.h.p.).  The
+    dot products run over floor(x*1e6)-quantized int64 components, so
+    signatures are bit-exact across engines.  Bands of n_bits/n_bands
+    bits bucket the corpus; candidate pairs form inside buckets via the
+    same bucket-collect-no-self-join shape as MinHash LSH (dedup.py),
+    with the same hard cap on pathological buckets; survivors are
+    verified by exact cosine >= threshold.
+
+    Band width is the cost/recall dial: w-bit bands give 2^w buckets per
+    band, so expected bucket size is n/2^w and verify cost is
+    O(n_bands * n^2 / 2^w) — the 8-bit default keeps verify ~16x cheaper
+    than 4-bit bands for the same band count, while identical vectors
+    still collide in every band and high-cosine near-dups collide w.h.p.
+    One corpus scan, one bucket shuffle, never O(n^2)."""
+    width = n_bits // n_bands
+    signs = srp_signs(n_bits, dim)
+
+    # The signature is a dense (batch x dim) @ (dim x n_bits) integer
+    # matmul — thousands of multiply-adds per row.  Spark's higher-order
+    # functions evaluate that interpreted (no codegen), so this one stage
+    # uses the sanctioned vectorized slow path: an Arrow-batched Pandas
+    # UDF doing the matmul in numpy int64 (exact — |q| <= ~1e6, x64 dims
+    # stays far under 2^63).  floor() semantics match F.floor (toward
+    # -inf), so signatures stay bit-identical to the SQL oracle's.
+    s_mat = np.array(signs, dtype=np.int64).T  # (dim, n_bits)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack(
+            [np.floor(np.asarray(x, dtype=np.float64) * 1_000_000).astype(np.int64) for x in v]
+        )
+        bits = (m @ s_mat >= 0).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    sig = _sig(F.col(vec_col))
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_no"),
+            F.shiftright(F.col("sig"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("band_val"),
+        )
+        for b in range(n_bands)
+    ]
+    base = emb.filter(F.size(F.col(vec_col)) == dim)
+    bands = (
+        base.select(F.col(id_col), sig.alias("sig"))
+        .select(id_col, F.explode(F.array(*band_structs)).alias("band"))
+        .select(id_col, "band.band_no", "band.band_val")
+    )
+    # Buckets collect IDS ONLY — a pair colliding in several bands would
+    # otherwise pay its (expensive) verification once per band.  Pairs are
+    # deduplicated as bare (id_a, id_b) longs BEFORE any vector touches
+    # the wire; vectors join back in just for the one verify pass.
+    members = (
+        bands.groupBy("band_no", "band_val")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(max_bucket_size)))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda m, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda m2: F.struct(m.alias("id_a"), m2.alias("id_b")),
+            ),
+        )
+    )
+    candidates = (
+        members.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+    # vectorized verify: row-wise cosine in numpy over Arrow batches.
+    # Vectors ship as their raw float32 (half the Arrow bytes) and widen
+    # to double inside numpy — float->double is exact, so the math is the
+    # same as the Column-expression cosine(); fold-order ULP noise vs the
+    # oracle is absorbed by round 6, same contract as everywhere else.
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        mb = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        dots = (ma * mb).sum(axis=1)
+        return pd.Series(
+            dots / (np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1)))
+        )
+
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(_cos(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     coverage2_q,
     coverage_q,
+    curation_q,
     functions2_q,
     functions3_q,
     functions_q,
@@ -45,6 +46,9 @@ _MODULES = (
     functions_q,
     functions2_q,
     functions3_q,
+    # new modules join BEHIND the verified window; they rotate forward
+    # once the current window's ids are driver-green
+    curation_q,
 )
 
 

@@ -46,6 +46,9 @@ PLANNED_IDS = {
     "dedup_ngram_jaccard", "sim_topk", "sim_ivf_topk", "sim_neardup",
     "text_stats", "text_lang_id", "text_token_bpe", "doc_fingerprint",
     "multimodal_decode", "multimodal_audio", "corpus_prepare",
+    # r2 curation/analytics additions
+    "dedup_components", "text_tfidf", "sample_stratified", "sim_srp_lsh",
+    "topk_per_group", "sessionize_events",
 }
 
 # ops whose oracle is intentionally absent (non-SQL-expressible hashing /

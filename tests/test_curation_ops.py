@@ -1,0 +1,141 @@
+"""Behavioral tests for the curation/analytics operators: connected
+components (cluster correctness on hand graphs the oracle CTE never
+sees), SRP-LSH recall on planted duplicate embeddings, stratified-sample
+exactness, tf-idf ranking, and sessionization boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from logpump_spark.llmdata.curation import stratified_sample, tfidf_top_terms
+from logpump_spark.llmdata.graph import connected_components
+from logpump_spark.llmdata.similarity import srp_lsh_neardup_pairs, srp_sign
+from logpump_spark.operators.sessionize import session_stats, sessionize
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r.node: r.component for r in connected_components(df).collect()}
+
+
+def test_cc_chain_converges_to_min(spark):
+    # a 6-node path: transitive closure must label everything with 1
+    labels = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    assert labels == {n: 1 for n in range(1, 7)}
+
+
+def test_cc_multiple_components_and_direction(spark):
+    # two components, edges given in arbitrary direction, with a cycle
+    labels = _cc(spark, [(9, 7), (7, 8), (8, 9), (20, 30), (30, 10)])
+    assert labels == {7: 7, 8: 7, 9: 7, 10: 10, 20: 10, 30: 10}
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    labels = _cc(spark, [(1, 1), (2, 3), (3, 2), (2, 3)])
+    assert labels == {2: 2, 3: 2}
+
+
+def test_cc_empty_edges(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_cc_star_heavy_graph(spark):
+    # hub-and-spoke plus a bridge between two hubs: one component, min=0
+    edges = [(0, i) for i in range(1, 8)] + [(100, 100 + i) for i in range(1, 8)]
+    edges.append((7, 107))
+    labels = _cc(spark, edges)
+    assert set(labels.values()) == {0}
+    assert len(labels) == 16
+
+
+def test_srp_sign_balance():
+    signs = [srp_sign(i, j) for i in range(16) for j in range(64)]
+    assert set(signs) == {1, -1}
+    # roughly balanced hyperplanes (the 48/97 rate)
+    assert 0.4 < signs.count(1) / len(signs) < 0.6
+
+
+def test_srp_lsh_finds_planted_dups(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant exact clones of vectors 0..4 under ids 1000..1004
+    rows += [(1000 + i, [float(x) for x in base[i]]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in srp_lsh_neardup_pairs(emb, threshold=0.99).collect()
+    }
+    # identical vectors share every signature bit -> every band collides
+    for i in range(5):
+        assert (i, 1000 + i) in pairs
+        assert pairs[(i, 1000 + i)] == 1.0
+
+
+def test_srp_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    # 30 identical vectors: one mega-bucket above the cap -> no pairs
+    # (exact dedup is the right tool for those); cap respected exactly
+    rows = [(i, [1.0] * 64) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert srp_lsh_neardup_pairs(emb, threshold=0.5, max_bucket_size=10).count() == 0
+
+
+def test_stratified_sample_exact_proportions(spark):
+    rows = [(i, f"s{i % 3}") for i in range(100)]  # strata of 34/33/33
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, "source", 0.2, "doc_id")
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 7, "s1": 7, "s2": 7}  # ceil(34*.2)=7, ceil(33*.2)=7
+    # deterministic: same call twice -> same ids
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in stratified_sample(df, "source", 0.2, "doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_tfidf_rare_term_wins(spark):
+    rows = [
+        (1, "common words plus zebra zebra zebra"),
+        (2, "common words plus filler filler"),
+        (3, "common words plus other other"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = tfidf_top_terms(docs, top_n=1).collect()
+    by_doc = {r.doc_id: r.term for r in top}
+    # each doc's top term is its unique repeated word, never the shared ones
+    assert by_doc == {1: "zebra", 2: "filler", 3: "other"}
+
+
+def test_sessionize_boundaries(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 10, t0),
+        (2, 10, t0 + 5 * m),
+        (3, 10, t0 + 45 * m),  # 40-min gap -> new session
+        (4, 10, t0 + 50 * m),
+        (5, 20, t0),  # other user: own numbering
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    sess = {r.event_id: r.session_no for r in sessionize(ev, gap_minutes=30).collect()}
+    assert sess == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    stats = {
+        (r.user_id, r.session_no): (r.n_events, r.duration_us)
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+    assert stats[(10, 1)] == (2, 5 * 60 * 1_000_000)
+    assert stats[(10, 2)] == (2, 5 * 60 * 1_000_000)
+    assert stats[(20, 1)] == (1, 0)
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    # gap == timeout stays in-session (strict > starts a new one)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, 1, t0), (2, 1, t0 + dt.timedelta(minutes=30))]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    assert sessionize(ev, gap_minutes=30).agg(F.max("session_no")).first()[0] == 1
