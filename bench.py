@@ -69,13 +69,21 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup costs
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # r1 methodology: the timer covers the noop write only (construction
+    # is lazy plan building).  Queries listed here run REAL work eagerly
+    # during construction (iterative algorithms with per-round actions),
+    # so for them the timer must start before construction — everything
+    # else keeps the r1-comparable write-only window.
+    eager_construction = {"dedup_components"}
+
     timings: dict[str, float] = {}
     for name in names:
-        # plan construction is INSIDE the timer: iterative operators
-        # (connected components) legitimately execute work eagerly while
-        # building their result — timing only the write would hide it
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
+        if name in eager_construction:
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+        else:
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 

@@ -84,13 +84,23 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
-        # fixpoint test: equal cardinality + one-sided difference empty
-        # (both sets are distinct) — two cheap actions on checkpointed data
-        if nxt.count() == cur.count() and nxt.exceptAll(cur).count() == 0:
-            cur = nxt
-            break
+        # lazy checkpoint: the convergence probe below is the ONE action
+        # per round — it materializes nxt and tests the fixpoint in the
+        # same job (driver-side action count is what dominates the loop's
+        # fixed cost; the data per round is tiny relative to the corpus)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        # both edge sets are distinct, so they are equal iff no (u, v)
+        # appears an odd number of times in their concatenation
+        diff = (
+            nxt.union(cur)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") != 2)
+        )
+        converged = len(diff.take(1)) == 0
         cur = nxt
+        if converged:
+            break
     # converged: every edge is (member, root); roots label themselves
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()

@@ -57,3 +57,42 @@ def test_q1_whole_stage_codegen(spark):
     # whole-stage-codegen spans print as "*(n) Operator" in the tree string
     assert "*(1)" in plan or "*(2)" in plan
     assert "HashAggregate" in plan
+
+
+def test_topk_per_group_pushes_group_limit(spark):
+    # grouped top-k must pre-prune per input partition (WindowGroupLimit)
+    # so the shuffle carries <= k rows per group per map task, not the
+    # whole fact table
+    from logpump_spark.queries.curation_q import topk_per_group
+
+    df = topk_per_group(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    # one data shuffle on the group key (plus the presentation range sort)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_sessionize_single_shuffle(spark):
+    # both window passes (lag + running sum) and the two-phase session
+    # aggregate must reuse ONE hash exchange on user_id — partitioning by
+    # user_id satisfies the (user_id, session_no) clustering downstream
+    from logpump_spark.queries.curation_q import sessionize_events
+
+    df = sessionize_events(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2  # AQE may print final+initial
+    final = plan.split("== Final Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 1
+
+
+def test_srp_lsh_no_cartesian(spark):
+    # LSH candidate generation must never degenerate to an all-pairs join
+    from logpump_spark.queries.curation_q import sim_srp_lsh
+
+    df = sim_srp_lsh(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
