@@ -53,6 +53,8 @@ HEADLINE = [
     "text_tfidf",
     "topk_per_group",
     "sessionize_events",
+    "funnel_steps",
+    "retention_cohort",
 ]
 
 

@@ -1,0 +1,92 @@
+"""ClickHouse-style behavioral analytics: windowFunnel and retention.
+
+The reference delegates its analytical surface to ClickHouse
+(SURVEY.md §2.F); funnels and retention cohorts are the bread-and-butter
+queries its users run there, so the engine carries first-class
+equivalents.
+
+Both are expressed as chained per-key aggregations that REUSE one hash
+partitioning on the user key: step N's minimum-timestamp aggregate joins
+back on user_id, which Catalyst satisfies with the existing
+hashpartitioning(user_id) — N funnel steps cost ONE shuffle of the
+events, not N.  No collect_list of a user's full history is ever built
+(unbounded per-user state is the thing that OOMs at 100 TB).
+
+Funnel semantics (greedy-earliest, documented divergence from
+ClickHouse's any-start search): t1 = earliest step-1 event; t_k =
+earliest step-k event after t_{k-1} and within ``window`` of t1.  The
+greedy chain is deterministic and SQL-expressible, so the oracle can
+replay it exactly; ClickHouse's windowFunnel scans every candidate
+start, which can only extend the window forward in time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[Column],
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel level: how many of ``steps`` completed in order,
+    starting at the earliest step-1 event, within ``window_hours`` of it.
+    Returns (user_col, level, t1..tN timestamps of the matched chain)."""
+    window_us = window_hours * 3600 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+
+    # t1: earliest step-1 event per user
+    cur = events.filter(steps[0]).groupBy(user_col).agg(F.min(ts_col).alias("t1"))
+    for k in range(2, len(steps) + 1):
+        nxt = (
+            events.join(cur, user_col)
+            .filter(
+                steps[k - 1]
+                & (us > F.unix_micros(F.col(f"t{k - 1}")))
+                & (us <= F.unix_micros(F.col("t1")) + window_us)
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    # build ascending so the HIGHEST completed step is the outermost test
+    level = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        level = F.when(F.col(f"t{k}").isNotNull(), k).otherwise(level)
+    return cur.withColumn("level", level.cast("int"))
+
+
+def retention(
+    events: DataFrame,
+    conds: list[Column],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``retention``: one row per user with r1..rN flags —
+    r1 = cond1 fired at least once; rk = r1 AND condk fired.  A single
+    grouped aggregation (one shuffle, N fused max-aggregates)."""
+    flags = [
+        F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"f{i}")
+        for i, c in enumerate(conds, 1)
+    ]
+    g = events.groupBy(user_col).agg(*flags)
+    out = [F.col("f1").alias("r1")]
+    out += [
+        (F.col("f1") * F.col(f"f{i}")).alias(f"r{i}") for i in range(2, len(conds) + 1)
+    ]
+    return g.select(user_col, *out)
+
+
+def retention_summary(
+    events: DataFrame,
+    conds: list[Column],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort rollup of ``retention``: one row of r1..rN user counts."""
+    r = retention(events, conds, user_col)
+    return r.agg(
+        *[F.sum(f"r{i}").alias(f"n_r{i}") for i in range(1, len(conds) + 1)]
+    )

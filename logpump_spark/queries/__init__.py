@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    analytics_q,
     coverage2_q,
     coverage_q,
     curation_q,
@@ -49,6 +50,7 @@ _MODULES = (
     # new modules join BEHIND the verified window; they rotate forward
     # once the current window's ids are driver-green
     curation_q,
+    analytics_q,
 )
 
 

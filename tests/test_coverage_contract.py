@@ -48,7 +48,7 @@ PLANNED_IDS = {
     "multimodal_decode", "multimodal_audio", "corpus_prepare",
     # r2 curation/analytics additions
     "dedup_components", "text_tfidf", "sample_stratified", "sim_srp_lsh",
-    "topk_per_group", "sessionize_events",
+    "topk_per_group", "sessionize_events", "funnel_steps", "retention_cohort",
 }
 
 # ops whose oracle is intentionally absent (non-SQL-expressible hashing /
