@@ -18,8 +18,11 @@ Mapping to the Spark engine:
   per-batch commit vs 30 s persistence; SURVEY.md §2.E)
 - ClickHouse             -> JDBC sink options (sinks.py)
 
-Config hot-reload (scan.go:24-52) is intentionally restart-based here:
-Spark confs are fixed per query; the runner restarts the stream on change.
+Config hot-reload (scan.go:24-52): the streaming sink re-parses the
+config per micro-batch on mtime change and swaps routing live
+(streaming/job.py build_techlog_stream(config_path=...)); source dirs /
+trigger cadence remain restart-based (they are baked into the running
+query plan).
 """
 
 from __future__ import annotations

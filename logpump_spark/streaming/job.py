@@ -16,6 +16,7 @@ scans.  EventDate partitioning mirrors the MergeTree PARTITION BY
 
 from __future__ import annotations
 
+import os
 from itertools import chain
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -185,6 +186,7 @@ def build_techlog_stream(
     trigger_seconds: int | None = 20,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    config_path: str | None = None,
 ):
     """Assemble (not start) the streaming query.
 
@@ -198,6 +200,13 @@ def build_techlog_stream(
     - ``maxFilesPerTrigger``: R2 size cap analog / admission control
     - ``available_now=True``: drain-everything-then-stop (used in tests,
       and the graceful-drain analog of R3)
+    - ``config_path``: S9 config hot-reload (scan.go:24-52) — the sink
+      stats the file each micro-batch and, on mtime change, re-parses it
+      (same sanitize+validate path) and swaps the routing TableMap /
+      DefaultTable for subsequent batches.  Per-batch granularity instead
+      of the reference's inotify immediacy; a config that fails to parse
+      or validate keeps the previous routing (reload-on-change must never
+      take the pipeline down mid-stream).
 
     Returns a DataStreamWriter; call ``.start()`` (or use
     ``run_stream``).
@@ -222,11 +231,40 @@ def build_techlog_stream(
     for d in dirs[1:]:
         files = files.unionByName(_one(d))
     entries = parse_records(records_from_text(files))
-    tmap = table_map or {}
+    routing = {"mtime": None, "tmap": table_map or {}, "default": default_table}
+
+    def _maybe_reload() -> None:
+        if not config_path:
+            return
+        try:
+            mtime = os.path.getmtime(config_path)
+        except OSError:
+            return
+        if mtime == routing["mtime"]:
+            return
+        try:
+            from ..config import load_config
+
+            cfg = load_config(config_path)
+            cfg.validate()
+        except Exception:
+            # unparseable/invalid config: keep routing as-is; the next
+            # mtime change retries (matching the reference's keep-running
+            # behavior on a bad reload)
+            routing["mtime"] = mtime
+            return
+        routing.update(
+            mtime=mtime,
+            tmap=cfg.clickhouse.table_map,
+            default=cfg.clickhouse.default_table,
+        )
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        _maybe_reload()
         rows, rejects = to_techlog_rows(batch_df)
-        route_and_write(rows, sink_dir, tmap, default_table, epoch_id=epoch_id)
+        route_and_write(
+            rows, sink_dir, routing["tmap"], routing["default"], epoch_id=epoch_id
+        )
         # dead-letter branch (improvement over the silent drop,
         # clickhouse.go:92-95): keep rejects auditable next to the sink
         write_rejects(rejects, sink_dir, epoch_id)

@@ -251,3 +251,99 @@ def test_replay_idempotent_sink_and_rejects(spark, tmp_path):
     write_rejects(rejects, out, epoch_id=4)
     assert spark.read.parquet(out).count() == 4
     assert spark.read.parquet(f"{out}/_rejects").count() == 2
+
+
+def test_config_hot_reload_swaps_routing(spark, tmp_path):
+    # S9 (scan.go:24-52): mtime change on the config file re-parses it and
+    # swaps the routing map for SUBSEQUENT micro-batches, without restart
+    d = _dirs(tmp_path)
+    cfg_path = str(tmp_path / "config.yaml")
+
+    def _write_cfg(default_table: str, excp_table: str) -> None:
+        with open(cfg_path, "w", encoding="utf-8") as f:
+            f.write(
+                "LogDirectoryMap:\n"
+                f"  main: {d['in']}\n"
+                'FilePattern: "*.log"\n'
+                "BatchSize: 100\n"
+                "BatchInterval: 1\n"
+                "ClickHouse:\n"
+                "  Address: localhost:9000\n"
+                "  Database: logs\n"
+                f"  DefaultTable: {default_table}\n"
+                "  TableMap:\n"
+                f"    EXCP: {excp_table}\n"
+            )
+
+    def _run(path_suffix: str) -> None:
+        writer = build_techlog_stream(
+            spark,
+            d["in"],
+            d["out"],
+            d["ckpt"],
+            table_map={"never": "used"},  # superseded by the config file
+            default_table="stale_default",
+            available_now=True,
+            config_path=cfg_path,
+        )
+        run_stream(writer, timeout_seconds=120)
+
+    _write_cfg("tech_log_v1", "errors_v1")
+    with open(f"{d['in']}/25052607.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_A + RECORD_B)
+    _run("1")
+    out = spark.read.parquet(d["out"])
+    assert {r._table for r in out.collect()} == {"tech_log_v1", "errors_v1"}
+
+    # rewrite the config (new mtime), drop a new file, resume the stream:
+    # the new batch must route with the NEW map, old data stays put
+    _write_cfg("tech_log_v2", "errors_v2")
+    os.utime(cfg_path, (os.path.getmtime(cfg_path) + 5,) * 2)
+    with open(f"{d['in']}/25052608.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_B + RECORD_C)
+    _run("2")
+    out = spark.read.parquet(d["out"])
+    tables = {r._table for r in out.collect()}
+    assert {"tech_log_v1", "errors_v1", "errors_v2", "tech_log_v2"} == tables
+
+
+def test_config_hot_reload_bad_config_keeps_previous(spark, tmp_path):
+    # a reload that fails validation must keep the stream on the previous
+    # routing instead of crashing the sink
+    d = _dirs(tmp_path)
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        f.write(
+            "LogDirectoryMap:\n"
+            f"  main: {d['in']}\n"
+            'FilePattern: "*.log"\n'
+            "BatchSize: 100\n"
+            "BatchInterval: 1\n"
+            "ClickHouse:\n"
+            "  Address: localhost:9000\n"
+            "  Database: logs\n"
+            "  DefaultTable: good_table\n"
+        )
+    with open(f"{d['in']}/25052607.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_C)
+    writer = build_techlog_stream(
+        spark, d["in"], d["out"], d["ckpt"], available_now=True, config_path=cfg_path
+    )
+    run_stream(writer, timeout_seconds=120)
+
+    # break the config (BatchSize invalid), then stream another file
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        f.write("LogDirectoryMap:\n  main: x\nBatchSize: -1\n")
+    os.utime(cfg_path, (os.path.getmtime(cfg_path) + 5,) * 2)
+    with open(f"{d['in']}/25052608.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_A)
+    writer = build_techlog_stream(
+        spark, d["in"], d["out"], d["ckpt"], available_now=True, config_path=cfg_path
+    )
+    run_stream(writer, timeout_seconds=120)
+
+    out = spark.read.parquet(d["out"])
+    # first batch routed by the (then-valid) config; the restarted stream
+    # falls back to its constructor defaults because the config no longer
+    # validates — and keeps running instead of crashing
+    assert {r._table for r in out.collect()} == {"good_table", "tech_log"}
