@@ -55,6 +55,8 @@ HEADLINE = [
     "sessionize_events",
     "funnel_steps",
     "retention_cohort",
+    "timeseries_fill",
+    "timeseries_anomaly",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Time-series operators: calendar gap filling with forward fill (the
+ClickHouse ``ORDER BY ... WITH FILL`` analog) and z-score anomaly
+flagging over per-key daily series.
+
+Shapes chosen for scale:
+- gap_fill: the date spine comes from one per-key (min, max) aggregate
+  exploded with ``sequence()`` — never a cross join against a global
+  calendar; the spine left-joins the daily aggregate on (key, day) and
+  forward-fills with ``last(ignorenulls)`` over the key window.  Two
+  shuffles on the key total (agg + window share partitioning).
+- zscore: mean/variance derive from exact integer power sums
+  (SUM(x), SUM(x^2), n) per key, so any engine computes identical
+  doubles from identical integers — no Welford-vs-naive ULP drift —
+  and one final rounded division absorbs nothing because there is
+  nothing to absorb.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def gap_fill_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    forward_fill: bool = True,
+) -> DataFrame:
+    """Fill missing calendar days per key.  Returns one row per
+    (key, day) between the key's first and last day: observed days carry
+    their daily aggregate (count + integer value sum), missing days get
+    n_events=0 and (optionally) the last observed sum forward-filled."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = df.select(F.col(key_col), day.alias("day"), F.col(value_col)).groupBy(
+        key_col, "day"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # quantized integer sum: engine-exact (memory: raw double sums
+        # drift in fold order)
+        F.sum(F.floor(F.col(value_col) * 10000).cast("long")).alias("qsum"),
+    )
+    spine = (
+        daily.groupBy(key_col)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            key_col,
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    joined = spine.join(daily, [key_col, "day"], "left")
+    out = joined.withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+    if forward_fill:
+        w = (
+            W.partitionBy(key_col)
+            .orderBy("day")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        out = out.withColumn("qsum_ff", F.last("qsum", ignorenulls=True).over(w))
+    return out
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Days whose event count deviates from the key's mean by more than
+    ``z_threshold`` population standard deviations.
+
+    Moments come from exact integer sums: with n, s1 = sum(x),
+    s2 = sum(x^2) all int64, variance = (n*s2 - s1^2) / n^2 is one
+    double expression over exact integers — bit-identical in any engine.
+    Keys with zero variance never flag (every day equals the mean)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.select(F.col(key_col), day.alias("day"))
+        .groupBy(key_col, "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wk = W.partitionBy(key_col)
+    stats = (
+        daily.withColumn("n", F.count(F.lit(1)).over(wk))
+        .withColumn("s1", F.sum("x").over(wk))
+        .withColumn("s2", F.sum(F.col("x") * F.col("x")).over(wk))
+    )
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("n") * F.col("n")
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("x") - mean) / F.sqrt(var)
+    return (
+        stats.withColumn("z", F.round(z, 6))
+        .filter(F.sqrt(var) > 0)
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .select(key_col, "day", "x", "z")
+    )

@@ -26,6 +26,7 @@ from . import (
     relational2_q,
     relational_q,
     streaming_q,
+    timeseries_q,
     windows_q,
 )
 
@@ -51,6 +52,7 @@ _MODULES = (
     # once the current window's ids are driver-green
     curation_q,
     analytics_q,
+    timeseries_q,
 )
 
 

@@ -1,0 +1,126 @@
+"""Driver-facing time-series queries: calendar gap filling (WITH FILL
+analog), z-score anomaly days, and unpivot/stack."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import gap_fill_daily, zscore_anomalies
+from ..tables import load
+
+
+def timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event series with calendar gaps filled and the
+    quantized value sum forward-filled (users < 30 keep the result and
+    oracle cost bounded)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = gap_fill_daily(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        "qsum_ff",
+    ).orderBy("user_id", "day")
+
+
+_TS_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS qsum
+  FROM events WHERE user_id < 30
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day
+  FROM daily GROUP BY user_id
+)
+SELECT s.user_id,
+       CAST(s.day AS VARCHAR) AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       LAST_VALUE(d.qsum IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qsum_ff
+FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+ORDER BY s.user_id, day
+"""
+
+
+def timeseries_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days where an event_type's daily volume is > 2 population sigmas
+    from that type's mean — moments from exact integer power sums."""
+    ev = load(spark, sf_dir, "events")
+    out = zscore_anomalies(ev, "event_type", "ts", z_threshold=2.0)
+    return out.select(
+        "event_type", F.col("day").cast("string").alias("day"), "x", "z"
+    ).orderBy("event_type", "day")
+
+
+_TS_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, day, x,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS s1,
+         SUM(x * x) OVER w AS s2
+  FROM daily WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, x,
+       ROUND((x - s1 / n) / sqrt((n * s2 - s1 * s1) / (n * n)), 6) AS z
+FROM stats
+WHERE sqrt((n * s2 - s1 * s1) / (n * n)) > 0
+  AND abs(ROUND((x - s1 / n) / sqrt((n * s2 - s1 * s1) / (n * n)), 6)) > 2.0
+ORDER BY event_type, day
+"""
+
+
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long unpivot of per-nation aggregates via stack()."""
+    cust = load(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.floor(F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")) / 100).alias(
+            "acctbal_floor"
+        ),
+    )
+    long = wide.select(
+        "c_nationkey",
+        F.expr(
+            "stack(2, 'n_customers', n_customers, 'acctbal_floor', acctbal_floor)"
+        ).alias("metric", "value"),
+    )
+    return long.orderBy("c_nationkey", "metric")
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT c_nationkey,
+         COUNT(*) AS n_customers,
+         CAST(FLOOR(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) / 100) AS BIGINT)
+           AS acctbal_floor
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, metric, value FROM (
+  SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+  UNION ALL
+  SELECT c_nationkey, 'acctbal_floor' AS metric, acctbal_floor AS value FROM wide
+)
+ORDER BY c_nationkey, metric
+"""
+
+
+SPARK_QUERIES = {
+    "timeseries_fill": timeseries_fill,
+    "timeseries_anomaly": timeseries_anomaly,
+    "unpivot_stack": unpivot_stack,
+}
+
+ORACLE_SQL = {
+    "timeseries_fill": _TS_FILL_SQL,
+    "timeseries_anomaly": _TS_ANOMALY_SQL,
+    "unpivot_stack": _UNPIVOT_SQL,
+}

@@ -49,6 +49,7 @@ PLANNED_IDS = {
     # r2 curation/analytics additions
     "dedup_components", "text_tfidf", "sample_stratified", "sim_srp_lsh",
     "topk_per_group", "sessionize_events", "funnel_steps", "retention_cohort",
+    "timeseries_fill", "timeseries_anomaly", "unpivot_stack",
 }
 
 # ops whose oracle is intentionally absent (non-SQL-expressible hashing /
