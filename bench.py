@@ -57,6 +57,9 @@ HEADLINE = [
     "retention_cohort",
     "timeseries_fill",
     "timeseries_anomaly",
+    "text_quality_gopher",
+    "text_repetition",
+    "embed_quantize_sq8",
 ]
 
 

@@ -23,6 +23,7 @@ from . import (
     functions_q,
     llm_q,
     parse_q,
+    quality_q,
     relational2_q,
     relational_q,
     streaming_q,
@@ -53,6 +54,7 @@ _MODULES = (
     curation_q,
     analytics_q,
     timeseries_q,
+    quality_q,
 )
 
 

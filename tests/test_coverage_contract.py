@@ -50,6 +50,9 @@ PLANNED_IDS = {
     "dedup_components", "text_tfidf", "sample_stratified", "sim_srp_lsh",
     "topk_per_group", "sessionize_events", "funnel_steps", "retention_cohort",
     "timeseries_fill", "timeseries_anomaly", "unpivot_stack",
+    # r2 quality/compression additions
+    "text_quality_gopher", "text_repetition", "text_pii_scrub",
+    "embed_quantize_sq8",
 }
 
 # ops whose oracle is intentionally absent (non-SQL-expressible hashing /
