@@ -96,3 +96,30 @@ def test_srp_lsh_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_gate_is_single_projection(spark):
+    # the Gopher gate must stay one codegen'd pass: no shuffle at all
+    from logpump_spark.queries.quality_q import text_quality_gopher
+
+    df = text_quality_gopher(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan  # only the final sort moves data
+    assert "*(" in plan  # codegen spans print as *(n) in tree strings
+
+
+def test_sq8_encode_broadcasts_ranges(spark):
+    # corpus encode pass: ranges arrive via a broadcast 1-row cross join;
+    # the embeddings scan itself must not be re-shuffled or exploded
+    from logpump_spark.queries.quality_q import embed_quantize_sq8
+
+    df = embed_quantize_sq8(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only Generate (posexplode) feeds the 64-row stats agg, never the
+    # main output (AQE repeats subtrees in the Initial Plan section, so
+    # count inside the final plan only)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate posexplode") <= 1
