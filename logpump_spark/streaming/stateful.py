@@ -17,6 +17,10 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 
 def dedup_stream(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:
@@ -55,4 +59,44 @@ def running_counts_stream(df: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+class _RunningTotals(StatefulProcessor):
+    """transformWithState processor: per-key running (count, sum) in a
+    typed ValueState cell.  Functionally the twin of ``_update_counts``
+    above, on the Spark 4 arbitrary-state API (typed state cells, RocksDB
+    changelog-checkpointed provider) instead of the legacy GroupState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._agg.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_counts_tws(df: DataFrame) -> DataFrame:
+    """``running_counts_stream`` on the transformWithState API.
+
+    Needs the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) — set per-query by
+    the caller/test, not mutated here (session confs stay caller-owned).
+    """
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

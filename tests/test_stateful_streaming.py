@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from logpump_spark.streaming.stateful import dedup_stream, running_counts_stream
@@ -81,3 +82,74 @@ def test_apply_in_pandas_with_state_across_batches(spark, tmp_path):
     }
     # the second run's update reflects accumulated state, not a reset
     assert (7, 2, 15.0) in updates
+
+
+def _protobuf_available() -> bool:
+    # the transformWithState Python driver worker imports google.protobuf
+    # (absent in this container); the operator is real, the runtime isn't
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs the protobuf package for its Python "
+    "worker protocol; not installed here (see VERIFIED.md)",
+)
+def test_transform_with_state_across_batches(spark, tmp_path):
+    # same contract as the applyInPandasWithState twin, on the Spark 4
+    # transformWithState API: typed ValueState + RocksDB provider, state
+    # carried across separate availableNow runs via the checkpoint
+    from logpump_spark.streaming.stateful import running_counts_tws
+
+    src = str(tmp_path / "src3")
+    ckpt = str(tmp_path / "ckpt3")
+    out_dir = str(tmp_path / "out3")
+    os.makedirs(src)
+    _write_batch(spark, src, [(1, "2024-01-01 00:00:01", 9, 4.0)])
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+
+        def run_once():
+            stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+            out = running_counts_tws(stream.select("user_id", "value"))
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("append").parquet(out_dir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        first = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert (9, 1, 4.0) in first
+
+        _write_batch(spark, src, [(2, "2024-01-01 00:00:05", 9, 2.5)])
+        run_once()
+        updates = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert (9, 2, 6.5) in updates
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
