@@ -105,15 +105,22 @@ def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
             pil_decode = None
 
         def decode(p: bytes) -> tuple[int, int, str, str]:
-            if pil_decode is not None:
-                return pil_decode(p)
+            # stdlib codec FIRST for formats it understands: the decoder
+            # column stays 'png' whether or not PIL is installed, so
+            # oracle-checked results are environment-independent
             if p[:8] == PNG_SIGNATURE:
                 d = decode_png(p)
                 return d["width"], d["height"], d["mode"], "png"
+            if pil_decode is not None:
+                try:
+                    return pil_decode(p)
+                except Exception:
+                    if strict:
+                        raise
             if strict:
                 raise ValueError(
                     "strict decode: payload is not PNG and no broad-coverage "
-                    "decoder (PIL) is importable"
+                    "decoder (PIL) could read it"
                 )
             w, h, m = _fake_decode(p)
             return w, h, m, "fake"
@@ -163,15 +170,21 @@ def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
             sf_decode = None
 
         def decode(p: bytes) -> tuple[int, int, str]:
-            if sf_decode is not None:
-                return sf_decode(p)
+            # stdlib RIFF parse first, same environment-independence
+            # contract as the PNG path
             if p[:4] == b"RIFF":
                 d = decode_wav(p)
                 return d["sample_rate"], d["n_samples"], "wav"
+            if sf_decode is not None:
+                try:
+                    return sf_decode(p)
+                except Exception:
+                    if strict:
+                        raise
             if strict:
                 raise ValueError(
                     "strict decode: payload is not WAV and no broad-coverage "
-                    "decoder (soundfile) is importable"
+                    "decoder (soundfile) could read it"
                 )
             n = len(p)
             return (16000 if n % 2 == 0 else 22050), n * 4, "fake"

@@ -11,14 +11,18 @@ from ..tables import load
 
 
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set/collect_list as SORTED arrays (unsorted collections are
-    nondeterministic across partitioning — sort_array makes them
-    hash-stable, which is also the only sane contract for users)."""
+    """collect_set/collect_list as SORTED, comma-joined strings (unsorted
+    collections are nondeterministic across partitioning — sort_array
+    makes them hash-stable; the join to a scalar keeps the result frame
+    canonicalizable, since the driver's pandas-based compare cannot sort
+    array-typed columns)."""
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     return (
         ev.groupBy("user_id")
         .agg(
-            F.sort_array(F.collect_set("event_type")).alias("types"),
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+                "types"
+            ),
             F.size(F.collect_list("event_id")).alias("n_events"),
         )
         .orderBy("user_id")
@@ -27,7 +31,7 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AGG_COLLECT_SQL = """
 SELECT user_id,
-  list_sort(list(DISTINCT event_type)) AS types,
+  list_aggregate(list_sort(list(DISTINCT event_type)), 'string_agg', ',') AS types,
   len(list(event_id)) AS n_events
 FROM events WHERE user_id < 30
 GROUP BY user_id ORDER BY user_id
