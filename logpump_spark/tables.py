@@ -32,16 +32,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright.  Read it as raw nanos (runtime-settable
-        # legacy conf) and truncate to µs — same truncation DuckDB applies
-        # when it narrows ns -> its µs TIMESTAMP, so oracles agree exactly.
+        # events.ts is parquet TIMESTAMP(NANOS).  Spark 3.x's vectorized
+        # reader rejects it outright — read as raw nanos (runtime-settable
+        # legacy conf) and truncate to µs, the same truncation DuckDB
+        # applies when it narrows ns -> its µs TIMESTAMP, so oracles agree
+        # exactly.  Spark 4.1+ reads NANOS natively as TIMESTAMP_NTZ —
+        # normalize to session-tz TIMESTAMP (value-preserving under the
+        # UTC session tz every entry point pins) so downstream
+        # unix_micros()/window() calls resolve on either Spark.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        dtype = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if dtype == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
