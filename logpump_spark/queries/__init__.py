@@ -33,28 +33,28 @@ from . import (
 
 # Order matters: the driver's CORRECTNESS gate verifies the first 50
 # registry entries per round, so modules whose queries have not yet
-# received a driver-green row go FIRST.  Round 1 verified the relational /
-# window / scalar-function modules (CORRECTNESS_r01.json); round 2 rotates
-# the parse plane, streaming, LLM-data, and coverage modules into the
-# window (48 ids, leaving 2 slots for q1_pricing_summary / join_inner).
+# received a driver-green row go FIRST.  Round 4 window: the 15
+# never-driver-verified curation/analytics/timeseries/quality ids, then
+# the parse plane + windows + functions modules that regressed to `err`
+# in round 3 (Spark 4.1 TIMESTAMP_NTZ, fixed in tables.load), then
+# relational_q whose leading ids (q1_pricing_summary, join_inner, ...)
+# fill the remaining slots as long-green regression canaries.
 _MODULES = (
-    parse_q,
+    curation_q,  # 6
+    analytics_q,  # 2
+    timeseries_q,  # 3
+    quality_q,  # 4
+    parse_q,  # 11 (r3 err -> re-verify post-NTZ-fix)
+    windows_q,  # 5 (win_lag / win_range_frame were r3 err)
+    functions_q,  # 8 (fn_date_suite was r3 err)
+    relational_q,  # 18; first ~9 land in the window as canaries
     streaming_q,
     llm_q,
     coverage_q,
     coverage2_q,
-    relational_q,
     relational2_q,
-    windows_q,
-    functions_q,
     functions2_q,
     functions3_q,
-    # new modules join BEHIND the verified window; they rotate forward
-    # once the current window's ids are driver-green
-    curation_q,
-    analytics_q,
-    timeseries_q,
-    quality_q,
 )
 
 
