@@ -16,6 +16,7 @@ scans.  EventDate partitioning mirrors the MergeTree PARTITION BY
 
 from __future__ import annotations
 
+import json
 import os
 from itertools import chain
 
@@ -130,48 +131,131 @@ def compact_partitions(
         )
         return len(parts)
 
-    # Epoch-aware sink (idempotent streaming layout): merge all epoch
-    # directories of each (_table, EventDate) into ONE fresh compaction
-    # epoch, then delete the consumed directories.  The target epoch id is
-    # derived deterministically from the consumed set (-(max positive
-    # epoch) - 2, compactions themselves use negative ids), so a rerun
-    # after a crash between write and cleanup finds the target already
-    # written, skips the rewrite, and just finishes the deletes —
-    # rerun-safe.  The residual window is the non-atomic job commit of the
-    # target partition itself, the same window any Hive-style
+    # Epoch-aware sink (idempotent streaming layout): fold the epoch
+    # directories of every not-yet-compacted (_table, EventDate) group
+    # into ONE fresh compaction epoch, then delete the consumed
+    # directories.  Crash-safety comes from a MANIFEST persisted before
+    # the rewrite: `_compaction_manifest.json` (underscore prefix, so
+    # Spark's file index ignores it) pins the target epoch id and the
+    # exact consumed (_table, EventDate, _epoch) set.  A rerun after a
+    # crash at any point first FINISHES the recorded compaction — rewrite
+    # the target from the still-present consumed dirs only if it hasn't
+    # landed, redo the (idempotent) deletes, drop the manifest — before
+    # looking for new work.  Epochs that land while a manifest is pending
+    # are not in its consumed set and are left untouched, which is what
+    # prevents the rewrite-everything duplication a max-over-all-epochs
+    # target id had.  An already-compacted sink (exactly one negative
+    # compaction epoch per group) is a true no-op.  The residual window is the non-atomic job commit of
+    # the target partition itself, the same window any Hive-style
     # table-in-place compaction has (the transactional fix is a Delta/
     # Iceberg-style commit log, out of scope for a parquet sink).
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _hpath(path: str):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(p):
+        return p.getFileSystem(hconf)
+
+    def _exists(path: str) -> bool:
+        p = _hpath(path)
+        return _fs(p).exists(p)
+
+    def _delete(path: str) -> None:
+        p = _hpath(path)
+        _fs(p).delete(p, True)
+
+    manifest_file = f"{base_path}/_compaction_manifest.json"
+
+    def _read_manifest() -> dict | None:
+        if not _exists(manifest_file):
+            return None
+        p = _hpath(manifest_file)
+        stream = _fs(p).open(p)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    def _write_manifest(man: dict) -> None:
+        p = _hpath(manifest_file)
+        out = _fs(p).create(p, True)
+        try:
+            out.write(bytearray(json.dumps(man).encode("utf-8")))
+        finally:
+            out.close()
+
+    def _epoch_dir(t: str, d: str, e: int) -> str:
+        return f"{base_path}/_table={t}/EventDate={d}/_epoch={e}"
+
+    def _apply_manifest(man: dict) -> None:
+        """Finish a recorded compaction idempotently: consumed set and
+        target come from the manifest, never from the current listing."""
+        target = int(man["target_epoch"])
+        consumed = [(t, str(d), int(e)) for t, d, e in man["consumed"]]
+        grps = sorted({(t, d) for t, d, _ in consumed})
+        live = [(t, d, e) for t, d, e in consumed if _exists(_epoch_dir(t, d, e))]
+        written = all(_exists(_epoch_dir(t, d, target)) for t, d in grps)
+        if live and not written:
+            keys = [f"{t}\x1f{d}\x1f{e}" for t, d, e in live]
+            src = (
+                spark.read.parquet(base_path)
+                .filter(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col("_table"),
+                        F.col("EventDate").cast("string"),
+                        F.col("_epoch").cast("string"),
+                    ).isin(keys)
+                )
+                .withColumn("_epoch", F.lit(target))
+            )
+            (
+                src.repartition(target_files_per_partition * len(grps), "_table", "EventDate")
+                .sortWithinPartitions("EventTime")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", "zstd")
+                .partitionBy("_table", "EventDate", "_epoch")
+                .parquet(base_path)
+            )
+        for t, d, e in consumed:
+            _delete(_epoch_dir(t, d, e))
+        _delete(manifest_file)
+
+    pending = _read_manifest()
+    if pending is not None:
+        _apply_manifest(pending)
+        # the listing changed; re-scan before planning new work
+        df = spark.read.parquet(base_path)
+        if partition_filter:
+            df = df.filter(partition_filter)
+
     epochs = [
         (r._table, str(r.EventDate), int(r._epoch))
         for r in df.select("_table", "EventDate", "_epoch").distinct().collect()
     ]
-    if not epochs:
+    by_group: dict[tuple[str, str], list[int]] = {}
+    for t, d, e in epochs:
+        by_group.setdefault((t, d), []).append(e)
+    # a group is "already compacted" when it is exactly one negative
+    # (compaction-output) epoch — such groups are skipped, making rerun
+    # on a fully-compacted sink a true no-op; anything with streaming
+    # epochs or multiple dirs still folds
+    groups = sorted(
+        g for g, es in by_group.items() if len(es) > 1 or any(e >= 0 for e in es)
+    )
+    if not groups:
         return 0
-    max_epoch = max(e for _, _, e in epochs)
-    target_epoch = -abs(max_epoch) - 2
-    groups = sorted({(t, d) for t, d, _ in epochs})
-    consumed = [(t, d, e) for t, d, e in epochs if e != target_epoch]
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-
-    def _delete(path: str) -> None:
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(hconf).delete(p, True)
-
-    target_exists = any(e == target_epoch for _, _, e in epochs)
-    if not target_exists:
-        (
-            df.withColumn("_epoch", F.lit(target_epoch))
-            .repartition(target_files_per_partition * len(groups), "_table", "EventDate")
-            .sortWithinPartitions("EventTime")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("compression", "zstd")
-            .partitionBy("_table", "EventDate", "_epoch")
-            .parquet(base_path)
-        )
-    for t, d, e in consumed:
-        _delete(f"{base_path}/_table={t}/EventDate={d}/_epoch={e}")
+    consumed = [(t, d, e) for (t, d) in groups for e in sorted(by_group[(t, d)])]
+    # strictly larger magnitude than every existing epoch -> no collision
+    # with either streaming epochs or prior compaction outputs
+    target_epoch = -(max(abs(e) for _, _, e in epochs) + 2)
+    man = {"target_epoch": target_epoch, "consumed": consumed}
+    _write_manifest(man)
+    _apply_manifest(man)
     return len(groups)
 
 

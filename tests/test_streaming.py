@@ -209,13 +209,102 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     # consumed epoch dirs are gone: one compaction epoch per partition
     assert epochs_after <= epochs_before
 
-    # compaction rerun is a no-op on an already-compacted sink (the
-    # deterministic target epoch already exists)
-    compact_partitions(spark, d["out"])
+    # compaction rerun is a TRUE no-op on an already-compacted sink:
+    # every group is a single negative compaction epoch, so nothing is
+    # selected, nothing is rewritten, and no manifest is left behind
+    assert compact_partitions(spark, d["out"]) == 0
     rows_rerun = sorted(
         map(tuple, spark.read.parquet(d["out"]).drop("_table", "_epoch").collect())
     )
     assert rows_rerun == rows_before
+    assert not os.path.exists(f"{d['out']}/_compaction_manifest.json")
+
+
+def _compaction_crash_setup(spark, d):
+    """Three drains -> epochs 0/1/2 (one per component table); returns
+    (rows_before, manifest) where manifest is what a compaction run would
+    record before its rewrite."""
+    import json
+
+    from logpump_spark.streaming.job import compact_partitions  # noqa: F401
+
+    for i, rec in enumerate((RECORD_A, RECORD_B, RECORD_C)):
+        with open(f"{d['in']}/2505260{i + 1}.log", "w", encoding="utf-8") as f:
+            f.write(rec)
+        _run_once(spark, d)
+    sink = spark.read.parquet(d["out"])
+    rows_before = sorted(map(tuple, sink.drop("_table", "_epoch").collect()))
+    epochs = [
+        (r._table, str(r.EventDate), int(r._epoch))
+        for r in sink.select("_table", "EventDate", "_epoch").distinct().collect()
+    ]
+    target = -(max(abs(e) for _, _, e in epochs) + 2)
+    manifest = {"target_epoch": target, "consumed": sorted(epochs)}
+    with open(f"{d['out']}/_compaction_manifest.json", "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    return rows_before, manifest
+
+
+def _land_new_epoch_and_recover(spark, d, rows_before):
+    """Land a fresh streaming epoch AFTER the simulated crash, rerun
+    compaction, and assert zero duplicate rows and clean final state."""
+    from logpump_spark.streaming.job import compact_partitions
+
+    new_rec = "10:45.000007-99,DBMSSQL,0,Usr=kuznetsov,DataBase=erp,SessionID=9\n"
+    with open(f"{d['in']}/25052604.log", "w", encoding="utf-8") as f:
+        f.write(new_rec)
+    _run_once(spark, d)
+
+    assert compact_partitions(spark, d["out"]) >= 1
+
+    out = spark.read.parquet(d["out"])
+    rows_after = sorted(map(tuple, out.drop("_table", "_epoch").collect()))
+    assert len(rows_after) == len(rows_before) + 1  # no duplicates, no loss
+    assert len(set(rows_after)) == len(rows_after)
+    base = set(map(tuple, rows_before))
+    assert base < set(rows_after)
+    # clean final state: manifest gone, one compaction epoch per group
+    assert not os.path.exists(f"{d['out']}/_compaction_manifest.json")
+    per_group = (
+        out.select("_table", "EventDate", "_epoch")
+        .distinct()
+        .groupBy("_table", "EventDate")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in per_group)
+    epochs_left = {int(r._epoch) for r in out.select("_epoch").distinct().collect()}
+    assert all(e < 0 for e in epochs_left)
+
+
+def test_compaction_crash_before_target_write(spark, tmp_path):
+    # Crash injected AFTER the manifest is persisted but BEFORE the
+    # target epoch is written; a new streaming epoch lands before the
+    # rerun.  Recovery must rewrite the target from the manifest's
+    # consumed set only (NOT the new epoch) and end with no duplicates.
+    d = _dirs(tmp_path)
+    rows_before, _ = _compaction_crash_setup(spark, d)
+    _land_new_epoch_and_recover(spark, d, rows_before)
+
+
+def test_compaction_crash_between_write_and_deletes(spark, tmp_path):
+    # Crash injected AFTER the target epoch landed but BEFORE the
+    # consumed dirs were deleted — the exact duplication scenario of a
+    # max-over-all-epochs target id: a rerun with a new epoch present
+    # used to re-merge the orphaned target TOGETHER with its still-live
+    # sources, duplicating every row.  With the manifest, recovery
+    # finishes the recorded compaction (deletes only) first.
+    d = _dirs(tmp_path)
+    rows_before, manifest = _compaction_crash_setup(spark, d)
+    sink = spark.read.parquet(d["out"])
+    (
+        sink.withColumn("_epoch", F.lit(manifest["target_epoch"]))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_table", "EventDate", "_epoch")
+        .parquet(d["out"])
+    )
+    _land_new_epoch_and_recover(spark, d, rows_before)
 
 
 def test_replay_idempotent_sink_and_rejects(spark, tmp_path):
