@@ -81,15 +81,34 @@ def fit_pq(
     Returns ``(codes, centroids)``: codes = (_id, m, cell) — ``n_sub``
     codes per vector; centroids = (m, cid, c: array<long>).  Same exact
     integer arithmetic as ``fit_ivf`` (floored integer means, (dist, cid)
-    tie-break, init = first ``k`` vectors by id per subspace)."""
+    tie-break); init = the ``k`` smallest-id vectors in RANK order
+    (cid = rank-1, so ids need not be contiguous).
+
+    Like ``fit_ivf``, centroids live on the DRIVER between iterations
+    (n_sub x k rows — bounded), so each iteration is one corpus scan
+    against a literal broadcast instead of a recursive plan replayed per
+    action."""
+    spark = emb.sparkSession
     width = dim // n_sub
     sub = _subvectors(emb, n_sub, width, id_col, vec_col)
-    cent = sub.filter(F.col("_id") < k).select(
-        "m", F.col("_id").alias("cid"), F.col("sq").alias("c")
-    )
+    init_ids = [
+        r._id for r in sub.select("_id").distinct().orderBy("_id").limit(k).collect()
+    ]
+    if len(init_ids) < k:
+        raise ValueError(
+            f"fit_pq: need >= {k} vectors to seed {k} centroids per subspace, "
+            f"got {len(init_ids)}"
+        )
+    rank = {i: n for n, i in enumerate(init_ids)}
+    init = sub.filter(F.col("_id").isin(init_ids)).collect()
+
+    def _cent_df(rows: list[tuple[int, int, list[int]]]) -> DataFrame:
+        return spark.createDataFrame(rows, "m int, cid long, c array<long>")
+
+    cent = _cent_df(sorted((int(r.m), rank[r._id], list(r.sq)) for r in init))
     for _ in range(iters):
         assigned = _assign(sub, cent)
-        cent = (
+        updated = (
             assigned.join(sub, ["_id", "m"])
             .select("m", "cell", F.posexplode("sq").alias("pos", "val"))
             .groupBy("m", "cell", "pos")
@@ -102,7 +121,9 @@ def fit_pq(
                 F.col("cell").alias("cid"),
                 F.transform("pc", lambda x: x["cv"]).alias("c"),
             )
+            .collect()
         )
+        cent = _cent_df(sorted((int(r.m), int(r.cid), list(r.c)) for r in updated))
     codes = _assign(sub, cent)
     return codes, cent
 

@@ -32,10 +32,6 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _as_double(v: Column) -> Column:
-    return F.transform(v, lambda x: x.cast("double"))
-
-
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -47,6 +43,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(na) * F.sqrt(nb))
 
 
+def np_cosine() -> Column:
+    """Arrow-batched row-wise cosine — the vectorized twin of
+    ``cosine()`` for hot scoring paths (Spark's higher-order functions
+    evaluate interpreted, ~50x numpy on dense arithmetic).  Vectors ship
+    as raw float32 (half the Arrow bytes) and widen to double inside
+    numpy — float->double is exact, so the math matches the Column
+    expression up to summation fold order; every caller rounds to 6 dp,
+    which absorbs that last-ULP noise (same contract as the oracle)."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        mb = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        dots = (ma * mb).sum(axis=1)
+        return pd.Series(
+            dots / (np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1)))
+        )
+
+    return _cos
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -56,14 +75,16 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each query id (excluded from its own
     result).  Queries are broadcast; corpus side never shuffles until the
-    per-query top-k reduction."""
-    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    per-query top-k reduction.  Scoring is the vectorized ``np_cosine``
+    — one Arrow batch per corpus split, no interpreted per-element
+    arithmetic in the hot path."""
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("v"))
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )
     scored = (
         base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("cos", F.round(np_cosine()(F.col("qv"), F.col("v")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -93,15 +114,40 @@ def _sqdist(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def _assign(base: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment, ties to the smallest centroid id
-    (lexicographic min over (dist, cid) — deterministic in any engine)."""
-    d = base.crossJoin(F.broadcast(cent)).select(
-        "_id", "cid", _sqdist("q", "c").alias("dist")
+def _np_quantize(v: pd.Series) -> np.ndarray:
+    """floor(x*1e6) int64 matrix for a batch of vectors — numpy twin of
+    ``quantize()`` (np.floor is toward -inf, same as F.floor; float->
+    double widening exact), so results are bit-identical."""
+    return np.vstack(
+        [np.floor(np.asarray(x, dtype=np.float64) * 1_000_000).astype(np.int64) for x in v]
     )
-    return d.groupBy("_id").agg(F.min(F.struct("dist", "cid")).alias("m")).select(
-        "_id", F.col("m.cid").alias("cell")
-    )
+
+
+def _np_cells(Q: np.ndarray, cids: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid cell per row of Q; exact int64 distances, ties to
+    the smallest cid (cids ascending + argmin-takes-first)."""
+    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return cids[np.argmin(d2, axis=1)]
+
+
+def _assign_np(
+    emb: DataFrame, cent_rows: list[tuple[int, list[int]]], id_col: str, vec_col: str
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment: centroids ride into the
+    Arrow-batched UDF as a numpy closure (tiny, bounded), so assignment
+    is ONE codegen'd projection + numpy — no crossJoin, no interpreted
+    higher-order arithmetic.  Semantics identical to the lexicographic
+    min over (exact integer distance, cid)."""
+    cids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+    C = np.array([list(c) for _, c in cent_rows], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(_np_cells(_np_quantize(v), cids, C))
+
+    return emb.select(F.col(id_col).alias("_id"), _cell(F.col(vec_col)).alias("cell"))
 
 
 def fit_ivf(
@@ -112,39 +158,84 @@ def fit_ivf(
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the IVF coarse quantizer: ``iters`` Lloyd iterations over the
-    quantized embeddings, init = the first ``n_cells`` vectors by id.
+    quantized embeddings, init = the ``n_cells`` smallest-id vectors
+    (RANK order, so ids need not be contiguous; cid = rank-1).
 
     Returns ``(cells, centroids)``: cells = (id_col, cell) for every
     vector; centroids = (cid, c: array<long>) after the final update.
     All arithmetic is exact-integer (sums) or a single floored double
     division (the mean), so any engine replays to identical centroids.
 
-    Scale shape: centroids are tiny and BROADCAST; each iteration is one
-    corpus scan + one (cell, dim)-grouped aggregation — no corpus
-    self-join, no collect.  Empty cells drop out (standard Lloyd)."""
-    base = emb.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("q"))
-    cent = base.filter(F.col("_id") < n_cells).select(
-        F.col("_id").alias("cid"), F.col("q").alias("c")
+    Scale shape (MLlib-style): centroids live on the DRIVER between
+    iterations — they are tiny (n_cells x dim longs) and
+    cardinality-BOUNDED, so the per-iteration collect is safe at any
+    corpus size.  Each Lloyd iteration is ONE fused corpus pass
+    (mapInPandas: numpy assignment + per-batch partial sums, k*dim rows
+    out per batch) followed by a k*dim-row final aggregation — no
+    corpus crossJoin, no posexplode shuffle of corpus*dim rows, no
+    interpreted per-element arithmetic, and no lazily recursive plan
+    that replays prior iterations per action (the round-2/3 perf
+    regression).  Init is a distributed TakeOrdered top-k, not a global
+    sort.  Empty cells drop out (standard Lloyd)."""
+    spark = emb.sparkSession
+    init = (
+        emb.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("q"))
+        .orderBy("_id")
+        .limit(n_cells)
+        .collect()
     )
+    if len(init) < n_cells:
+        raise ValueError(
+            f"fit_ivf: need >= {n_cells} vectors to seed {n_cells} cells, "
+            f"got {len(init)}"
+        )
+
+    def _cent_df(rows: list[tuple[int, list[int]]]) -> DataFrame:
+        return spark.createDataFrame(rows, "cid long, c array<long>")
+
+    cent_rows = [(cid, list(r.q)) for cid, r in enumerate(init)]
+    vec_only = emb.select(F.col(vec_col))
     for _ in range(iters):
-        assigned = _assign(base, cent)
-        cent = (
-            assigned.join(base, "_id")
-            .select("cell", F.posexplode("q").alias("pos", "val"))
+        cids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+        C = np.array([list(c) for _, c in cent_rows], dtype=np.int64)
+
+        def _partials(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = _np_quantize(pdf[vec_col])
+                cells = _np_cells(Q, cids, C)
+                for cell in np.unique(cells):
+                    m = cells == cell
+                    s = Q[m].sum(axis=0, dtype=np.int64)
+                    yield pd.DataFrame(
+                        {
+                            "cell": np.full(len(s), cell, dtype=np.int64),
+                            "pos": np.arange(len(s), dtype=np.int64),
+                            "s": s,
+                            "n": np.full(len(s), int(m.sum()), dtype=np.int64),
+                        }
+                    )
+
+        updated = (
+            vec_only.mapInPandas(_partials, "cell long, pos long, s long, n long")
             .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             # exact integer mean, floored: long/long division is double in
             # Spark and DuckDB alike, operands are exact -> identical
             .withColumn("cv", F.floor(F.col("s") / F.col("n")).cast("long"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
-            .select(
-                F.col("cell").alias("cid"),
-                F.transform("pc", lambda x: x["cv"]).alias("c"),
-            )
+            .collect()
         )
-    cells = _assign(base, cent).select(F.col("_id").alias(id_col), "cell")
-    return cells, cent
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in updated:
+            by_cell.setdefault(int(r.cell), {})[int(r.pos)] = int(r.cv)
+        cent_rows = [
+            (cell, [d[p] for p in sorted(d)]) for cell, d in sorted(by_cell.items())
+        ]
+    cells = _assign_np(emb, cent_rows, id_col, vec_col).select(
+        F.col("_id").alias(id_col), "cell"
+    )
+    return cells, _cent_df(cent_rows)
 
 
 def ivf_topk(
@@ -166,7 +257,7 @@ def ivf_topk(
     if cell_col is not None:
         # precomputed cells: each query probes its own cell only
         base = emb.select(
-            F.col(id_col), F.col(cell_col).alias("cell"), _as_double(F.col(vec_col)).alias("v")
+            F.col(id_col), F.col(cell_col).alias("cell"), F.col(vec_col).alias("v")
         )
         probes = base.filter(F.col(id_col).isin(query_ids)).select(
             F.col(id_col).alias("query_id"), F.col("cell").alias("pcell")
@@ -175,7 +266,7 @@ def ivf_topk(
         cells, cent = fit_ivf(emb, n_cells, iters, id_col, vec_col)
         base = (
             emb.join(cells, id_col)
-            .select(F.col(id_col), "cell", _as_double(F.col(vec_col)).alias("v"))
+            .select(F.col(id_col), "cell", F.col(vec_col).alias("v"))
         )
         # per-query probe list: the nprobe nearest FINAL centroids
         qbase = emb.filter(F.col(id_col).isin(query_ids)).select(
@@ -192,7 +283,7 @@ def ivf_topk(
         )
     queries = (
         emb.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .join(probes, "query_id")
     )
     scored = (
@@ -200,7 +291,7 @@ def ivf_topk(
             F.broadcast(queries),
             (F.col("cell") == F.col("pcell")) & (F.col(id_col) != F.col("query_id")),
         )
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("cos", F.round(np_cosine()(F.col("qv"), F.col("v")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -316,28 +407,14 @@ def srp_lsh_neardup_pairs(
         .distinct()
     )
 
-    # vectorized verify: row-wise cosine in numpy over Arrow batches.
-    # Vectors ship as their raw float32 (half the Arrow bytes) and widen
-    # to double inside numpy — float->double is exact, so the math is the
-    # same as the Column-expression cosine(); fold-order ULP noise vs the
-    # oracle is absorbed by round 6, same contract as everywhere else.
-    @F.pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
-        mb = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
-        dots = (ma * mb).sum(axis=1)
-        return pd.Series(
-            dots / (np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1)))
-        )
-
+    # vectorized verify: row-wise cosine in numpy over Arrow batches
+    # (np_cosine — same round-6 ULP contract as everywhere else)
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", F.round(_cos(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(np_cosine()(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -364,9 +441,7 @@ def embedding_neardup_pairs(
         emb.withColumn("_cn", F.row_number().over(w_cell))
         .filter(F.col("_cn") <= max_cell_size)
     )
-    base = capped.select(
-        F.col(id_col), F.col(cell_col), _as_double(F.col(vec_col)).alias("v")
-    )
+    base = capped.select(F.col(id_col), F.col(cell_col), F.col(vec_col).alias("v"))
     a = base.select(
         F.col(id_col).alias("id_a"), F.col(cell_col).alias("cell"), F.col("v").alias("va")
     )
@@ -376,7 +451,7 @@ def embedding_neardup_pairs(
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(np_cosine()(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cell", "cos")
     )

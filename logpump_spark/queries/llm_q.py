@@ -168,7 +168,10 @@ def _ivf_fit_cte(n_cells: int, iters: int) -> str:
          x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
   FROM embeddings
 ),
-cent0 AS (SELECT vec_id AS cid, q AS c FROM base WHERE vec_id < {n_cells})"""
+cent0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
+  FROM base QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {n_cells}
+)"""
     ]
     for i in range(1, iters + 1):
         parts.append(f"""d{i} AS (

@@ -146,6 +146,38 @@ def test_fit_ivf_deterministic_and_integer(emb):
     assert all(isinstance(x, int) for v in c1.values() for x in v)
 
 
+def test_fit_ivf_non_contiguous_ids(emb):
+    # rank-based init: ids 5, 15, 25, ... must still seed exactly
+    # n_cells centroids (the old filter(_id < n_cells) silently seeded
+    # zero on this data)
+    from logpump_spark.llmdata.similarity import fit_ivf
+
+    shifted = emb.withColumn("vec_id", F.col("vec_id") * 10 + 5)
+    cells, cent = fit_ivf(shifted, n_cells=4, iters=2)
+    cids = sorted(r.cid for r in cent.collect())
+    assert len(cids) >= 1 and set(cids) <= {0, 1, 2, 3}
+    # every vector assigned, under its original-id*10+5 key
+    assigned = {r.vec_id for r in cells.collect()}
+    assert assigned == {i * 10 + 5 for i in range(40)}
+    # full probe still degenerates to brute force on the shifted ids
+    bf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(shifted, [5, 15], k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(shifted, [5, 15], k=3, n_cells=4, iters=2, nprobe=4).collect()
+    }
+    assert bf == ivf
+
+
+def test_fit_ivf_too_few_vectors_raises(emb):
+    from logpump_spark.llmdata.similarity import fit_ivf
+
+    with pytest.raises(ValueError, match="need >= 50"):
+        fit_ivf(emb.limit(10), n_cells=50)
+
+
 def test_multimodal_plumbing(spark, docs):
     media = attach_media(docs, "doc_id", "text", "image", "source")
     assert [f.name for f in media.schema] == ["media_id", "kind", "payload", "meta"]
