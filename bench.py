@@ -60,6 +60,8 @@ HEADLINE = [
     "text_quality_gopher",
     "text_repetition",
     "embed_quantize_sq8",
+    # r4 additions
+    "sim_pq_adc",
 ]
 
 

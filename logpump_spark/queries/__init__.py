@@ -23,6 +23,7 @@ from . import (
     functions_q,
     llm_q,
     parse_q,
+    pq_q,
     quality_q,
     relational2_q,
     relational_q,
@@ -44,6 +45,7 @@ _MODULES = (
     analytics_q,  # 2
     timeseries_q,  # 3
     quality_q,  # 4
+    pq_q,  # 1 (new this round: sim_pq_adc)
     parse_q,  # 11 (r3 err -> re-verify post-NTZ-fix)
     windows_q,  # 5 (win_lag / win_range_frame were r3 err)
     functions_q,  # 8 (fn_date_suite was r3 err)

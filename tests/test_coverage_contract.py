@@ -53,6 +53,8 @@ PLANNED_IDS = {
     # r2 quality/compression additions
     "text_quality_gopher", "text_repetition", "text_pii_scrub",
     "embed_quantize_sq8",
+    # r4 additions
+    "sim_pq_adc",
 }
 
 # ops whose oracle is intentionally absent (non-SQL-expressible hashing /

@@ -178,6 +178,57 @@ def test_fit_ivf_too_few_vectors_raises(emb):
         fit_ivf(emb.limit(10), n_cells=50)
 
 
+def test_fit_pq_deterministic_and_complete(emb):
+    from logpump_spark.llmdata.pq import fit_pq
+
+    codes1, cent1 = fit_pq(emb, n_sub=2, k=4, iters=2, dim=4)
+    codes2, cent2 = fit_pq(emb, n_sub=2, k=4, iters=2, dim=4)
+    a1 = sorted(map(tuple, codes1.collect()))
+    a2 = sorted(map(tuple, codes2.collect()))
+    assert a1 == a2
+    # every vector gets exactly n_sub codes
+    n_vecs = emb.count()
+    assert len(a1) == n_vecs * 2
+    c1 = {(r.m, r.cid): list(r.c) for r in cent1.collect()}
+    c2 = {(r.m, r.cid): list(r.c) for r in cent2.collect()}
+    assert c1 == c2
+    assert all(isinstance(x, int) for v in c1.values() for x in v)
+
+
+def test_fit_pq_non_contiguous_ids(emb):
+    from logpump_spark.llmdata.pq import fit_pq
+
+    shifted = emb.withColumn("vec_id", F.col("vec_id") * 10 + 5)
+    codes, cent = fit_pq(shifted, n_sub=2, k=4, iters=1, dim=4)
+    # rank-based init: cids 0..k-1 seeded even though no id < k exists
+    seeded = {r.cid for r in cent.collect()}
+    assert seeded <= {0, 1, 2, 3} and len(seeded) >= 1
+    assert {r._id for r in codes.collect()} == {i * 10 + 5 for i in range(40)}
+
+    with pytest.raises(ValueError, match="need >= 50"):
+        fit_pq(shifted.limit(10), n_sub=2, k=50, dim=4)
+
+
+def test_pq_adc_recall_vs_brute_force(emb):
+    from logpump_spark.llmdata.pq import pq_adc_topk
+
+    queries = [0, 1, 2, 3]
+    bf = {}
+    for r in brute_force_topk(emb, queries, k=3).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in pq_adc_topk(emb, queries, topk=3, n_sub=2, k=8, iters=2, dim=4).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # ADC is approximate (distances via codebook cells) but on 2-cluster
+    # data the compressed ranking must keep most true neighbors
+    hits = sum(len(bf[q] & got.get(q, set())) for q in queries)
+    total = sum(len(bf[q]) for q in queries)
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+    # and neighbors come from the query's own cluster (parity of vec_id)
+    for q in queries:
+        assert all(n % 2 == q % 2 for n in got[q])
+
+
 def test_multimodal_plumbing(spark, docs):
     media = attach_media(docs, "doc_id", "text", "image", "source")
     assert [f.name for f in media.schema] == ["media_id", "kind", "payload", "meta"]
