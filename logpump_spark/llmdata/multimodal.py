@@ -3,14 +3,17 @@ typed metadata, processed by Arrow-batched Pandas UDFs.
 
 Decode resolution order, per payload format:
 
-1. PIL / soundfile when importable (broad format coverage);
-2. the pure-stdlib codecs in ``codecs.py`` for PNG and WAV payloads —
-   a REAL decode (chunk walk, CRC check, zlib inflate, scanline
-   unfilter / RIFF parse), so ``strict=True`` is an exercised path in
+1. magic-byte-matched PNG/WAV payloads use the pure-stdlib codecs in
+   ``codecs.py`` FIRST — a REAL decode (chunk walk, CRC check, zlib
+   inflate, scanline unfilter / RIFF parse) whose decoder column is
+   environment-independent, so ``strict=True`` is an exercised path in
    this dependency-free container, not an aspirational one;
+2. payloads the stdlib codec cannot read (other formats, or PNG/RIFF
+   variants outside its subset — 16-bit, interlaced, WebP/AVI RIFF)
+   fall through to PIL / soundfile when importable;
 3. with ``strict=False`` only, a clearly-marked deterministic fake for
-   payloads in formats neither path understands; ``strict=True`` raises
-   instead.
+   payloads no decoder understands; ``strict=True`` raises instead —
+   but ``strict=False`` NEVER raises, whatever the payload.
 
 Batch shape matters at scale: mapInPandas streams Arrow record batches,
 so a 100 TB corpus of ~1 MB payloads flows through Python in bounded
@@ -83,10 +86,12 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Extract image features via mapInPandas (Arrow batches).
 
-    PNG payloads always take a REAL decode (PIL if importable, else the
-    pure-stdlib decoder — CRC walk, inflate, unfilter).  Other formats
-    fall back to PIL when available; with strict=True an undecodable
-    payload raises, with strict=False it gets the deterministic fake.
+    PNG-signature payloads take the stdlib decoder FIRST (CRC walk,
+    inflate, unfilter; decoder column 'png' in any environment); a PNG
+    outside its subset (16-bit, interlaced, corrupt) falls through to
+    PIL when importable, then to the strict-raise/fake logic — so
+    strict=False never raises.  Non-PNG formats go straight to PIL,
+    then the same strict/fake tail.
     """
 
     def _batches(it: Iterator) -> Iterator:
@@ -109,8 +114,11 @@ def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
             # column stays 'png' whether or not PIL is installed, so
             # oracle-checked results are environment-independent
             if p[:8] == PNG_SIGNATURE:
-                d = decode_png(p)
-                return d["width"], d["height"], d["mode"], "png"
+                try:
+                    d = decode_png(p)
+                    return d["width"], d["height"], d["mode"], "png"
+                except Exception:
+                    pass  # outside the stdlib subset -> PIL / strict / fake
             if pil_decode is not None:
                 try:
                     return pil_decode(p)
@@ -119,8 +127,8 @@ def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
                         raise
             if strict:
                 raise ValueError(
-                    "strict decode: payload is not PNG and no broad-coverage "
-                    "decoder (PIL) could read it"
+                    "strict decode: no decoder (stdlib PNG subset, PIL) "
+                    "could read this payload"
                 )
             w, h, m = _fake_decode(p)
             return w, h, m, "fake"
@@ -150,9 +158,11 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Audio twin of decode_image_features: WAV payloads take a real RIFF
-    parse (soundfile first when importable, else the stdlib codec); other
-    formats raise under strict=True or get the deterministic fake."""
+    """Audio twin of decode_image_features: RIFF/WAVE payloads take the
+    stdlib RIFF parse FIRST (decoder column 'wav' in any environment);
+    non-WAVE RIFF containers (WebP, AVI, RF64) and malformed chunks fall
+    through to soundfile when importable, then to the strict-raise/fake
+    logic — so strict=False never raises."""
 
     def _batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -173,8 +183,11 @@ def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
             # stdlib RIFF parse first, same environment-independence
             # contract as the PNG path
             if p[:4] == b"RIFF":
-                d = decode_wav(p)
-                return d["sample_rate"], d["n_samples"], "wav"
+                try:
+                    d = decode_wav(p)
+                    return d["sample_rate"], d["n_samples"], "wav"
+                except Exception:
+                    pass  # non-WAVE RIFF / malformed -> soundfile / strict / fake
             if sf_decode is not None:
                 try:
                     return sf_decode(p)
@@ -183,8 +196,8 @@ def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
                         raise
             if strict:
                 raise ValueError(
-                    "strict decode: payload is not WAV and no broad-coverage "
-                    "decoder (soundfile) could read it"
+                    "strict decode: no decoder (stdlib WAV parse, soundfile) "
+                    "could read this payload"
                 )
             n = len(p)
             return (16000 if n % 2 == 0 else 22050), n * 4, "fake"
@@ -198,7 +211,9 @@ def decode_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
                     "n_bytes": [len(p) for p in payloads],
                     "sample_rate": [d[0] for d in decoded],
                     "n_samples": [d[1] for d in decoded],
-                    "duration_ms": [d[1] * 1000 // d[0] for d in decoded],
+                    # rate 0 (declarable in a fmt chunk) -> duration 0,
+                    # not ZeroDivisionError
+                    "duration_ms": [d[1] * 1000 // d[0] if d[0] else 0 for d in decoded],
                     "decoder": [d[2] for d in decoded],
                 }
             )

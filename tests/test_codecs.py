@@ -160,3 +160,58 @@ def test_strict_spark_decode_real_wav(spark):
         assert feats[i].n_bytes == 44 + 2 * n
         assert feats[i].duration_ms == n * 1000 // rate
         assert feats[i].decoder in ("wav", "soundfile")
+
+
+def _media_df(spark, payload: bytes, kind: str):
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(
+        F.col("id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(bytearray(payload)).alias("payload"),
+        F.struct(
+            F.lit("t").alias("source"), F.lit(len(payload)).cast("long").alias("n_bytes")
+        ).alias("meta"),
+    )
+
+
+def test_corrupt_png_falls_through_not_raises(spark):
+    # a payload carrying the PNG signature but garbage chunks is outside
+    # the stdlib codec's subset: strict=False must fall through to the
+    # fake (never raise); strict=True must raise
+    from logpump_spark.llmdata.codecs import PNG_SIGNATURE
+    from logpump_spark.llmdata.multimodal import decode_image_features
+
+    bad = PNG_SIGNATURE + b"\x00garbage-not-chunks\xff" * 3
+    media = _media_df(spark, bad, "image")
+    rows = decode_image_features(media, strict=False).collect()
+    assert rows[0].decoder in ("fake", "pil")
+    with pytest.raises(Exception):
+        decode_image_features(media, strict=True).collect()
+
+
+def test_non_wave_riff_falls_through_not_raises(spark):
+    # RIFF container that is not WAVE (e.g. AVI): strict=False -> fake,
+    # strict=True -> raise (previously raised unconditionally)
+    from logpump_spark.llmdata.multimodal import decode_audio_features
+
+    avi = b"RIFF" + (1000).to_bytes(4, "little") + b"AVI LIST" + b"\x00" * 32
+    media = _media_df(spark, avi, "audio")
+    rows = decode_audio_features(media, strict=False).collect()
+    assert rows[0].decoder in ("fake", "soundfile")
+    with pytest.raises(Exception):
+        decode_audio_features(media, strict=True).collect()
+
+
+def test_zero_rate_wav_duration_guard(spark):
+    # a fmt chunk may declare sample_rate 0: decode returns rate 0 and
+    # the caller must emit duration 0, not ZeroDivisionError
+    from logpump_spark.llmdata.multimodal import decode_audio_features
+
+    payload = encode_wav(0, [1, 2, 3, 4])
+    media = _media_df(spark, payload, "audio")
+    rows = decode_audio_features(media, strict=False).collect()
+    assert rows[0].decoder == "wav"
+    assert rows[0].sample_rate == 0
+    assert rows[0].n_samples == 4
+    assert rows[0].duration_ms == 0
