@@ -271,6 +271,7 @@ def build_techlog_stream(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
     config_path: str | None = None,
+    metrics=None,
 ):
     """Assemble (not start) the streaming query.
 
@@ -291,6 +292,11 @@ def build_techlog_stream(
       of the reference's inotify immediacy; a config that fails to parse
       or validate keeps the previous routing (reload-on-change must never
       take the pipeline down mid-stream).
+    - ``metrics``: a ``TechLogMetricsListener`` (streaming/metrics.py) —
+      the sink reports each epoch's dead-letter count to it so the
+      per-batch progress record carries rejects alongside rows/sec and
+      batch duration (the reference's structured-logging surface,
+      logger.go).  Register it with ``metrics.attach(spark)``.
 
     Returns a DataStreamWriter; call ``.start()`` (or use
     ``run_stream``).
@@ -345,13 +351,22 @@ def build_techlog_stream(
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         _maybe_reload()
-        rows, rejects = to_techlog_rows(batch_df)
-        route_and_write(
-            rows, sink_dir, routing["tmap"], routing["default"], epoch_id=epoch_id
-        )
-        # dead-letter branch (improvement over the silent drop,
-        # clickhouse.go:92-95): keep rejects auditable next to the sink
-        write_rejects(rejects, sink_dir, epoch_id)
+        # the sink runs several actions over this micro-batch (main
+        # write, dead-letter write, reject count); cache it so the file
+        # scan + record parse runs ONCE per batch, not once per action
+        batch_df.persist()
+        try:
+            rows, rejects = to_techlog_rows(batch_df)
+            route_and_write(
+                rows, sink_dir, routing["tmap"], routing["default"], epoch_id=epoch_id
+            )
+            # dead-letter branch (improvement over the silent drop,
+            # clickhouse.go:92-95): keep rejects auditable next to the sink
+            write_rejects(rejects, sink_dir, epoch_id)
+            if metrics is not None:
+                metrics.record_rejects(epoch_id, rejects.count())
+        finally:
+            batch_df.unpersist()
 
     writer = (
         entries.writeStream.foreachBatch(_sink)

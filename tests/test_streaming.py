@@ -436,3 +436,47 @@ def test_config_hot_reload_bad_config_keeps_previous(spark, tmp_path):
     # falls back to its constructor defaults because the config no longer
     # validates — and keeps running instead of crashing
     assert {r._table for r in out.collect()} == {"good_table", "tech_log"}
+
+
+def test_metrics_listener_two_batches(spark, tmp_path):
+    # the logger.go analog: one structured record per micro-batch with
+    # rows/sec, batch duration and reject counts
+    import time as _time
+
+    from logpump_spark.streaming.metrics import TechLogMetricsListener
+
+    d = _dirs(tmp_path)
+    with open(f"{d['in']}/25052607.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_A + RECORD_B)
+    with open(f"{d['in']}/bad.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_C)  # filename too short for a date -> dead letter
+
+    listener = TechLogMetricsListener().attach(spark)
+    try:
+        writer = build_techlog_stream(
+            spark,
+            d["in"],
+            d["out"],
+            d["ckpt"],
+            table_map=TABLE_MAP,
+            available_now=True,
+            max_files_per_trigger=1,  # one file per micro-batch -> 2 batches
+            metrics=listener,
+        )
+        run_stream(writer, timeout_seconds=120)
+        # progress events are delivered on the listener-bus thread
+        deadline = _time.time() + 30
+        while _time.time() < deadline and len(listener.batches) < 2:
+            _time.sleep(0.2)
+    finally:
+        listener.detach(spark)
+
+    batches = [b for b in listener.batches if b["input_rows"] > 0]
+    assert len(batches) == 2
+    assert {b["batch_id"] for b in batches} == {0, 1}
+    # wholetext source: one input row per file
+    assert all(b["input_rows"] == 1 for b in batches)
+    assert all(b["batch_duration_ms"] > 0 for b in batches)
+    assert all(b["rows_per_sec"] >= 0.0 for b in batches)
+    # exactly one dead-letter row total, in the bad.log batch
+    assert sorted(b["rejects"] for b in batches) == [0, 1]
