@@ -78,12 +78,35 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup costs
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Per-query JIT warmup at the smallest SF: whole-stage codegen emits
+    # the same generated classes regardless of data size, so one tiny run
+    # lets C2 compile the hot methods (the parse plane's generated
+    # projection is huge; untamed, its first execution pays a 5-20x
+    # compile-storm penalty that has nothing to do with the engine).
+    # The timed run below then measures steady-state throughput at sf_dir.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in names:
+            try:
+                queries[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warmup is best-effort; the timed run decides
+
     # r1 methodology: the timer covers the noop write only (construction
     # is lazy plan building).  Queries listed here run REAL work eagerly
-    # during construction (iterative algorithms with per-round actions),
-    # so for them the timer must start before construction — everything
-    # else keeps the r1-comparable write-only window.
-    eager_construction = {"dedup_components"}
+    # during construction (iterative fits / stats with driver-side
+    # actions), so for them the timer must start before construction —
+    # everything else keeps the r1-comparable write-only window.
+    eager_construction = {
+        "dedup_components",
+        "sim_ivf_topk",  # k-means fit collects at construction (r4)
+        "sim_pq_adc",  # PQ codebook fit collects at construction (r4)
+        "embed_quantize_sq8",  # range stats collect at construction (r4)
+    }
+
+    import gc
 
     timings: dict[str, float] = {}
     for name in names:
@@ -95,6 +118,14 @@ def main() -> None:
             t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # per-query isolation OUTSIDE the timed window: drop the plan,
+        # release py4j-held broadcasts / localCheckpoint blocks, and
+        # nudge both GCs — otherwise driver-heap bloat from 35+ prior
+        # queries inflates the tail of the run by 3-10x
+        del df
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -109,17 +109,18 @@ def test_quality_gate_is_single_projection(spark):
     assert "*(" in plan  # codegen spans print as *(n) in tree strings
 
 
-def test_sq8_encode_broadcasts_ranges(spark):
-    # corpus encode pass: ranges arrive via a broadcast 1-row cross join;
-    # the embeddings scan itself must not be re-shuffled or exploded
+def test_sq8_encode_is_single_arrow_projection(spark):
+    # corpus encode pass: the [min,max] ranges are driver-collected
+    # (dimension-bounded) and ride into the Arrow-batched pandas_udf as
+    # a numpy closure, so the OUTPUT plan is one vectorized projection
+    # over the embeddings scan — no join, no explode; the posexplode
+    # lives only in the separate 64-row stats job
     from logpump_spark.queries.quality_q import embed_quantize_sq8
 
     df = embed_quantize_sq8(spark, SF_SMALL)
     df.collect()
     plan = _plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
-    # the only Generate (posexplode) feeds the 64-row stats agg, never the
-    # main output (AQE repeats subtrees in the Initial Plan section, so
-    # count inside the final plan only)
+    assert "ArrowEvalPython" in plan
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("Generate posexplode") <= 1
+    assert "Generate" not in final
+    assert "Join" not in final
