@@ -32,24 +32,16 @@ from . import (
     windows_q,
 )
 
-# Order matters: the driver's CORRECTNESS gate verifies the first 50
-# registry entries per round, so modules whose queries have not yet
-# received a driver-green row go FIRST.  Round 4 window: the 15
-# never-driver-verified curation/analytics/timeseries/quality ids, then
-# the parse plane + windows + functions modules that regressed to `err`
-# in round 3 (Spark 4.1 TIMESTAMP_NTZ, fixed in tables.load), then
-# relational_q whose leading ids (q1_pricing_summary, join_inner, ...)
-# fill the remaining slots as long-green regression canaries.
 _MODULES = (
-    curation_q,  # 6
-    analytics_q,  # 2
-    timeseries_q,  # 3
-    quality_q,  # 4
-    pq_q,  # 1 (new this round: sim_pq_adc)
-    parse_q,  # 11 (r3 err -> re-verify post-NTZ-fix)
-    windows_q,  # 5 (win_lag / win_range_frame were r3 err)
-    functions_q,  # 8 (fn_date_suite was r3 err)
-    relational_q,  # 18; first ~9 land in the window as canaries
+    curation_q,
+    analytics_q,
+    timeseries_q,
+    quality_q,
+    pq_q,
+    parse_q,
+    windows_q,
+    functions_q,
+    relational_q,
     streaming_q,
     llm_q,
     coverage_q,
@@ -59,6 +51,37 @@ _MODULES = (
     functions3_q,
 )
 
+# Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
+# registry entries per round.  Round-4 window, in priority order:
+#   1-15   never-driver-verified curation/analytics/timeseries/quality
+#   16     sim_pq_adc (new this round)
+#   17-27  parse plane (all err in r3: Spark 4.1 TIMESTAMP_NTZ, fixed)
+#   28-30  win_lag / win_range_frame / fn_date_suite (same r3 err)
+#   31-37  ids whose IMPLEMENTATION changed this round (np_cosine
+#          scoring, md5-based MinHash/SimHash now fully oracle-checked,
+#          multimodal decode fallbacks) — changed code gets re-verified
+#   38-39  q1_pricing_summary + join_inner long-green canaries
+#   40-50  r1-green scalar/window ids never yet driver-run on Spark 4.1
+_WINDOW_PRIORITY = [
+    "dedup_components", "text_tfidf", "sample_stratified", "sim_srp_lsh",
+    "topk_per_group", "sessionize_events", "funnel_steps", "retention_cohort",
+    "timeseries_fill", "timeseries_anomaly", "unpivot_stack",
+    "text_quality_gopher", "text_repetition", "text_pii_scrub",
+    "embed_quantize_sq8",
+    "sim_pq_adc",
+    "parse_full_entry", "parse_header_positional", "parse_kv_map",
+    "parse_sql_quoted", "parse_context", "xform_filename_date",
+    "xform_event_time", "xform_duration", "filter_valid_rows",
+    "records_explode", "parse_scaled",
+    "win_lag", "win_range_frame", "fn_date_suite",
+    "sim_topk", "sim_ivf_topk", "sim_neardup", "dedup_minhash_lsh",
+    "dedup_simhash", "multimodal_decode", "multimodal_audio",
+    "q1_pricing_summary", "join_inner",
+    "fn_string_suite", "fn_cast_suite", "fn_json", "fn_array", "fn_explode",
+    "fn_map", "fn_conditional", "win_rank", "win_running_sum",
+    "win_first_last", "join_broadcast",
+]
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -67,7 +90,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if overlap:
             raise ValueError(f"duplicate query ids across modules: {overlap}")
         merged.update(mod.SPARK_QUERIES)
-    return merged
+    missing = [n for n in _WINDOW_PRIORITY if n not in merged]
+    if missing:
+        raise ValueError(f"window priority ids not registered: {missing}")
+    prioritized = {n: merged[n] for n in _WINDOW_PRIORITY}
+    prioritized.update((n, f) for n, f in merged.items() if n not in prioritized)
+    return prioritized
 
 
 def all_oracles() -> dict[str, str]:

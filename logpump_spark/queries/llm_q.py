@@ -59,17 +59,160 @@ FROM docs GROUP BY text ORDER BY keep_id
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (rows-only: xxhash64 has no DuckDB
-    twin).  The planted exact dups MUST appear with est_jaccard 1.0;
-    tests/test_llm_ops.py asserts recall on planted near-dups too."""
+    """MinHash+LSH near-dup candidates, FULLY value-checked: the base
+    hash is the md5-derived 60-bit integer both engines compute
+    identically (dedup.md5_hash60), so the oracle replays shingling,
+    the 32 universal-hash permutations, banding, bucket caps, and the
+    estimated-Jaccard scores exactly.  Planted exact dups MUST appear
+    with est_jaccard 1.0; tests/test_llm_ops.py asserts recall on
+    planted near-dups too."""
     docs = _docs_with_planted_dups(spark, sf_dir)
     return minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
 
 
+_DOCS_PLANTED_CTE = """docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+)"""
+
+# md5-derived 60-bit integer — the DuckDB twin of dedup.md5_hash60
+_MD5I = "CAST(concat('0x', substr(md5({s}), 2, 15)) AS BIGINT)"
+
+
+def _minhash_oracle_sql(
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> str:
+    from ..llmdata.dedup import _MH_P, _MH_PARAMS
+
+    rpb = n_hashes // n_bands
+    mins = ",\n         ".join(
+        f"MIN(({a}*h + {b}) % {_MH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS[:n_hashes])
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_no, {key} AS band_key FROM sig".format(
+            b=b,
+            key=_MD5I.format(
+                s="concat("
+                + ", ',', ".join(f"mh{b * rpb + j}" for j in range(rpb))
+                + ")"
+            ),
+        )
+        for b in range(n_bands)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""
+WITH {_DOCS_PLANTED_CTE},
+sh AS (
+  SELECT doc_id, {_MD5I.format(s="s")} % {_MH_P} AS h FROM (
+    SELECT doc_id, UNNEST(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+    FROM docs)
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+buckets AS (
+  SELECT band_no, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_no = b.band_no AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+  JOIN buckets k ON k.band_no = a.band_no AND k.band_key = a.band_key
+  WHERE k.n BETWEEN 2 AND {max_bucket}
+)
+SELECT id_a, id_b, ROUND(({eq_terms}) / {float(n_hashes)}, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE ROUND(({eq_terms}) / {float(n_hashes)}, 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (rows-only, same reason)."""
+    """SimHash near-dup candidates, FULLY value-checked: signatures ride
+    as two nonnegative 32-bit halves built from the shared md5-derived
+    token hash, so the oracle replays the 64 bit-sums, banding, and
+    Hamming distances exactly (halves sidestep 1<<63, which ANSI
+    engines reject)."""
     docs = _docs_with_planted_dups(spark, sf_dir)
     return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle_sql(
+    max_hamming: int = 3, n_bands: int = 4, max_bucket: int = 1000
+) -> str:
+    width = 64 // n_bands
+    half_bands = 32 // width
+    bit_sums = ",\n   ".join(
+        f"SUM(CASE WHEN ({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    sig_lo = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    sig_hi = " + ".join(
+        f"(CASE WHEN b{32 + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_no, "
+        f"(({'sig_lo' if b < half_bands else 'sig_hi'} >> {(b % half_bands) * width})"
+        f" & {(1 << width) - 1}) AS band_val FROM parts"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_DOCS_PLANTED_CTE},
+hx AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS lo
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM docs)
+),
+sums AS (
+  SELECT doc_id,
+   {bit_sums}
+  FROM hx GROUP BY doc_id
+),
+parts AS (
+  SELECT doc_id, {sig_hi} AS sig_hi, {sig_lo} AS sig_lo FROM sums
+),
+bands AS (
+{band_selects}
+),
+buckets AS (
+  SELECT band_no, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_no = b.band_no AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+  JOIN buckets k ON k.band_no = a.band_no AND k.band_val = a.band_val
+  WHERE k.n BETWEEN 2 AND {max_bucket}
+)
+SELECT id_a, id_b,
+       bit_count(xor(pa.sig_hi, pb.sig_hi)) + bit_count(xor(pa.sig_lo, pb.sig_lo))
+         AS hamming
+FROM cand
+JOIN parts pa ON pa.doc_id = id_a
+JOIN parts pb ON pb.doc_id = id_b
+WHERE bit_count(xor(pa.sig_hi, pb.sig_hi)) + bit_count(xor(pa.sig_lo, pb.sig_lo))
+      <= {max_hamming}
+ORDER BY id_a, id_b
+"""
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,7 +630,8 @@ ORACLE_SQL = {
     "corpus_prepare": _CORPUS_PREPARE_SQL,
     "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
-    # dedup_minhash_lsh / dedup_simhash: rows-only (xxhash64-based)
+    "dedup_minhash_lsh": _minhash_oracle_sql(),
+    "dedup_simhash": _simhash_oracle_sql(),
     "dedup_ngram_jaccard": _DEDUP_NGRAM_SQL,
     "sim_topk": _SIM_TOPK_SQL,
     "sim_ivf_topk": _SIM_IVF_SQL,

@@ -57,9 +57,10 @@ PLANNED_IDS = {
     "sim_pq_adc",
 }
 
-# ops whose oracle is intentionally absent (non-SQL-expressible hashing /
-# different sketch families) — everything else MUST be oracle-checked
-ROWS_ONLY_ALLOWED = {"dedup_minhash_lsh", "dedup_simhash", "agg_approx_percentile"}
+# ops whose oracle is intentionally absent (different sketch family than
+# any SQL engine) — everything else MUST be oracle-checked.  MinHash and
+# SimHash graduated to full oracles in r4 (md5-derived shared base hash).
+ROWS_ONLY_ALLOWED = {"agg_approx_percentile"}
 
 
 def test_every_planned_id_is_registered():
