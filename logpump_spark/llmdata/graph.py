@@ -14,13 +14,17 @@ shuffle-friendly CC for data too big for one machine:
 - small-star: every node connects its smaller-or-equal neighbors to the
   minimum of its neighborhood.
 
-Both steps are one groupBy(min) + one join — two shuffles per round, no
-adjacency materialization beyond the edge list itself, and the edge
-count never grows above the input edge count.  Convergence is
-O(log^2 n) rounds worst-case and 2-4 rounds on real near-dup graphs
-(components are small and star-like).  At convergence every component
-is a star centered on its minimum id, so labels fall out of the edge
-list directly.
+Each star is ONE window-min over the node key plus the output distinct —
+two shuffles — instead of the groupBy+join+distinct formulation (the
+min over a neighborhood multiset equals the min over its set, so the
+pre-join distincts the textbook shape needs are dropped and dedup
+happens once, on the output).  Iterative rounds are dominated by fixed
+per-stage overhead, so fewer shuffles per round is what makes the loop
+cheap at ANY data size.  The edge count never grows above the input
+edge count.  Convergence is O(log^2 n) rounds worst-case and 2-4 rounds
+on real near-dup graphs (components are small and star-like).  At
+convergence every component is a star centered on its minimum id, so
+labels fall out of the edge list directly.
 
 Each round ``localCheckpoint``s the new edge set: iterative DataFrame
 loops otherwise stack lineage until planning itself dominates (the
@@ -29,20 +33,20 @@ classic iterative-algorithm trap on Spark).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
 def _large_star(e: DataFrame) -> DataFrame:
     """(u,v) edges (any direction) -> edges connecting each node's larger
-    neighbors to min(neighborhood ∪ {self})."""
-    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    mins = und.groupBy("u").agg(F.min("v").alias("mn"))
-    m = F.least(F.col("u"), F.col("mn"))
+    neighbors to min(neighborhood ∪ {self}).  One window-min shuffle +
+    the output distinct."""
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mn = F.least(F.col("u"), F.min("v").over(W.partitionBy("u")))
     return (
-        und.join(mins, "u")
+        und.withColumn("m", mn)
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), m.alias("v"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -50,17 +54,16 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Directed (larger -> smaller) edges -> edges connecting each node's
-    smaller neighbors (and itself) to min(neighborhood)."""
-    d = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    smaller neighbors (and itself) to min(neighborhood).  One window-min
+    shuffle + the output distinct."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).filter(
+        F.col("u") != F.col("v")
     )
-    j = d.join(d.groupBy("u").agg(F.min("v").alias("mn")), "u")
+    j = d.withColumn("mn", F.min("v").over(W.partitionBy("u")))
     nbr = j.filter(F.col("v") != F.col("mn")).select(
         F.col("v").alias("u"), F.col("mn").alias("v")
     )
-    own = j.select("u", F.col("mn").alias("v")).distinct()
+    own = j.select("u", F.col("mn").alias("v"))
     return nbr.union(own).filter(F.col("u") != F.col("v")).distinct()
 
 
