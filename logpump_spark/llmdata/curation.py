@@ -75,3 +75,70 @@ def stratified_sample(
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= F.ceil(F.col("strat_n") * F.lit(frac)))
     )
+
+
+def decontaminate_ngram_overlap(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    k-token shingle with an evaluation set (the standard pretraining
+    hygiene step — eval text must not leak into training data).
+
+    Returns (id_col, n_hits) for contaminated corpus docs only —
+    n_hits = number of DISTINCT shingles of the doc that appear anywhere
+    in the eval set.
+
+    Scale shape: shingles are md5-derived 60-bit ints (8-byte keys, and
+    the exact hash a SQL oracle replays — dedup.md5_hash60); the eval
+    shingle set is tiny relative to the corpus and BROADCAST, so the
+    corpus side is one scan + explode + broadcast-semi-join + one
+    grouped count.  No corpus self-join, no shuffle of corpus text."""
+    from .dedup import md5_hash60, shingles_col
+
+    def _shingle_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_col(tokens_col(text_col), k))).alias(
+                "s"
+            ),
+        ).select(F.col(id_col), md5_hash60(F.col("s")).alias("h"))
+
+    eval_hashes = _shingle_hashes(eval_docs).select("h").distinct()
+    corpus = _shingle_hashes(docs)
+    return (
+        corpus.join(F.broadcast(eval_hashes), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def corpus_vocab_topk(
+    docs: DataFrame,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary statistics: the ``top_k`` tokens by total
+    occurrence count, with document frequency — the vocabulary-building
+    / Zipf-inspection pass every tokenizer pipeline starts from.
+
+    One explode + one grouped aggregation (count + exact distinct doc
+    count, partial map-side) + a distributed top-k (TakeOrdered, no
+    global sort).  Ties break on the token string so ranks are
+    deterministic in any engine."""
+    tok = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+    )
+    w = W.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        stats.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "token", "n_occurrences", "n_docs")
+    )

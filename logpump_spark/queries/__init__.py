@@ -17,6 +17,7 @@ from . import (
     analytics_q,
     coverage2_q,
     coverage_q,
+    curation2_q,
     curation_q,
     functions2_q,
     functions3_q,
@@ -49,6 +50,7 @@ _MODULES = (
     relational2_q,
     functions2_q,
     functions3_q,
+    curation2_q,  # r4 additions — rotate into the window next round
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50

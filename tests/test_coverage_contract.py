@@ -54,7 +54,8 @@ PLANNED_IDS = {
     "text_quality_gopher", "text_repetition", "text_pii_scrub",
     "embed_quantize_sq8",
     # r4 additions
-    "sim_pq_adc",
+    "sim_pq_adc", "text_decontaminate", "corpus_vocab",
+    "quality_decile_by_lang",
 }
 
 # ops whose oracle is intentionally absent (different sketch family than

@@ -139,3 +139,39 @@ def test_sessionize_exact_gap_is_same_session(spark):
     rows = [(1, 1, t0), (2, 1, t0 + dt.timedelta(minutes=30))]
     ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
     assert sessionize(ev, gap_minutes=30).agg(F.max("session_no")).first()[0] == 1
+
+
+def test_decontaminate_planted_overlap(spark):
+    from logpump_spark.llmdata.curation import decontaminate_ngram_overlap
+
+    eval_docs = spark.createDataFrame(
+        [(1000, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the 4-gram "secret benchmark answer is" -> hit
+            (1, "we know the secret benchmark answer is forty something"),
+            # shares tokens but never 4 consecutive ones -> clean
+            (2, "benchmark the answer secret is forty two"),
+            (3, "totally unrelated text about spark shuffles here"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in decontaminate_ngram_overlap(corpus, eval_docs, k=4).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits and 3 not in hits
+
+
+def test_corpus_vocab_exact_counts_and_rank(spark):
+    from logpump_spark.llmdata.curation import corpus_vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "c a")],
+        "doc_id long, text string",
+    )
+    rows = corpus_vocab_topk(docs, top_k=2).collect()
+    assert [(r.rank, r.token, r.n_occurrences, r.n_docs) for r in rows] == [
+        (1, "a", 4, 3),
+        (2, "b", 3, 2),
+    ]
