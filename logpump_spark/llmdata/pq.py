@@ -8,14 +8,19 @@ corpus vector is the sum of precomputed query-to-centroid subdistances —
 a table lookup per subspace instead of a 64-dim scan.
 
 Like ``similarity.fit_ivf``, the whole fit runs in the floor(x*1e6)
-integer domain with deterministic init (first ``k`` ids) and tie-breaks
-(smallest centroid id), so a SQL oracle replays the exact codebooks,
-codes, and ADC rankings — no RNG, no float accumulation order anywhere.
+integer domain with deterministic rank-order init (first ``k`` ids) and
+tie-breaks (smallest centroid id), so a SQL oracle replays the exact
+codebooks, codes, and ADC rankings — no RNG, no float accumulation
+order anywhere.
 
-Scale shape:
-- fit: per iteration one corpus scan + one (m, cell, pos)-grouped
-  aggregation; centroids (n_sub * k rows) stay broadcast;
-- encode: corpus x broadcast-centroids, argmin per (vector, subspace);
+Scale shape (mirrors fit_ivf):
+- centroids live on the DRIVER between Lloyd iterations (n_sub x k
+  rows — bounded), so each iteration is ONE fused mapInPandas corpus
+  pass (numpy assignment + per-batch partial sums over every subspace)
+  plus an (n_sub*k*width)-row aggregation — no corpus crossJoin, no
+  interpreted per-element arithmetic, no recursive plan replayed per
+  action;
+- encode: one Arrow-batched pass emitting ``n_sub`` codes per vector;
 - ADC search: the distance TABLE (queries x n_sub x k rows) is computed
   once against centroids and broadcast; the corpus side only joins its
   codes to the table — per corpus row it's n_sub lookups, never a
@@ -24,47 +29,26 @@ Scale shape:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .similarity import _sqdist, quantize
+from .similarity import _np_quantize, _sqdist, quantize
 
 
-def _subvectors(
-    emb: DataFrame,
-    n_sub: int,
-    width: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(_id, m, sq): quantized subvector m of every vector."""
-    q = quantize(F.col(vec_col))
-    parts = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"), F.slice(q, m * width + 1, width).alias("sq")
-            )
-            for m in range(n_sub)
-        ]
-    )
-    return (
-        emb.filter(F.size(F.col(vec_col)) == n_sub * width)
-        .select(F.col(id_col).alias("_id"), F.explode(parts).alias("p"))
-        .select("_id", "p.m", "p.sq")
-    )
-
-
-def _assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment per (vector, subspace); ties to the
-    smallest centroid id (lexicographic min over (dist, cid))."""
-    d = sub.join(F.broadcast(cent), "m").select(
-        "_id", "m", "cid", _sqdist("sq", "c").alias("dist")
-    )
-    return (
-        d.groupBy("_id", "m")
-        .agg(F.min(F.struct("dist", "cid")).alias("mm"))
-        .select("_id", "m", F.col("mm.cid").alias("cell"))
-    )
+def _np_sub_cells(
+    S: np.ndarray, cent: dict[int, tuple[np.ndarray, np.ndarray]]
+) -> dict[int, np.ndarray]:
+    """Per-subspace nearest-centroid cells for a (b, n_sub, w) block;
+    exact int64 distances, ties to the smallest cid (cids ascending +
+    argmin-takes-first)."""
+    out = {}
+    for m, (cids, C) in cent.items():
+        d2 = ((S[:, m, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        out[m] = cids[np.argmin(d2, axis=1)]
+    return out
 
 
 def fit_pq(
@@ -82,50 +66,108 @@ def fit_pq(
     codes per vector; centroids = (m, cid, c: array<long>).  Same exact
     integer arithmetic as ``fit_ivf`` (floored integer means, (dist, cid)
     tie-break); init = the ``k`` smallest-id vectors in RANK order
-    (cid = rank-1, so ids need not be contiguous).
-
-    Like ``fit_ivf``, centroids live on the DRIVER between iterations
-    (n_sub x k rows — bounded), so each iteration is one corpus scan
-    against a literal broadcast instead of a recursive plan replayed per
-    action."""
+    (cid = rank-1, so ids need not be contiguous)."""
     spark = emb.sparkSession
     width = dim // n_sub
-    sub = _subvectors(emb, n_sub, width, id_col, vec_col)
-    init_ids = [
-        r._id for r in sub.select("_id").distinct().orderBy("_id").limit(k).collect()
-    ]
-    if len(init_ids) < k:
+    base = emb.filter(F.size(F.col(vec_col)) == dim)
+    init_rows = (
+        base.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+        .orderBy("_id")
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
         raise ValueError(
             f"fit_pq: need >= {k} vectors to seed {k} centroids per subspace, "
-            f"got {len(init_ids)}"
+            f"got {len(init_rows)}"
         )
-    rank = {i: n for n, i in enumerate(init_ids)}
-    init = sub.filter(F.col("_id").isin(init_ids)).collect()
+    # driver-side quantization of k tiny init vectors — same floor(x*1e6)
+    # int64 math as the executor path
+    Q0 = np.vstack(
+        [
+            np.floor(np.asarray(r.v, dtype=np.float64) * 1_000_000).astype(np.int64)
+            for r in init_rows
+        ]
+    ).reshape(k, n_sub, width)
+    cent: dict[int, tuple[np.ndarray, np.ndarray]] = {
+        m: (np.arange(k, dtype=np.int64), Q0[:, m, :].copy()) for m in range(n_sub)
+    }
 
-    def _cent_df(rows: list[tuple[int, int, list[int]]]) -> DataFrame:
-        return spark.createDataFrame(rows, "m int, cid long, c array<long>")
-
-    cent = _cent_df(sorted((int(r.m), rank[r._id], list(r.sq)) for r in init))
+    vec_only = base.select(F.col(vec_col))
     for _ in range(iters):
-        assigned = _assign(sub, cent)
+        snapshot = {m: (c[0].copy(), c[1].copy()) for m, c in cent.items()}
+
+        def _partials(batches, _cent=snapshot):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                S = _np_quantize(pdf[vec_col]).reshape(len(pdf), n_sub, width)
+                cells = _np_sub_cells(S, _cent)
+                for m in range(n_sub):
+                    for cell in np.unique(cells[m]):
+                        mask = cells[m] == cell
+                        s = S[mask, m, :].sum(axis=0, dtype=np.int64)
+                        yield pd.DataFrame(
+                            {
+                                "m": np.full(width, m, dtype=np.int64),
+                                "cell": np.full(width, cell, dtype=np.int64),
+                                "pos": np.arange(width, dtype=np.int64),
+                                "s": s,
+                                "n": np.full(width, int(mask.sum()), dtype=np.int64),
+                            }
+                        )
+
         updated = (
-            assigned.join(sub, ["_id", "m"])
-            .select("m", "cell", F.posexplode("sq").alias("pos", "val"))
+            vec_only.mapInPandas(_partials, "m long, cell long, pos long, s long, n long")
             .groupBy("m", "cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            # exact integer mean, floored: long/long division is double in
+            # Spark and DuckDB alike, operands are exact -> identical
             .withColumn("cv", F.floor(F.col("s") / F.col("n")).cast("long"))
-            .groupBy("m", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
-            .select(
-                "m",
-                F.col("cell").alias("cid"),
-                F.transform("pc", lambda x: x["cv"]).alias("c"),
-            )
             .collect()
         )
-        cent = _cent_df(sorted((int(r.m), int(r.cid), list(r.c)) for r in updated))
-    codes = _assign(sub, cent)
-    return codes, cent
+        by_mc: dict[tuple[int, int], dict[int, int]] = {}
+        for r in updated:
+            by_mc.setdefault((int(r.m), int(r.cell)), {})[int(r.pos)] = int(r.cv)
+        cent = {}
+        for m in range(n_sub):
+            pairs = sorted(
+                (cell, [d[p] for p in sorted(d)])
+                for (mm, cell), d in by_mc.items()
+                if mm == m
+            )
+            cent[m] = (
+                np.array([c for c, _ in pairs], dtype=np.int64),
+                np.array([v for _, v in pairs], dtype=np.int64),
+            )
+
+    final_cent = {m: (c[0].copy(), c[1].copy()) for m, c in cent.items()}
+
+    def _codes_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            S = _np_quantize(pdf[vec_col]).reshape(len(pdf), n_sub, width)
+            cells = _np_sub_cells(S, final_cent)
+            ids = pdf["_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, n_sub),
+                    "m": np.tile(np.arange(n_sub, dtype=np.int64), len(pdf)),
+                    "cell": np.stack([cells[m] for m in range(n_sub)], axis=1).ravel(),
+                }
+            )
+
+    codes = base.select(F.col(id_col).alias("_id"), F.col(vec_col)).mapInPandas(
+        _codes_gen, "_id long, m long, cell long"
+    )
+    cent_rows = [
+        (m, int(cid), [int(x) for x in vec])
+        for m in range(n_sub)
+        for cid, vec in zip(cent[m][0], cent[m][1])
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "m long, cid long, c array<long>")
+    return codes, cent_df
 
 
 def pq_adc_topk(
@@ -146,9 +188,19 @@ def pq_adc_topk(
     integer ADC distance, ties to the smaller neighbor id."""
     width = dim // n_sub
     codes, cent = fit_pq(emb, n_sub, k, iters, id_col, vec_col, dim)
-    sub = _subvectors(emb, n_sub, width, id_col, vec_col)
-    qsub = sub.filter(F.col("_id").isin(query_ids)).select(
-        F.col("_id").alias("query_id"), "m", F.col("sq").alias("qsq")
+    q = quantize(F.col(vec_col))
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"), F.slice(q, m * width + 1, width).alias("sq")
+            )
+            for m in range(n_sub)
+        ]
+    )
+    qsub = (
+        emb.filter(F.col(id_col).isin(query_ids) & (F.size(F.col(vec_col)) == dim))
+        .select(F.col(id_col).alias("query_id"), F.explode(parts).alias("p"))
+        .select("query_id", "p.m", F.col("p.sq").alias("qsq"))
     )
     dtable = qsub.join(F.broadcast(cent), "m").select(
         "query_id", "m", F.col("cid").alias("cell"), _sqdist("qsq", "c").alias("d")
