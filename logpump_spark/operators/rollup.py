@@ -79,6 +79,9 @@ def upsert_rollup(
         current = current.withColumn(
             partition_col, F.col(partition_col).cast(tgt_type)
         )
+        # driver-side collect is CARDINALITY-BOUNDED: distinct partition
+        # values touched by ONE micro-batch (dates, typically 1-2) —
+        # never proportional to row count
         touched = [
             r[0] for r in new_states.select(partition_col).distinct().collect()
         ]

@@ -114,6 +114,9 @@ def compact_partitions(
         df = df.filter(partition_filter)
     has_epoch = "_epoch" in df.columns
     if not has_epoch:
+        # driver-side collect is CARDINALITY-BOUNDED: distinct (_table,
+        # EventDate) is |tables| x |dates| (a few x thousands at 100 TB),
+        # never proportional to row count
         parts = [
             (r._table, str(r.EventDate))
             for r in df.select("_table", "EventDate").distinct().collect()
@@ -233,6 +236,7 @@ def compact_partitions(
         if partition_filter:
             df = df.filter(partition_filter)
 
+    # bounded the same way: tables x dates x epochs-since-last-compaction
     epochs = [
         (r._table, str(r.EventDate), int(r._epoch))
         for r in df.select("_table", "EventDate", "_epoch").distinct().collect()
