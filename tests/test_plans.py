@@ -124,3 +124,39 @@ def test_sq8_encode_is_single_arrow_projection(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Generate" not in final
     assert "Join" not in final
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    # the eval shingle set must BROADCAST; the corpus side must never
+    # sort-merge (a corpus-wide shuffle on shingle hash would dominate
+    # at 100 TB)
+    from logpump_spark.queries.curation2_q import text_decontaminate
+
+    df = text_decontaminate(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_vocab_uses_distributed_topk(spark):
+    # top-k via TakeOrderedAndProject, not a global Sort of the full
+    # vocabulary
+    from logpump_spark.queries.curation2_q import corpus_vocab
+
+    df = corpus_vocab(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_codes_are_arrow_batched(spark):
+    # the PQ corpus encode is Arrow-batched python (mapInPandas), never
+    # row-at-a-time UDF evaluation
+    from logpump_spark.queries.pq_q import sim_pq_adc
+
+    df = sim_pq_adc(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # the row-at-a-time slow path
