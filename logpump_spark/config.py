@@ -123,6 +123,10 @@ def load_config(path: str) -> PumpConfig:
         batch_size=int(data.get("BatchSize", 100)),
         batch_interval=int(data.get("BatchInterval", 20)),
         rescan_interval=int(data.get("RescanInterval", 20)),
+        # extension key (the reference has no checkpoint concept — its
+        # offset store is ProcessedStorage); optional, defaults to the
+        # CWD-relative _checkpoints/techlog
+        checkpoint_dir=data.get("CheckpointDir", "_checkpoints/techlog"),
         clickhouse=ClickHouseConfig(
             address=ch.get("Address", ""),
             username=ch.get("Username", ""),

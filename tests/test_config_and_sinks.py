@@ -40,6 +40,14 @@ def test_load_config_roundtrip(tmp_path):
     assert cfg.batch_size == 100 and cfg.batch_interval == 20
     assert cfg.clickhouse.database == "logs_db"
     assert cfg.clickhouse.table_map["EXCP"] == "tech_log_errors"
+    # extension key absent -> CWD-relative default
+    assert cfg.checkpoint_dir == "_checkpoints/techlog"
+
+
+def test_config_checkpoint_dir_extension_key(tmp_path):
+    p = tmp_path / "config.yaml"
+    p.write_text(CONFIG_YAML + 'CheckpointDir: "/var/ckpt/techlog"\n')
+    assert load_config(str(p)).checkpoint_dir == "/var/ckpt/techlog"
 
 
 def test_config_validation(tmp_path):
