@@ -1,6 +1,7 @@
-"""Behavioral tests for the LLM-data operators — especially the
-rows-only-checked ones (MinHash, SimHash), which get planted-duplicate
-recall assertions here since the DuckDB oracle can't cover them."""
+"""Behavioral tests for the LLM-data operators: planted-duplicate
+recall, ANN-degenerates-to-exact bounds, fit determinism, and the
+cross-engine md5 hash-parity pin that the MinHash/SimHash/decontaminate
+oracles stand on."""
 
 from __future__ import annotations
 
@@ -259,3 +260,31 @@ def test_frame_sampling(spark, docs):
     one = [r for r in frames if r.media_id == 4]
     # n_bytes=66 -> offsets 0,20,40,60
     assert [r.byte_offset for r in sorted(one, key=lambda r: r.frame_no)] == [0, 20, 40, 60]
+
+
+def test_md5_hash60_cross_engine_equality(spark):
+    # three oracles (minhash, simhash, decontaminate) stand on Spark and
+    # DuckDB agreeing bit-for-bit on the md5-derived 60-bit hash; pin
+    # that over awkward inputs (unicode, quotes, empty-ish, long)
+    import duckdb
+
+    from logpump_spark.llmdata.dedup import md5_hash60
+
+    samples = [
+        "plain shingle text",
+        "tabs\tand  double  spaces",
+        "quote's and \"doubles\"",
+        "unicode: café 日本語 ßŁ",
+        "x",
+        " ",
+        "a" * 500,
+        "1,2,3,4",  # the band-string shape
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r.s: r.h for r in df.select("s", md5_hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        (want,) = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 2, 15)) AS BIGINT)", [s]
+        ).fetchone()
+        assert got[s] == want, f"hash divergence for {s!r}"
