@@ -106,10 +106,22 @@ def main() -> None:
         "embed_quantize_sq8",  # range stats collect at construction (r4)
     }
 
+    # The parse plane's generated projection is enormous; HotSpot's C2
+    # OSR compile of it runs for tens of seconds, during which the 32
+    # executor threads execute interpreted at 10-20x slow-down — cold
+    # runs measured 5-80s for a 5s steady-state query, pure JIT noise
+    # (steal time ~0, no cgroup throttling, codegen-off is slower AND
+    # still erratic).  Run the pathological queries untimed at the
+    # TARGET sf until the compile queue drains, then time steady-state
+    # throughput — the number that says something about the engine.
+    slow_warmup = {"parse_scaled": 2}
+
     import gc
 
     timings: dict[str, float] = {}
     for name in names:
+        for _ in range(slow_warmup.get(name, 0)):
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         if name in eager_construction:
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
