@@ -3,14 +3,17 @@ repetition ratios, and PII detection/redaction.
 
 These are the cheap high-throughput gates a training-data pipeline runs
 BEFORE expensive dedup/scoring stages (the rule set follows the
-published Gopher/C4 heuristics).  Everything is pure Column expressions
-— one whole-stage-codegen'd projection pass for the rule gates and PII,
-and a single explode + two-level aggregation for the repetition ratios.
-No UDFs, no collect; every count is an exact integer and every ratio a
-single IEEE division, so results are engine-reproducible bit-for-bit.
+published Gopher/C4 heuristics).  The rule gates and PII are pure
+Column expressions — one whole-stage-codegen'd projection pass — and
+the repetition ratios are one Arrow-batched projection (per-doc stats
+need no shuffle).  No collect; every count is an exact integer and
+every ratio a single IEEE division, so results are engine-reproducible
+bit-for-bit.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -68,18 +71,6 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _bigrams(toks: Column) -> Column:
-    """Overlapping word bigrams; docs under 2 words contribute none.
-    (sequence(1, 0) would count DOWN in Spark, so the n < 2 case must be
-    short-circuited, not clamped.)"""
-    n = F.size(toks)
-    pairs = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
-    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
-
-
 def repetition_ratios(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -88,48 +79,55 @@ def repetition_ratios(
     - ``dup_bigram_char_frac``: fraction of bigram characters that sit in
       bigrams occurring ≥2 times in the doc (the Gopher dup-ngram rule);
     - ``top_word_frac``: share of the single most frequent word;
-    both as exact-integer numerators/denominators plus one division.
+    both as exact-integer numerators/denominators plus one division
+    (done as a Column expression so the IEEE op matches the oracle's).
 
-    Scale shape: the (doc, gram) explode is the only big intermediate;
-    the per-(doc, gram) count is partial-aggregated map-side before its
-    one shuffle on ``id_col``, and the second aggregation reuses the same
-    hash partitioning (Catalyst elides the exchange).
-    """
-    toks = tokens_col(text_col)
-    # two independent explodes in one select would cross-product; derive
-    # them separately, each its own aggregation over the same shuffle key
-    bi = (
-        df.select(F.col(id_col), F.explode(_bigrams(toks)).alias("gram"))
-        .select(id_col, "gram", F.length("gram").alias("glen"))
-        .groupBy(id_col, "gram", "glen")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("cnt") * F.col("glen")).alias("bigram_chars"),
-            F.sum(
-                F.when(F.col("cnt") >= 2, F.col("cnt") * F.col("glen")).otherwise(0)
-            ).alias("dup_bigram_chars"),
-        )
+    Scale shape: every statistic here is a function of ONE document, so
+    the operator needs NO shuffle at all — one Arrow-batched projection
+    computes the exact integer counts per doc (Python Counter over the
+    same split/concat semantics as the SQL oracle).  The previous shape
+    exploded corpus x grams through two grouped aggregations; at 100 TB
+    that shuffle dominates and carries data that never leaves its own
+    document.  Docs under 2 words emit no row (no bigrams — mirroring
+    the oracle's inner join of the bigram and word aggregates)."""
+
+    @F.pandas_udf(
+        "bigram_chars long, dup_bigram_chars long, top_word_cnt long, n_words long"
     )
-    wd = (
-        df.select(F.col(id_col), F.explode(toks).alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col)
-        .agg(F.max("cnt").alias("top_word_cnt"), F.sum("cnt").alias("n_words"))
-    )
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        cols: dict[str, list[int]] = {
+            "bigram_chars": [],
+            "dup_bigram_chars": [],
+            "top_word_cnt": [],
+            "n_words": [],
+        }
+        for t in texts:
+            words = ("" if t is None else t).split(" ")
+            bc = Counter(a + " " + b for a, b in zip(words, words[1:]))
+            cols["bigram_chars"].append(sum(len(g) * c for g, c in bc.items()))
+            cols["dup_bigram_chars"].append(
+                sum(len(g) * c for g, c in bc.items() if c >= 2)
+            )
+            wc = Counter(words)
+            cols["top_word_cnt"].append(max(wc.values()))
+            cols["n_words"].append(len(words))
+        return pd.DataFrame(cols)
+
     return (
-        bi.join(wd, id_col)
+        df.filter(F.size(tokens_col(text_col)) >= 2)
+        .select(F.col(id_col), _rep(F.col(text_col)).alias("_r"))
         .select(
             id_col,
-            "bigram_chars",
-            "dup_bigram_chars",
-            (F.col("dup_bigram_chars") / F.col("bigram_chars")).alias(
+            "_r.bigram_chars",
+            "_r.dup_bigram_chars",
+            (F.col("_r.dup_bigram_chars") / F.col("_r.bigram_chars")).alias(
                 "dup_bigram_char_frac"
             ),
-            "top_word_cnt",
-            "n_words",
-            (F.col("top_word_cnt") / F.col("n_words")).alias("top_word_frac"),
+            "_r.top_word_cnt",
+            "_r.n_words",
+            (F.col("_r.top_word_cnt") / F.col("_r.n_words")).alias("top_word_frac"),
         )
     )
 
