@@ -14,6 +14,9 @@ Scale notes (the whole point of these over naive pairwise):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,25 +71,44 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = 32
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
-    pi_i(xxhash64(shingle)) with pi_i(h) = (a_i*h + b_i) mod p.
+    pi_i(md5_hash60(shingle) mod p) with pi_i(h) = (a_i*h + b_i) mod p.
 
-    ONE string hash per shingle + n cheap integer permutations — at 100 TB
-    this is n_hashes-1 fewer string hashes per shingle than hashing with
-    per-permutation seeds.  One explode + one grouped aggregation; the
-    shuffle carries (doc, shingle) rows only."""
-    h32 = F.pmod(md5_hash60(F.col("shingle")), F.lit(_MH_P))
-    sh = df.select(
-        F.col(id_col), F.explode(shingles_col(tokens_col(text_col))).alias("shingle")
-    ).select(F.col(id_col), h32.alias("h"))
-    # plain % (not pmod): a>0, h>=0, b>=0 makes the operand nonnegative,
-    # and % is one modulo where pmod is two
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MH_PARAMS[:n_hashes])
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[f"mh{i}" for i in range(n_hashes)]).alias("signature")
+    A signature is a function of ONE document, so this is a single
+    Arrow-batched projection — no corpus x shingle explode, no shuffle
+    (the old shape shuffled (doc, shingle) rows corpus-wide for a
+    per-doc aggregate).  hashlib.md5 produces the identical digest to
+    Spark's md5()/DuckDB's md5(), so the values stay exactly the
+    oracle-replayable md5_hash60 domain; the n permutations are one
+    numpy (n_hashes x n_shingles) int64 matrix op (a<2^30, h<2^32 keeps
+    products under 2^62)."""
+    import hashlib
+
+    A = np.array([a for a, _ in _MH_PARAMS[:n_hashes]], dtype=np.int64)
+    B = np.array([b for _, b in _MH_PARAMS[:n_hashes]], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = t.split(" ")
+            # overlapping 3-token shingles; short docs contribute their
+            # full token string (same clamp as shingles_col); the SET is
+            # fine — min over a multiset equals min over its set
+            shingles = {
+                " ".join(words[i : i + 3]) for i in range(max(len(words) - 2, 1))
+            }
+            H = np.array(
+                [
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[1:16], 16) % _MH_P
+                    for s in shingles
+                ],
+                dtype=np.int64,
+            )
+            out.append(((A[:, None] * H[None, :] + B[:, None]) % _MH_P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _sig(F.col(text_col)).alias("signature")
     )
 
 
@@ -187,35 +209,35 @@ def simhash_parts(
 
     The token hash is the md5-derived pair (hi = hex chars 1-8, lo =
     chars 9-16) so the DuckDB oracle replays identical signatures; the
-    halves avoid 1<<63, which ANSI engines reject as overflow.  One
-    explode + 64 conditional-sum aggregates in a single grouped pass
-    (Catalyst fuses them into one HashAggregate)."""
-    tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
-    md5c = F.md5("tok")
-    lo = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
-    hi = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(lo if i < 32 else hi, i % 32).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sums = tok.groupBy(id_col).agg(*aggs)
+    halves avoid 1<<63, which ANSI engines reject as overflow.
 
-    def _half(lo_bit: int) -> Column:
-        sig = None
-        for i in range(32):
-            bit = F.when(F.col(f"b{lo_bit + i}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            term = F.shiftleft(bit, i)
-            sig = term if sig is None else sig.bitwiseOR(term)
-        return sig
+    A signature is a function of ONE document, so this is a single
+    Arrow-batched projection (numpy bit-sums over the token-hash
+    matrix) — no corpus x token explode, no 64-aggregate shuffle."""
+    import hashlib
 
-    return sums.select(
-        id_col, _half(32).alias("sig_hi"), _half(0).alias("sig_lo")
+    shifts = np.arange(32, dtype=np.int64)
+    weights = (np.int64(1) << shifts)
+
+    @F.pandas_udf("sig_hi long, sig_lo long")
+    def _sig(texts: pd.Series) -> pd.DataFrame:
+        his, los = [], []
+        for t in texts:
+            words = t.split(" ")
+            digests = [hashlib.md5(w.encode("utf-8")).hexdigest() for w in words]
+            hi = np.array([int(d[0:8], 16) for d in digests], dtype=np.int64)
+            lo = np.array([int(d[8:16], 16) for d in digests], dtype=np.int64)
+            # per bit: sum of +-1 over tokens; sign -> signature bit
+            b_lo = (2 * ((lo[:, None] >> shifts) & 1) - 1).sum(axis=0)
+            b_hi = (2 * ((hi[:, None] >> shifts) & 1) - 1).sum(axis=0)
+            los.append(int(((b_lo > 0) * weights).sum()))
+            his.append(int(((b_hi > 0) * weights).sum()))
+        return pd.DataFrame({"sig_hi": his, "sig_lo": los})
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), _sig(F.col(text_col)).alias("_s"))
+        .select(id_col, "_s.sig_hi", "_s.sig_lo")
     )
 
 
