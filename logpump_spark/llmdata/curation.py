@@ -142,3 +142,49 @@ def corpus_vocab_topk(
         .withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "n_occurrences", "n_docs")
     )
+
+
+def top_p_by_score(
+    df: DataFrame,
+    p_pct: int = 10,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT top-``p_pct``% selection by (score DESC, id ASC) — the
+    scale-safe shape: a global ntile/rank funnels the whole corpus
+    through one ordered partition, so instead
+
+    1. build the score HISTOGRAM (|distinct scores| rows — tiny);
+    2. walk it once (window over the histogram, not the corpus) to find
+       the cutoff score and how many rows to admit AT the cutoff;
+    3. broadcast the 1-row cutoff: rows above it pass outright, and only
+       the cutoff-value rows — the single heavy-tie group — are ranked
+       by id to fill the remainder.
+
+    target = ceil(n * p/100) in exact integer arithmetic, so any SQL
+    engine replays the identical selection."""
+    hist = df.groupBy(F.col(score_col).alias("s")).agg(F.count(F.lit(1)).alias("cnt"))
+    w_desc = W.orderBy(F.col("s").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = hist.agg(F.sum("cnt").alias("n"))
+    cut = (
+        hist.withColumn("cum", F.sum("cnt").over(w_desc))
+        .crossJoin(F.broadcast(total))
+        .withColumn("target", F.expr(f"(n * {p_pct} + 99) DIV 100"))
+        .filter(F.col("cum") >= F.col("target"))
+        .orderBy(F.col("s").desc())
+        .limit(1)
+        .select(
+            F.col("s").alias("cut_score"),
+            (F.col("target") - (F.col("cum") - F.col("cnt"))).alias("k_at_cut"),
+        )
+    )
+    j = df.crossJoin(F.broadcast(cut))
+    above = j.filter(F.col(score_col) > F.col("cut_score")).select(id_col, score_col)
+    w_cut = W.orderBy(F.col(id_col).asc())
+    at_cut = (
+        j.filter(F.col(score_col) == F.col("cut_score"))
+        .withColumn("_rn", F.row_number().over(w_cut))
+        .filter(F.col("_rn") <= F.col("k_at_cut"))
+        .select(id_col, score_col)
+    )
+    return above.unionByName(at_cut)

@@ -107,13 +107,135 @@ SELECT doc_id, lang, n_chars, decile FROM (
 ) WHERE decile = 1 ORDER BY doc_id
 """
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivor-selection step that completes the dedup story
+    (detect -> cluster -> KEEP ONE): per duplicate cluster (same edge
+    rule + connected components as `dedup_components`), keep the doc
+    with the most content, ties to the smallest id.  Emits one row per
+    cluster with the winner and member count."""
+    from ..llmdata.dedup import ngram_jaccard_pairs
+    from ..llmdata.graph import connected_components
+    from .curation_q import _docs_with_planted_dups
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    labels = connected_components(edges, "id_a", "id_b")
+    labeled = (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            "n_chars",
+        )
+    )
+    w = W.partitionBy("component")
+    wo = w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        labeled.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "n_members",
+        )
+        .orderBy("component")
+    )
+
+
+# same recursive-closure oracle as dedup_components, extended with the
+# per-cluster winner pick
+_DEDUP_CANONICAL_SQL = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source, n_chars
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+),
+tok AS (
+  SELECT doc_id, source, n_chars, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM docs
+),
+sizes AS (
+  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_tok FROM docs
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM tok a JOIN tok b
+    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 20
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE n_shared / (na.n_tok + nb.n_tok - n_shared) >= 0.2
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION
+  SELECT id_b AS u, id_a AS v FROM edges
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT w.node, e.v FROM reach w JOIN und e ON e.u = w.r
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id, c.component, d.n_chars
+  FROM docs d JOIN comp c ON c.doc_id = d.doc_id
+),
+win AS (
+  SELECT component, doc_id AS keep_id, n_chars AS keep_n_chars,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS n_members
+  FROM lab
+)
+SELECT component, keep_id, keep_n_chars, n_members
+FROM win WHERE rn = 1 ORDER BY component
+"""
+
+_TOPP_PCT = 10
+
+
+def sample_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10% of docs by (n_chars DESC, doc_id ASC) via the
+    histogram-cutoff shape (llmdata/curation.py top_p_by_score) — the
+    scale-safe alternative to a global rank the quality-decile docstring
+    points at."""
+    from ..llmdata.curation import top_p_by_score
+
+    docs = load(spark, sf_dir, "documents")
+    return top_p_by_score(docs, p_pct=_TOPP_PCT).orderBy("doc_id")
+
+
+# the oracle states the SPEC (global rank); the Spark side implements
+# the scale shape — identical selections by construction
+_SAMPLE_TOPP_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+),
+t AS (SELECT (COUNT(*) * {_TOPP_PCT} + 99) // 100 AS target FROM documents)
+SELECT doc_id, n_chars FROM ranked, t WHERE rn <= target ORDER BY doc_id
+"""
+
 SPARK_QUERIES = {
     "text_decontaminate": text_decontaminate,
     "corpus_vocab": corpus_vocab,
     "quality_decile_by_lang": quality_decile_by_lang,
+    "dedup_canonical": dedup_canonical,
+    "sample_topp": sample_topp,
 }
 ORACLE_SQL = {
     "text_decontaminate": _DECONTAMINATE_SQL,
     "corpus_vocab": _CORPUS_VOCAB_SQL,
     "quality_decile_by_lang": _QUALITY_DECILE_SQL,
+    "dedup_canonical": _DEDUP_CANONICAL_SQL,
+    "sample_topp": _SAMPLE_TOPP_SQL,
 }

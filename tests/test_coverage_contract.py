@@ -55,7 +55,7 @@ PLANNED_IDS = {
     "embed_quantize_sq8",
     # r4 additions
     "sim_pq_adc", "text_decontaminate", "corpus_vocab",
-    "quality_decile_by_lang",
+    "quality_decile_by_lang", "dedup_canonical", "sample_topp",
 }
 
 # ops whose oracle is intentionally absent (different sketch family than

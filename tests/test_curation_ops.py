@@ -175,3 +175,35 @@ def test_corpus_vocab_exact_counts_and_rank(spark):
         (1, "a", 4, 3),
         (2, "b", 3, 2),
     ]
+
+
+def test_top_p_exact_selection_with_cutoff_ties(spark):
+    from logpump_spark.llmdata.curation import top_p_by_score
+
+    # 20 docs; scores engineered so the 10% target (2 rows) lands INSIDE
+    # a tie group: three docs share the 2nd-best score; the id tie-break
+    # must admit exactly one of them (the smallest id)
+    rows = [(1, 100)] + [(i, 90) for i in (2, 3, 4)] + [(i, 10) for i in range(5, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = sorted((r.doc_id, r.n_chars) for r in top_p_by_score(df, p_pct=10).collect())
+    assert got == [(1, 100), (2, 90)]
+
+    # p covering everything returns everything
+    assert top_p_by_score(df, p_pct=100).count() == 20
+
+
+def test_dedup_canonical_picks_biggest_then_smallest_id(spark):
+    from logpump_spark.queries.curation2_q import dedup_canonical
+
+    from .conftest import SF_SMALL
+
+    rows = {r.component: r for r in dedup_canonical(spark, SF_SMALL).collect()}
+    # planted clones have ids shifted by 10^6 and identical text, so the
+    # cluster keeps the ORIGINAL (smaller id, same n_chars) and counts
+    # both members
+    for comp, r in rows.items():
+        assert r.keep_id >= comp  # winner is reachable from the min id
+        assert r.n_members >= 1
+    multi = [r for r in rows.values() if r.n_members >= 2]
+    assert multi, "planted clones must produce at least one multi-member cluster"
+    assert all(r.keep_id < 1_000_000 or r.n_members == 1 for r in multi)
