@@ -129,10 +129,14 @@ def split_record(rec: Column) -> tuple[Column, Column, Column]:
         # alternation (?:[^q\]|\.)* — same language, linear-time on Java's
         # backtracking regex engine instead of alternation-per-character
         body = r"[^" + qe + r"\\]*(?:\\.[^" + qe + r"\\]*)*"
-        pat = r"(?s)^(" + body + r")" + qe + r"(.*)$"
+        pat = r"(?s)^(" + body + r")" + qe
+        # the match is ^-anchored, so the remainder after the closing
+        # quote is POSITIONAL: rest = raw + quote + after.  Deriving it
+        # by substr instead of a second capture halves the regex runs
+        # per record (this scan is the ingest hot path).
         raw = F.regexp_extract(rest, pat, 1)
-        after = F.regexp_extract(rest, pat, 2)
-        closed = rest.rlike(r"(?s)^" + body + qe)
+        after = rest.substr(F.length(raw) + F.lit(2), F.length(rest))
+        closed = rest.rlike(pat)
         return (
             F.when(closed, raw).otherwise(rest),
             F.when(closed, after).otherwise(F.lit("")),
@@ -154,9 +158,12 @@ def split_record(rec: Column) -> tuple[Column, Column, Column]:
     ctx_source = F.when(has_sql, after_sql).otherwise(rec)
     ctx_idx = F.instr(ctx_source, ",Context='")
     ctx_tail = ctx_source.substr(ctx_idx + F.lit(10), F.length(ctx_source))
-    # to the LAST quote (context_extractor.go:12); none -> whole tail
+    # to the LAST quote (context_extractor.go:12); none -> whole tail.
+    # last-quote position via reverse+instr — one linear pass instead of
+    # the greedy (?s)^(.*)' regex (full scan + backtrack per record)
+    last_q = F.length(ctx_tail) - F.instr(F.reverse(ctx_tail), "'") + 1
     ctx = F.when(
-        ctx_tail.contains("'"), F.regexp_extract(ctx_tail, r"(?s)^(.*)'", 1)
+        ctx_tail.contains("'"), ctx_tail.substr(F.lit(1), last_q - 1)
     ).otherwise(ctx_tail)
     context_text = F.when(ctx_idx > 0, ctx).otherwise(F.lit(""))
     # no-Sql= + empty-after-marker edge: Sql= at very end of record
