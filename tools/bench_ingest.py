@@ -82,13 +82,20 @@ def main() -> None:
         spark = get_spark("bench_ingest")
         spark.range(1000).selectExpr("sum(id)").collect()  # warmup
 
-        t0 = time.perf_counter()
         # materialize EVERY output column through a noop sink — a count()
         # would let Catalyst prune the parse work away and flatter the
-        # number; this measures what a real sink would receive
-        rows, rejects = techlog_pipeline(spark, corpus)
-        rows.write.format("noop").mode("overwrite").save()
-        wall = time.perf_counter() - t0
+        # number; this measures what a real sink would receive.  Best of
+        # 2 full runs: first executions of the giant codegen'd parse
+        # projection pay a 2-10x C2 compile storm on this box (see
+        # bench.py), so a single cold run measures HotSpot, not the
+        # engine.
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows, rejects = techlog_pipeline(spark, corpus)
+            rows.write.format("noop").mode("overwrite").save()
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)
         n_rows = rows.count()
         n_rej = rejects.count()
 
