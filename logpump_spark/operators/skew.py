@@ -26,14 +26,25 @@ def salted_join(
     on: str,
     how: str = "inner",
     salt: int = 8,
+    salt_from: str | None = None,
 ) -> DataFrame:
     """Equi-join ``big`` |><| ``small`` on column ``on`` with the big side
     salted across ``salt`` sub-keys.  Semantically identical to
     ``big.join(small, on, how)`` for inner/left joins (each big row meets
-    exactly one replica of its matching small row)."""
+    exactly one replica of its matching small row).
+
+    ``salt_from``: derive the salt deterministically from that big-side
+    column (hash mod salt) instead of rand — same uniform scatter, but
+    reproducible across retries/engines, which an oracle-checked query
+    needs; rand stays the default for ad-hoc use."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
-    big_salted = big.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    salt_expr = (
+        F.pmod(F.hash(F.col(salt_from)), F.lit(salt)).cast("int")
+        if salt_from
+        else (F.rand(seed=42) * salt).cast("int")
+    )
+    big_salted = big.withColumn("_salt", salt_expr)
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
     small_replicated = small.select("*", salts)
     joined = big_salted.join(small_replicated, [on, "_salt"], how)

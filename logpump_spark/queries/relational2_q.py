@@ -350,7 +350,47 @@ ORDER BY user_id, event_id
 """
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py) over the naturally skewed
+    events.event_type key (few distinct types, many rows each — the
+    hot-Component shape of the reference's routing).  The big side is
+    salted deterministically (hash(event_id) mod 8) so the result is
+    oracle-reproducible; semantically the salted join IS the plain join,
+    which is exactly what the oracle states."""
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_code",
+            F.conv(F.substring(F.md5("event_type"), 2, 15), 16, 10).cast("long")
+            % 1000,
+        )
+    )
+    joined = salted_join(ev, dim, on="event_type", salt=8, salt_from="event_id")
+    return (
+        joined.groupBy("event_type", "type_code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JOIN_SKEW_SALTED_SQL = """
+SELECT event_type,
+       CAST(concat('0x', substr(md5(event_type), 2, 15)) AS BIGINT) % 1000
+         AS type_code,
+       COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events GROUP BY 1, 2 ORDER BY event_type
+"""
+
 SPARK_QUERIES = {
+    "join_skew_salted": join_skew_salted,
     "agg_stats": agg_stats,
     "agg_corr": agg_corr,
     "agg_percentile": agg_percentile,
@@ -365,6 +405,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "join_skew_salted": _JOIN_SKEW_SALTED_SQL,
     "agg_stats": _AGG_STATS_SQL,
     "agg_corr": _AGG_CORR_SQL,
     "agg_percentile": _AGG_PERCENTILE_SQL,

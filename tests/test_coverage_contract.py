@@ -56,6 +56,7 @@ PLANNED_IDS = {
     # r4 additions
     "sim_pq_adc", "text_decontaminate", "corpus_vocab",
     "quality_decile_by_lang", "dedup_canonical", "sample_topp",
+    "join_skew_salted",
 }
 
 # ops whose oracle is intentionally absent (different sketch family than

@@ -72,3 +72,17 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_deterministic_salt(spark):
+    # salt_from: content-derived salt -> identical results across runs
+    # AND identical to the plain join (rand-salted already covered above)
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)], "id long, k string"
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, v int")
+    a = sorted(map(tuple, salted_join(big, small, "k", salt_from="id").collect()))
+    b = sorted(map(tuple, salted_join(big, small, "k", salt_from="id").collect()))
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    assert a == b
+    assert sorted(t[:3] for t in a) == sorted(t[:3] for t in plain)
