@@ -118,6 +118,9 @@ def _full_entry(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     if cap is not None:
         ev = ev.filter(F.col("event_id") < cap)
+        df = ev.withColumn("record", _record_col()).withColumn(
+            "filename", F.lit("25052607.log")
+        )
     else:
         # The parse projection is regex-CPU-bound, and a compact parquet
         # scan can yield far fewer partitions than cores (sf0.1 events is
@@ -125,10 +128,22 @@ def _full_entry(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
         # cheap round-robin shuffle of the raw rows fans the expensive
         # work out to every core; at cluster scale the same holds when a
         # record-assembly stage emits few/skewed partitions.
-        ev = ev.repartition(spark.sparkContext.defaultParallelism)
-    df = ev.withColumn("record", _record_col()).withColumn(
-        "filename", F.lit("25052607.log")
-    )
+        #
+        # The SECOND round-robin exchange splits record synthesis and the
+        # parse into separate codegen stages: fused, they form one
+        # enormous generated method whose C2 compile runs for tens of
+        # seconds while every executor thread executes it interpreted
+        # (cold runs measured 5-20x steady state); two half-size methods
+        # compile promptly.  The shuffled synthetic records are ~50 MB at
+        # sf0.1 — sub-second — against a worst-case minute of JIT stall.
+        par = spark.sparkContext.defaultParallelism
+        df = (
+            ev.repartition(par)
+            .withColumn("record", _record_col())
+            .withColumn("filename", F.lit("25052607.log"))
+            .select("event_id", "record", "filename")
+            .repartition(par)
+        )
     entries = parse_records(df, record_col="record", filename_col="filename")
     return entries.select(
         "event_id",
