@@ -63,7 +63,8 @@ _MODULES = (
 #          scoring, md5-based MinHash/SimHash now fully oracle-checked,
 #          multimodal decode fallbacks) — changed code gets re-verified
 #   38-39  q1_pricing_summary + join_inner long-green canaries
-#   40-50  r1-green scalar/window ids never yet driver-run on Spark 4.1
+#   40-45  the six ids added later in round 4 (never driver-verified)
+#   46-50  r1-green scalar/window ids never yet driver-run on Spark 4.1
 _WINDOW_PRIORITY = [
     "dedup_components", "text_tfidf", "sample_stratified", "sim_srp_lsh",
     "topk_per_group", "sessionize_events", "funnel_steps", "retention_cohort",
@@ -79,9 +80,9 @@ _WINDOW_PRIORITY = [
     "sim_topk", "sim_ivf_topk", "sim_neardup", "dedup_minhash_lsh",
     "dedup_simhash", "multimodal_decode", "multimodal_audio",
     "q1_pricing_summary", "join_inner",
-    "fn_string_suite", "fn_cast_suite", "fn_json", "fn_array", "fn_explode",
-    "fn_map", "fn_conditional", "win_rank", "win_running_sum",
-    "win_first_last", "join_broadcast",
+    "text_decontaminate", "corpus_vocab", "quality_decile_by_lang",
+    "dedup_canonical", "sample_topp", "join_skew_salted",
+    "fn_string_suite", "fn_json", "fn_array", "win_rank", "join_broadcast",
 ]
 
 
