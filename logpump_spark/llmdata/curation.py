@@ -1,7 +1,8 @@
-"""Corpus-curation operators: tf-idf term weighting and deterministic
-stratified sampling.
+"""Corpus-curation operators: tf-idf term weighting, deterministic
+stratified sampling, benchmark decontamination, corpus vocabulary
+stats, and exact top-p selection.
 
-Both are single-plan Column-expression pipelines (no UDFs, no collect):
+Single-plan pipelines, no collect of corpus data:
 - tf-idf: explode -> two grouped aggregations (term frequency per doc,
   document frequency per term) joined back; the corpus total is a
   1-row aggregate broadcast via crossJoin — a scalar, not a shuffle.
@@ -12,6 +13,8 @@ Both are single-plan Column-expression pipelines (no UDFs, no collect):
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -93,19 +96,36 @@ def decontaminate_ngram_overlap(
     in the eval set.
 
     Scale shape: shingles are md5-derived 60-bit ints (8-byte keys, and
-    the exact hash a SQL oracle replays — dedup.md5_hash60); the eval
-    shingle set is tiny relative to the corpus and BROADCAST, so the
-    corpus side is one scan + explode + broadcast-semi-join + one
-    grouped count.  No corpus self-join, no shuffle of corpus text."""
-    from .dedup import md5_hash60, shingles_col
+    the exact hash a SQL oracle replays — dedup.md5_hash60, computed
+    here via hashlib, which yields the identical digest); each doc's
+    DISTINCT shingle hashes come out of one Arrow-batched projection (no
+    interpreted per-element shingle building), and only the 8-byte
+    hashes explode.  The eval shingle set is tiny relative to the corpus
+    and BROADCAST, so the corpus side is one scan + explode +
+    broadcast-semi-join + one grouped count.  No corpus self-join, no
+    shuffle of corpus text."""
+    import hashlib
+
+    @F.pandas_udf("array<long>")
+    def _hashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = ("" if t is None else t).split(" ")
+            shingles = {
+                " ".join(words[i : i + k]) for i in range(max(len(words) - (k - 1), 1))
+            }
+            out.append(
+                [
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[1:16], 16)
+                    for s in shingles
+                ]
+            )
+        return pd.Series(out)
 
     def _shingle_hashes(df: DataFrame) -> DataFrame:
         return df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles_col(tokens_col(text_col), k))).alias(
-                "s"
-            ),
-        ).select(F.col(id_col), md5_hash60(F.col("s")).alias("h"))
+            F.col(id_col), F.explode(_hashes(F.col(text_col))).alias("h")
+        )
 
     eval_hashes = _shingle_hashes(eval_docs).select("h").distinct()
     corpus = _shingle_hashes(docs)
