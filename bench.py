@@ -67,6 +67,11 @@ HEADLINE = [
     "quality_decile_by_lang",
     "dedup_canonical",
     "sample_topp",
+    # late-r4 training-assembly additions
+    "pack_sequences",
+    "sample_temperature",
+    "seq_match",
+    "multimodal_resize",
 ]
 
 

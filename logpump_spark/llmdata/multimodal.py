@@ -151,6 +151,69 @@ def decode_image_features(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(_batches, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, src_width int, src_height int, width int, height int, "
+    "mode string, pixel_sum long"
+)
+
+
+def resize_image_features(
+    media: DataFrame, target_w: int = 8, target_h: int = 8
+) -> DataFrame:
+    """Nearest-neighbor thumbnail resize over REAL decoded pixels — the
+    preprocessing step a vision-language pipeline runs before feature
+    extraction (fixed input resolution).
+
+    Decodes each PNG payload with the stdlib codec (raising on non-PNG:
+    resize is only meaningful on pixels we actually have), maps target
+    pixel (x, y) to source pixel (x*w // tw, y*h // th) — the integer
+    floor convention, so the oracle can replay it exactly — and emits
+    the resized dimensions plus the integer sum of all resized channel
+    bytes as the content witness.  The resized pixel block itself stays
+    executor-side; only O(1) features leave the UDF.
+
+    Scale shape: identical to the decode path — Arrow record batches
+    through mapInPandas, numpy fancy-indexing per payload (no per-pixel
+    Python loop), no shuffle introduced."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def resize(p: bytes) -> tuple[int, int, int, int, str, int]:
+            d = decode_png(p)
+            w, h, mode = d["width"], d["height"], d["mode"]
+            nch = len(d["pixels"]) // (w * h)
+            arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, nch)
+            sx = (np.arange(target_w) * w) // target_w
+            sy = (np.arange(target_h) * h) // target_h
+            resized = arr[sy][:, sx]
+            return (
+                w,
+                h,
+                target_w,
+                target_h,
+                mode,
+                int(resized.sum(dtype=np.int64)),
+            )
+
+        for pdf in it:
+            out = [resize(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": [o[0] for o in out],
+                    "src_height": [o[1] for o in out],
+                    "width": [o[2] for o in out],
+                    "height": [o[3] for o in out],
+                    "mode": [o[4] for o in out],
+                    "pixel_sum": [o[5] for o in out],
+                }
+            )
+
+    return media.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, n_bytes long, sample_rate int, n_samples long, "
     "duration_ms long, decoder string"

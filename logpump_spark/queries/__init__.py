@@ -30,6 +30,7 @@ from . import (
     relational_q,
     streaming_q,
     timeseries_q,
+    training_q,
     windows_q,
 )
 
@@ -50,7 +51,8 @@ _MODULES = (
     relational2_q,
     functions2_q,
     functions3_q,
-    curation2_q,  # r4 additions — rotate into the window next round
+    curation2_q,  # r4 additions — in the window tail this round
+    training_q,  # late-r4 additions — in the window tail this round
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
@@ -64,7 +66,9 @@ _MODULES = (
 #          multimodal decode fallbacks) — changed code gets re-verified
 #   38-39  q1_pricing_summary + join_inner long-green canaries
 #   40-45  the six ids added later in round 4 (never driver-verified)
-#   46-50  r1-green scalar/window ids never yet driver-run on Spark 4.1
+#   46-50  the five training-assembly ids added latest in round 4
+#          (never driver-verified; displaced r1-green scalar/window ids
+#          that stay covered by local parity on Spark 4.1)
 _WINDOW_PRIORITY = [
     "dedup_components", "text_tfidf", "sample_stratified", "sim_srp_lsh",
     "topk_per_group", "sessionize_events", "funnel_steps", "retention_cohort",
@@ -82,7 +86,8 @@ _WINDOW_PRIORITY = [
     "q1_pricing_summary", "join_inner",
     "text_decontaminate", "corpus_vocab", "quality_decile_by_lang",
     "dedup_canonical", "sample_topp", "join_skew_salted",
-    "fn_string_suite", "fn_json", "fn_array", "win_rank", "join_broadcast",
+    "pack_sequences", "split_assign", "sample_temperature", "seq_match",
+    "multimodal_resize",
 ]
 
 

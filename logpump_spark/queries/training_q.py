@@ -1,0 +1,223 @@
+"""Round-4 training-set assembly queries: sequence packing, stratified
+split assignment, temperature resampling, event-sequence pattern match
+(ClickHouse sequenceMatch analog), and real-pixel image resize.
+
+Every oracle is exact arithmetic: integer window sums (packing),
+multiplicative-hash ranks (splits/resampling — the same int64 recipe as
+``stratified_sample``), integer-scaled sqrt weights (temperature), RE2-
+portable regexes over deterministic event strings (seq_match), and a
+generate_series replay of the nearest-neighbor pixel map (resize).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llmdata.curation import _SAMPLE_MOD, _SAMPLE_MULT
+from ..llmdata.packing import assign_splits, pack_sequences, temperature_resample
+from ..operators.seqmatch import sequence_match
+from ..tables import load
+
+_BUDGET = 64
+_N_SHARDS = 8
+
+
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk the documents corpus into 64-token training
+    sequences across 8 shards; one row per doc with its (seq, offset)
+    placement and span."""
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=_BUDGET, n_shards=_N_SHARDS)
+    return packed.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        F.col("offset").alias("seq_offset"),
+        "n_seqs",
+    ).orderBy("doc_id")
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM toks
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum_end - n_tokens) // {_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum_end - n_tokens) % {_BUDGET} AS BIGINT) AS seq_offset,
+       CAST((cum_end - 1) // {_BUDGET}
+            - (cum_end - n_tokens) // {_BUDGET} + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id
+"""
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: exact
+    10%/10% val/test per language by multiplicative-hash rank."""
+    docs = load(spark, sf_dir, "documents")
+    return assign_splits(docs, strata_col="lang").select(
+        "doc_id", "lang", "split"
+    ).orderBy("doc_id")
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN rk <= CEIL(n * 0.1) THEN 'val'
+            WHEN rk <= CEIL(n * 0.1) + CEIL(n * 0.1) THEN 'test'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+ORDER BY doc_id
+"""
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) language rebalancing to half the corpus —
+    tail languages keep a larger share than their raw proportion."""
+    docs = load(spark, sf_dir, "documents")
+    kept = temperature_resample(docs, alpha=0.5, keep_frac=0.5)
+    return kept.select("doc_id", "lang", "target_l").orderBy("doc_id")
+
+
+_TEMPERATURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_l,
+         CAST(FLOOR(SQRT(COUNT(*)) * 1000000.0) AS BIGINT) AS w_l
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_l) AS n_total, SUM(w_l) AS w_sum FROM counts),
+t AS (
+  SELECT lang, n_l,
+         LEAST(n_l, CAST(FLOOR(FLOOR(n_total * 0.5) * w_l / w_sum)
+                         AS BIGINT)) AS target_l
+  FROM counts, tot
+),
+r AS (
+  SELECT d.doc_id, d.lang, t.target_l,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+            ORDER BY (d.doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}, d.doc_id
+         ) AS rk
+  FROM documents d JOIN t USING (lang)
+)
+SELECT doc_id, lang, target_l FROM r WHERE rk <= target_l ORDER BY doc_id
+"""
+
+
+# signup with no intervening error before a purchase: needs the negative
+# class [^C], which chained min-ts funnels cannot express
+_SEQ_PATTERN = "A[^C]*B"
+
+
+def seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequenceMatch/sequenceCount: a signup followed by a
+    purchase with NO error event in between (pattern 'A[^C]*B' over the
+    time-ordered event string)."""
+    events = load(spark, sf_dir, "events")
+    return sequence_match(
+        events,
+        conditions=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "error",
+        ],
+        pattern=_SEQ_PATTERN,
+    ).orderBy("user_id")
+
+
+_SEQ_MATCH_SQL = f"""
+WITH enc AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'signup' THEN 'A'
+                         WHEN 'purchase' THEN 'B'
+                         WHEN 'error' THEN 'C'
+                         ELSE 'x' END AS c
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+  FROM enc GROUP BY user_id
+)
+SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+       regexp_matches(seq, '{_SEQ_PATTERN}') AS matched,
+       CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS INT)
+         AS match_count
+FROM s ORDER BY user_id
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode real PNGs with per-doc dimensions (same recipe as
+    ``multimodal_decode``), then nearest-neighbor-resize the DECODED
+    PIXELS to 8x8 and emit the integer pixel sum — the oracle replays
+    the pixel map arithmetically, so a hash match proves the resize ran
+    on genuine decoded bytes."""
+    from ..llmdata.multimodal import resize_image_features, synthesize_png_media
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (1 + F.col("doc_id") % 17).alias("w"),
+        (1 + (F.col("doc_id") * 7) % 13).alias("h"),
+        F.when(F.col("doc_id") % 3 == 0, "RGB")
+        .when(F.col("doc_id") % 3 == 1, "L")
+        .otherwise("RGBA")
+        .alias("m"),
+    )
+    media = synthesize_png_media(docs, "doc_id", "w", "h", "m", "source")
+    return resize_image_features(media, target_w=8, target_h=8).orderBy(
+        "media_id"
+    )
+
+
+# pixel(x, y, c) = (x*7 + y*13 + c*29) % 256 (codecs.encode_png default);
+# nearest-neighbor source pixel for target (x, y) is (x*w//8, y*h//8)
+_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 17 AS INT) AS w,
+         CAST(1 + (doc_id * 7) % 13 AS INT) AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 'RGB'
+              WHEN doc_id % 3 = 1 THEN 'L'
+              ELSE 'RGBA' END AS mode,
+         CASE WHEN doc_id % 3 = 0 THEN 3
+              WHEN doc_id % 3 = 1 THEN 1
+              ELSE 4 END AS nch
+  FROM documents
+)
+SELECT media_id, w AS src_width, h AS src_height,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, mode,
+       CAST(SUM(((x.i * w // 8) * 7 + (y.i * h // 8) * 13 + c.i * 29) % 256)
+            AS BIGINT) AS pixel_sum
+FROM dims, range(0, 8) x(i), range(0, 8) y(i), range(0, 4) c(i)
+WHERE c.i < nch
+GROUP BY media_id, w, h, mode
+ORDER BY media_id
+"""
+
+
+SPARK_QUERIES = {
+    "pack_sequences": pack_sequences_q,
+    "split_assign": split_assign,
+    "sample_temperature": sample_temperature,
+    "seq_match": seq_match,
+    "multimodal_resize": multimodal_resize,
+}
+ORACLE_SQL = {
+    "pack_sequences": _PACK_SQL,
+    "split_assign": _SPLIT_SQL,
+    "sample_temperature": _TEMPERATURE_SQL,
+    "seq_match": _SEQ_MATCH_SQL,
+    "multimodal_resize": _RESIZE_SQL,
+}

@@ -160,3 +160,60 @@ def test_pq_codes_are_arrow_batched(spark):
     plan = _plan(df)
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # the row-at-a-time slow path
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    # packing is ONE hash exchange on the shard key; the per-shard window
+    # runs inside it and nothing induces a global (rangepartitioning)
+    # order except the display-only orderBy we strip here
+    from logpump_spark.llmdata.packing import pack_sequences
+    from logpump_spark.tables import load
+
+    df = pack_sequences(load(spark, SF_SMALL, "documents"))
+    df.collect()
+    plan = _plan(df)
+    assert "Exchange rangepartitioning" not in plan
+    final = plan.split("== Final Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 1
+
+
+def test_temperature_resample_broadcasts_targets(spark):
+    # the per-language targets table joins back via broadcast — the
+    # corpus is never shuffled for the join, only for its lang window
+    from logpump_spark.llmdata.packing import temperature_resample
+    from logpump_spark.tables import load
+
+    df = temperature_resample(load(spark, SF_SMALL, "documents"))
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_seq_match_chars_assigned_before_shuffle(spark):
+    # events shrink to (user_id, ~10-byte struct) BEFORE the user_id
+    # exchange: a map-side partial collect runs upstream of the shuffle
+    # and its shuffled row is (user_id, buf) only — no event payloads
+    from logpump_spark.queries.training_q import seq_match
+
+    df = seq_match(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    partial_lines = [
+        ln for ln in plan.splitlines() if "partial_collect_list" in ln
+    ]
+    assert partial_lines, "expected a map-side partial collect"
+    for ln in partial_lines:
+        out = ln.split("output=")[-1]
+        assert "user_id" in out and "buf" in out
+        assert "event_type" not in out and "props" not in out
+
+
+def test_resize_is_arrow_batched(spark):
+    from logpump_spark.queries.training_q import multimodal_resize
+
+    df = multimodal_resize(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
