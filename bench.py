@@ -72,6 +72,7 @@ HEADLINE = [
     "sample_temperature",
     "seq_match",
     "multimodal_resize",
+    "text_lm_score",
 ]
 
 

@@ -161,3 +161,62 @@ def pii_scrub(
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Statistical-LM quality score (the CCNet/KenLM perplexity gate,
+    integer-exact variant): train bigram continuation statistics on the
+    corpus itself, then score each document by the average scaled MLE
+    continuation probability of its bigrams —
+    ``mean_i( count(w_i w_{i+1}) * scale // count(w_i) )``.
+
+    Monotone in the same direction as negative log perplexity of the
+    corpus bigram model, but every step is int64 arithmetic (counts,
+    floor divisions), so scores — and any threshold gate on them — are
+    bit-identical across engines; a log-space sum would be order- and
+    libm-dependent.  Docs with <2 tokens emit no row (no bigrams).
+
+    Scale shape: two corpus count aggregations (unigram, bigram — both
+    map-side partial) and two shuffle joins keyed on the token columns.
+    The unigram join key is Zipf-skewed ('the' is everywhere) — that is
+    the textbook AQE skew-join case, and salting the handful of hot
+    head words is the manual fallback at 100 TB.  No collect; count
+    tables stay distributed (a corpus-scale vocabulary cannot
+    broadcast)."""
+    toks = tokens_col(text_col)
+    # sequence(1, 0) yields a DESCENDING [1, 0], not empty — guard the
+    # <2-token docs explicitly so they emit no bigram rows
+    idx = F.when(
+        F.size(toks) > 1, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            F.col(id_col),
+            F.expr(f"(c2 * {scale}) div c1").alias("p"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(p) div count(1)").alias("lm_score"),
+    )

@@ -28,6 +28,7 @@ from . import (
     quality_q,
     relational2_q,
     relational_q,
+    sources_q,
     streaming_q,
     timeseries_q,
     training_q,
@@ -53,6 +54,7 @@ _MODULES = (
     functions3_q,
     curation2_q,  # r4 additions — in the window tail this round
     training_q,  # late-r4 additions — in the window tail this round
+    sources_q,  # latest-r4 additions — rotate into the window next round
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50

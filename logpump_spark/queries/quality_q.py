@@ -23,6 +23,7 @@ from ..llmdata.quality import (
     MIN_STOPWORD_HITS,
     MIN_WORDS,
     PHONE_RE,
+    bigram_lm_score,
     gopher_rules,
     pii_scrub,
     repetition_ratios,
@@ -239,3 +240,30 @@ ORACLE_SQL = {
     "text_pii_scrub": _TEXT_PII_SQL,
     "embed_quantize_sq8": _EMBED_SQ8_SQL,
 }
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality score per document (the CCNet
+    perplexity gate, integer-exact — see llmdata/quality.bigram_lm_score
+    for why integers instead of log-space)."""
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_score(docs).orderBy("doc_id")
+
+
+_TEXT_LM_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tok, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2)
+SELECT p.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM((c2.c2 * 1000000) // c1.c1) // COUNT(*) AS BIGINT)
+         AS lm_score
+FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+SPARK_QUERIES["text_lm_score"] = text_lm_score
+ORACLE_SQL["text_lm_score"] = _TEXT_LM_SQL

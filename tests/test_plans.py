@@ -217,3 +217,24 @@ def test_resize_is_arrow_batched(spark):
     plan = _plan(df)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_scan_orc_pushdown(spark):
+    # the ORC reader must push the read-side predicate like parquet does
+    from logpump_spark.queries.sources_q import scan_orc
+
+    df = scan_orc(spark, SF_SMALL)
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in explained
+    assert "event_type" in explained.split("PushedFilters")[-1].split("]")[0]
+
+
+def test_lm_score_partial_aggregation(spark):
+    # both count tables build with map-side partial aggregation, and the
+    # corpus-scale count tables are never broadcast
+    from logpump_spark.queries.quality_q import text_lm_score
+
+    df = text_lm_score(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "partial_count" in plan

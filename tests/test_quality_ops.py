@@ -116,3 +116,39 @@ def test_sq8_constant_dimension_is_zero_coded(spark):
     for r in out:
         assert r.code_min == 0  # the constant dim coded 0 everywhere
         assert r.err_q_sum >= 0
+
+
+def test_bigram_lm_score_hand_corpus(spark):
+    # pairs: doc1 (a,b),(b,a),(a,b); doc2 (a,a)
+    # c1: a=3, b=1; c2: (a,b)=2, (b,a)=1, (a,a)=1
+    # doc1: (2e6 div 3) + (1e6 div 1) + (2e6 div 3) = 2333332 div 3
+    # doc2: (1e6 div 3) div 1
+    from logpump_spark.llmdata.quality import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert out[1].n_bigrams == 3 and out[1].lm_score == 2333332 // 3
+    assert out[2].n_bigrams == 1 and out[2].lm_score == 1_000_000 // 3
+    assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_bigram_lm_probabilities_normalize(spark):
+    # for any fixed w1, sum over w2 of c2/c1 is 1: the scaled integer
+    # scores of all bigrams starting with w1 sum to ~scale (floor slack)
+    from logpump_spark.llmdata.quality import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "x y x z x y x w")], "doc_id long, text string"
+    )
+    row = bigram_lm_score(docs).collect()[0]
+    assert row.n_bigrams == 7
+    # x->y (2), x->z (1), x->w (1) of c1(x)=4; y->x, z->x, w->x of c1=1
+    expected = (
+        2 * (2 * 10**6 // 4)  # the two (x,y) occurrences
+        + (10**6 // 4) * 2    # (x,z), (x,w)
+        + 3 * 10**6           # (y,x), (z,x), (w,x) are certain
+    ) // 7
+    assert row.lm_score == expected
