@@ -389,6 +389,46 @@ SELECT event_type,
 FROM events GROUP BY 1, 2 ORDER BY event_type
 """
 
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (native iterative SQL, Spark 4.1 UnionLoop):
+    ancestor-chain traversal over the implicit binary-tree hierarchy
+    parent(u) = u div 2 on the event user population — the org-chart /
+    BOM walk shape.  Complements the DataFrame-level iterative
+    connected components (llmdata/graph.py): there the loop lives in
+    Python with checkpointed rounds; here the ENGINE owns the fixpoint.
+
+    Scale note: each iteration is a distributed plan over the prior
+    step's frontier only (rows with a > 0 drop out as chains reach the
+    root), so work per step shrinks — the same frontier-contraction
+    property the CC loop relies on."""
+    load(spark, sf_dir, "events").select("user_id").distinct() \
+        .createOrReplaceTempView("users_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(u, a, d) AS (
+          SELECT user_id, user_id, 0 FROM users_rcte
+          UNION ALL
+          SELECT u, a div 2, d + 1 FROM anc WHERE a > 0
+        )
+        SELECT u AS user_id, MAX(d) AS depth, COUNT(*) AS chain_len,
+               SUM(a) AS ancestor_sum
+        FROM anc GROUP BY u ORDER BY user_id
+        """
+    )
+
+
+_SQL_RECURSIVE_SQL = """
+WITH RECURSIVE anc(u, a, d) AS (
+  SELECT user_id, user_id, 0 FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT u, a // 2, d + 1 FROM anc WHERE a > 0
+)
+SELECT u AS user_id, CAST(MAX(d) AS INT) AS depth, COUNT(*) AS chain_len,
+       CAST(SUM(a) AS BIGINT) AS ancestor_sum
+FROM anc GROUP BY u ORDER BY user_id
+"""
+
+
 SPARK_QUERIES = {
     "join_skew_salted": join_skew_salted,
     "agg_stats": agg_stats,
@@ -402,6 +442,7 @@ SPARK_QUERIES = {
     "sql_scalar_subquery": sql_scalar_subquery,
     "sql_cte": sql_cte,
     "win_percent_rank": win_percent_rank,
+    "sql_recursive_cte": sql_recursive_cte,
 }
 
 ORACLE_SQL = {
@@ -417,4 +458,5 @@ ORACLE_SQL = {
     "sql_scalar_subquery": _SQL_SCALAR_SUBQUERY_SQL,
     "sql_cte": _SQL_CTE_SQL,
     "win_percent_rank": _WIN_PERCENT_RANK_SQL,
+    "sql_recursive_cte": _SQL_RECURSIVE_SQL,
 }
