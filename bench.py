@@ -73,6 +73,7 @@ HEADLINE = [
     "seq_match",
     "multimodal_resize",
     "text_lm_score",
+    "chunk_docs",
 ]
 
 

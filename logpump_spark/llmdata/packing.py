@@ -24,6 +24,9 @@ single global ordering:
   language, hash-rank selection.  The language histogram is a tiny
   aggregate broadcast back onto the corpus; the only corpus-wide
   shuffle is the per-lang window.
+- chunk_documents: overlapping token-window chunking (RAG /
+  long-context preprocessing) — one projection + explode, zero
+  shuffles.
 """
 
 from __future__ import annotations
@@ -182,4 +185,54 @@ def temperature_resample(
         .withColumn("keep_rank", F.row_number().over(w))
         .filter(F.col("keep_rank") <= F.col("target_l"))
         .drop("keep_rank")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / long-context
+    preprocessing step): document tokens are cut into windows of
+    ``chunk_size`` tokens starting every ``chunk_size - overlap``
+    tokens; the final window may be short, and a document shorter than
+    one window yields exactly one chunk.
+
+    Emits one row per chunk: (id, chunk_no, start_tok, n_chunk_tokens,
+    chunk_md5) — the fingerprint is md5 of the space-joined window, so
+    chunk CONTENT is witnessed without shipping it.  Chunk count is
+    pure integer arithmetic (1 + ceil-div of the overhang), so the
+    layout replays exactly in any engine.
+
+    Scale shape: one projection + explode, no shuffle at all — chunking
+    is embarrassingly parallel; the ~chunk_size/stride data expansion is
+    the operator's semantics, not an implementation artifact."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # 1 + ceil((n - chunk_size) / stride), floored at 1: int arithmetic,
+    # truncation == floor because the guarded operand is nonnegative
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), ((n - chunk_size + stride - 1) / F.lit(stride)).cast("int")
+    )
+    start = F.col("chunk_no") * stride
+    window = F.slice(F.col("_toks"), start + 1, chunk_size)
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_no"),
+            start.alias("start_tok"),
+            F.size(window).alias("n_chunk_tokens"),
+            F.md5(F.array_join(window, " ")).alias("chunk_md5"),
+        )
     )

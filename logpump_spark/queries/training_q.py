@@ -221,3 +221,47 @@ ORACLE_SQL = {
     "seq_match": _SEQ_MATCH_SQL,
     "multimodal_resize": _RESIZE_SQL,
 }
+
+
+_CHUNK = 32
+_OVERLAP = 8
+
+
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token windows with stride 24 over every document —
+    the RAG / long-context chunking pass; chunk content witnessed by an
+    md5 fingerprint per window."""
+    from ..llmdata.packing import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP).orderBy(
+        "doc_id", "chunk_no"
+    )
+
+
+_CHUNK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t,
+         1 + greatest(0, (n - {_CHUNK} + {_CHUNK - _OVERLAP} - 1)
+                          // {_CHUNK - _OVERLAP}) AS n_chunks
+  FROM tok
+)
+SELECT doc_id, CAST(u.i AS INT) AS chunk_no,
+       CAST(u.i * {_CHUNK - _OVERLAP} AS INT) AS start_tok,
+       CAST(len(list_slice(t, u.i * {_CHUNK - _OVERLAP} + 1,
+                           u.i * {_CHUNK - _OVERLAP} + {_CHUNK})) AS INT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(t, u.i * {_CHUNK - _OVERLAP} + 1,
+                                      u.i * {_CHUNK - _OVERLAP} + {_CHUNK}),
+                           ' ')) AS chunk_md5
+FROM c, UNNEST(range(0, n_chunks)) AS u(i)
+ORDER BY doc_id, chunk_no
+"""
+
+SPARK_QUERIES["chunk_docs"] = chunk_docs
+ORACLE_SQL["chunk_docs"] = _CHUNK_SQL

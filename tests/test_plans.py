@@ -238,3 +238,14 @@ def test_lm_score_partial_aggregation(spark):
     df.collect()
     plan = _plan(df)
     assert "partial_count" in plan
+
+
+def test_chunking_zero_shuffle(spark):
+    # chunking must stay one projection + explode: no exchange at all
+    from logpump_spark.llmdata.packing import chunk_documents
+    from logpump_spark.tables import load
+
+    df = chunk_documents(load(spark, SF_SMALL, "documents"))
+    df.collect()
+    plan = _plan(df)
+    assert "Exchange" not in plan

@@ -243,3 +243,52 @@ def test_resize_upscale(spark):
     # pixel(0,0,0) = 0 -> sum stays 0 across all 36 replicated pixels
     assert row.pixel_sum == 0
     assert (row.width, row.height) == (6, 6)
+
+
+def test_chunk_documents_layout(spark):
+    from logpump_spark.llmdata.packing import chunk_documents
+
+    # 10 tokens, chunk 4, overlap 1 (stride 3):
+    # starts 0,3,6 cover tokens 0-9 (last chunk = tokens 6-9, full);
+    # n_chunks = 1 + ceil((10-4)/3) = 3
+    docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(10)))])
+    out = sorted(
+        chunk_documents(docs, chunk_size=4, overlap=1).collect(),
+        key=lambda r: r.chunk_no,
+    )
+    assert [(r.chunk_no, r.start_tok, r.n_chunk_tokens) for r in out] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4),
+    ]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from logpump_spark.llmdata.packing import chunk_documents
+
+    docs = _docs(spark, [(1, "a b"), (2, "a b c d")])
+    out = chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # both docs fit one window -> exactly one chunk each, full content
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 2
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 4
+
+
+def test_chunk_documents_overlap_fingerprints(spark):
+    from logpump_spark.llmdata.packing import chunk_documents
+
+    # identical token windows -> identical fingerprints across docs
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")])
+    out = chunk_documents(docs, chunk_size=4, overlap=2).collect()
+    md5s = {}
+    for r in out:
+        md5s.setdefault(r.chunk_no, set()).add(r.chunk_md5)
+    assert all(len(s) == 1 for s in md5s.values())
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from logpump_spark.llmdata.packing import chunk_documents
+
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, overlap=4)
