@@ -74,6 +74,7 @@ HEADLINE = [
     "multimodal_resize",
     "text_lm_score",
     "chunk_docs",
+    "training_prepare",
 ]
 
 

@@ -181,13 +181,16 @@ def bigram_lm_score(
     bit-identical across engines; a log-space sum would be order- and
     libm-dependent.  Docs with <2 tokens emit no row (no bigrams).
 
-    Scale shape: two corpus count aggregations (unigram, bigram — both
-    map-side partial) and two shuffle joins keyed on the token columns.
-    The unigram join key is Zipf-skewed ('the' is everywhere) — that is
-    the textbook AQE skew-join case, and salting the handful of hot
-    head words is the manual fallback at 100 TB.  No collect; count
-    tables stay distributed (a corpus-scale vocabulary cannot
-    broadcast)."""
+    Scale shape: the corpus-sized bigram stream is aggregated to
+    per-doc bigram counts FIRST (one shuffle with map-side combine);
+    everything downstream — the global bigram table, the unigram table
+    re-aggregated from it, the probability join, and the join back —
+    runs on count tables, never on the raw bigram stream (sum of p over
+    a doc's bigrams = sum over its DISTINCT bigrams of in-doc count x
+    p).  The unigram join key is Zipf-skewed ('the' is everywhere) —
+    the textbook AQE skew-join case; salting the handful of hot head
+    words is the manual fallback at 100 TB.  No collect; count tables
+    stay distributed (a corpus-scale vocabulary cannot broadcast)."""
     toks = tokens_col(text_col)
     # sequence(1, 0) yields a DESCENDING [1, 0], not empty — guard the
     # <2-token docs explicitly so they emit no bigram rows
@@ -206,17 +209,17 @@ def bigram_lm_score(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    scored = (
-        pairs.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .select(
-            F.col(id_col),
-            F.expr(f"(c2 * {scale}) div c1").alias("p"),
-        )
+    cd = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("cd"))
+    c2 = cd.groupBy("w1", "w2").agg(F.sum("cd").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    score = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr(f"(c2 * {scale}) div c1").alias("p")
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.expr("sum(p) div count(1)").alias("lm_score"),
+    return (
+        cd.join(score, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("cd").alias("n_bigrams"),
+            F.expr("sum(cd * p) div sum(cd)").alias("lm_score"),
+        )
     )

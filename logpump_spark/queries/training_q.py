@@ -265,3 +265,94 @@ ORDER BY doc_id, chunk_no
 
 SPARK_QUERIES["chunk_docs"] = chunk_docs
 ORACLE_SQL["chunk_docs"] = _CHUNK_SQL
+
+
+def training_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-set assembly pipeline — what a
+    user actually runs: Gopher quality gate -> stratified split (keep
+    the train fraction) -> concat-and-chunk packing.  Each stage is the
+    same library operator its standalone query exercises; the value here
+    is the composition staying ONE lazy plan (gate projection fuses into
+    the split window's scan; only the lang and shard shuffles move
+    data)."""
+    from ..llmdata.quality import gopher_rules
+
+    docs = load(spark, sf_dir, "documents")
+    gated = gopher_rules(docs).filter("keep").select("doc_id", "lang", "text")
+    train = (
+        assign_splits(gated, strata_col="lang")
+        .filter(F.col("split") == "train")
+        .select("doc_id", "lang", "text")
+    )
+    packed = pack_sequences(train, budget=_BUDGET, n_shards=_N_SHARDS)
+    return packed.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        F.col("offset").alias("seq_offset"),
+        "n_seqs",
+    ).orderBy("doc_id")
+
+
+def _training_prepare_sql() -> str:
+    from ..llmdata.quality import (
+        MAX_MEAN_WORD_LEN,
+        MAX_SYMBOL_WORD_RATIO,
+        MAX_WORDS,
+        MIN_ALPHA_WORD_FRAC,
+        MIN_MEAN_WORD_LEN,
+        MIN_STOPWORD_HITS,
+        MIN_WORDS,
+    )
+    from ..llmdata.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents
+),
+gated AS (
+  SELECT doc_id, lang, text FROM f
+  WHERE (len(t) >= {MIN_WORDS} AND len(t) <= {MAX_WORDS})
+    AND ((length(text) - (len(t) - 1)) / len(t) >= {MIN_MEAN_WORD_LEN}
+         AND (length(text) - (len(t) - 1)) / len(t) <= {MAX_MEAN_WORD_LEN})
+    AND ((length(regexp_replace(text, '[^#…]', '', 'g')) / len(t))
+         <= {MAX_SYMBOL_WORD_RATIO})
+    AND ((len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) / len(t))
+         >= {MIN_ALPHA_WORD_FRAC})
+    AND (len(list_filter(t, w -> list_contains([{stop_list}], w)))
+         >= {MIN_STOPWORD_HITS})
+),
+s AS (
+  SELECT doc_id, lang, text,
+         ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM gated
+),
+train AS (
+  SELECT doc_id, text FROM s
+  WHERE rk > CEIL(n * 0.1) + CEIL(n * 0.1)
+),
+toks AS (
+  SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM train
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM toks
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum_end - n_tokens) // {_BUDGET} AS BIGINT) AS seq_id,
+       CAST((cum_end - n_tokens) % {_BUDGET} AS BIGINT) AS seq_offset,
+       CAST((cum_end - 1) // {_BUDGET}
+            - (cum_end - n_tokens) // {_BUDGET} + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id
+"""
+
+
+SPARK_QUERIES["training_prepare"] = training_prepare
+ORACLE_SQL["training_prepare"] = _training_prepare_sql()

@@ -249,3 +249,16 @@ def test_chunking_zero_shuffle(spark):
     df.collect()
     plan = _plan(df)
     assert "Exchange" not in plan
+
+
+def test_training_prepare_two_data_shuffles(spark):
+    # gate -> split -> pack composes into ONE plan whose only data
+    # shuffles are the lang window and the shard window (plus the
+    # display-only range sort)
+    from logpump_spark.queries.training_q import training_prepare
+
+    df = training_prepare(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Final Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
