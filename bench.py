@@ -75,6 +75,7 @@ HEADLINE = [
     "text_lm_score",
     "chunk_docs",
     "training_prepare",
+    "text_boilerplate",
 ]
 
 

@@ -208,3 +208,82 @@ def top_p_by_score(
         .select(id_col, score_col)
     )
     return above.unionByName(at_cut)
+
+
+def boilerplate_flag(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 3,
+    top_k: int = 200,
+    max_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate detection (the RefinedWeb/C4-style repeated-template
+    pass): find the ``top_k`` k-token shingles that repeat across at
+    least ``min_docs`` DISTINCT documents — navigation chrome, legal
+    footers, scraper artifacts — then score every document by the
+    fraction of its shingles that are boilerplate and flag docs
+    exceeding ``max_frac``.
+
+    Emits (id, n_shingles, n_boiler, boiler_frac, is_boilerplate).
+
+    Scale shape: shingles travel as md5-derived 60-bit ints (8-byte
+    keys, oracle-replayable — same hash as decontamination); the hot
+    set is head-of-distribution and CAPPED at ``top_k`` via a
+    distributed TakeOrdered, so the join back is a BROADCAST
+    (driver-bounded at top_k rows) against one corpus scan.  Without
+    the cap the hot set is unbounded and the join degrades to a
+    corpus-wide shuffle — the cap IS the 100 TB design."""
+    import hashlib
+
+    @F.pandas_udf("array<long>")
+    def _shingle_hashes(texts: pd.Series) -> pd.Series:
+        # hexdigest()[1:16] is the same 60-bit integer the DuckDB twin
+        # derives (substr(md5, 2, 15)) — see decontaminate_ngram_overlap
+        out = []
+        for t in texts:
+            toks = ("" if t is None else t).split(" ")
+            out.append(
+                [
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + k]).encode("utf-8")
+                        ).hexdigest()[1:16],
+                        16,
+                    )
+                    for i in range(max(len(toks) - k + 1, 1))
+                ]
+            )
+        return pd.Series(out)
+
+    sh = docs.select(
+        F.col(id_col), F.explode(_shingle_hashes(F.col(text_col))).alias("h")
+    )
+    hot = (
+        sh.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("h").asc())
+        .limit(top_k)
+        .select("h")
+    )
+    flagged = (
+        sh.join(F.broadcast(hot.withColumn("is_hot", F.lit(1))), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_hot"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    frac = F.col("n_boiler") / F.col("n_shingles")
+    return flagged.select(
+        id_col,
+        "n_shingles",
+        "n_boiler",
+        F.round(frac, 6).alias("boiler_frac"),
+        (frac > max_frac).alias("is_boilerplate"),
+    )

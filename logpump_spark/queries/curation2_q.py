@@ -239,3 +239,60 @@ ORACLE_SQL = {
     "dedup_canonical": _DEDUP_CANONICAL_SQL,
     "sample_topp": _SAMPLE_TOPP_SQL,
 }
+
+
+_BP_K = 5
+_BP_MIN_DOCS = 3
+_BP_TOP = 200
+_BP_MAX_FRAC = 0.5
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4-style boilerplate pass: top-200 5-token shingles
+    repeating across >=3 distinct docs, then per-doc boilerplate
+    fraction + gate (llmdata/curation.py boilerplate_flag)."""
+    from ..llmdata.curation import boilerplate_flag
+
+    docs = load(spark, sf_dir, "documents")
+    return boilerplate_flag(
+        docs,
+        k=_BP_K,
+        min_docs=_BP_MIN_DOCS,
+        top_k=_BP_TOP,
+        max_frac=_BP_MAX_FRAC,
+    ).orderBy("doc_id")
+
+
+# shingles WITH multiplicity (no list_distinct): every window counts
+_BP_SHINGLES = (
+    "list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - {km1}, 1) + 1),"
+    " i -> array_to_string(list_slice(string_split(text, ' '), i, i + {km1}), ' '))"
+).format(km1=_BP_K - 1)
+
+_TEXT_BOILERPLATE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_MD5I.format(s="s")} AS h FROM (
+    SELECT doc_id, UNNEST({_BP_SHINGLES}) AS s FROM documents)
+),
+hot AS (
+  SELECT h FROM (
+    SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+    FROM sh GROUP BY h)
+  WHERE n_docs >= {_BP_MIN_DOCS}
+  ORDER BY n_docs DESC, h ASC LIMIT {_BP_TOP}
+),
+f AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM sh s LEFT JOIN hot ON s.h = hot.h
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, CAST(n_boiler AS BIGINT) AS n_boiler,
+       ROUND(n_boiler / n_shingles, 6) AS boiler_frac,
+       (n_boiler / n_shingles) > {_BP_MAX_FRAC} AS is_boilerplate
+FROM f ORDER BY doc_id
+"""
+
+SPARK_QUERIES["text_boilerplate"] = text_boilerplate
+ORACLE_SQL["text_boilerplate"] = _TEXT_BOILERPLATE_SQL

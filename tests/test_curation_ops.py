@@ -207,3 +207,37 @@ def test_dedup_canonical_picks_biggest_then_smallest_id(spark):
     multi = [r for r in rows.values() if r.n_members >= 2]
     assert multi, "planted clones must produce at least one multi-member cluster"
     assert all(r.keep_id < 1_000_000 or r.n_members == 1 for r in multi)
+
+
+def test_boilerplate_planted_footer(spark):
+    from logpump_spark.llmdata.curation import boilerplate_flag
+
+    footer = "all rights reserved by example corp"
+    rows = [(i, f"unique words {i} only here " + footer) for i in range(4)]
+    rows.append((99, "completely unrelated text with many distinct tokens"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_flag(
+            docs, k=5, min_docs=3, top_k=10, max_frac=0.2
+        ).collect()
+    }
+    # the footer's 5-token shingles repeat across 4 docs -> flagged
+    assert all(out[i].n_boiler > 0 for i in range(4))
+    assert all(out[i].is_boilerplate for i in range(4))
+    # the unrelated doc shares nothing
+    assert out[99].n_boiler == 0 and not out[99].is_boilerplate
+
+
+def test_boilerplate_threshold_respects_min_docs(spark):
+    from logpump_spark.llmdata.curation import boilerplate_flag
+
+    # a shingle shared by only TWO docs is below min_docs=3 -> no flags
+    rows = [
+        (1, "shared phrase of five tokens plus a b"),
+        (2, "shared phrase of five tokens plus c d"),
+        (3, "something else entirely one two three four"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_flag(docs, k=5, min_docs=3, top_k=10).collect()
+    assert all(r.n_boiler == 0 for r in out)

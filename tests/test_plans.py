@@ -262,3 +262,15 @@ def test_training_prepare_two_data_shuffles(spark):
     plan = _plan(df)
     final = plan.split("== Final Plan ==")[0]
     assert final.count("Exchange hashpartitioning") <= 2
+
+
+def test_boilerplate_hot_set_broadcast(spark):
+    # the capped hot-shingle set must join back via BROADCAST; the
+    # corpus shingle stream is never shuffled for that join
+    from logpump_spark.queries.curation2_q import text_boilerplate
+
+    df = text_boilerplate(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
