@@ -76,6 +76,7 @@ HEADLINE = [
     "chunk_docs",
     "training_prepare",
     "text_boilerplate",
+    "embed_label_purity",
 ]
 
 

@@ -455,3 +455,67 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cell", "cos")
     )
+
+
+def label_purity(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space label coherence (the clustering-evaluation step
+    of an embedding pipeline): per-label centroid, nearest-centroid
+    assignment by cosine, per-label purity = fraction of members whose
+    nearest centroid is their own label.
+
+    Determinism contract: centroid components are per-dim means ROUNDED
+    TO 6 DP — double sums are partition-order dependent, so rounding is
+    what makes the centroids engine-identical before any distance is
+    computed; assignment cosines are rounded the same way with ties to
+    the smaller label (same 6-dp contract as every similarity oracle
+    here).
+
+    Scale shape: centroids are |labels| x dims — broadcast; scoring is
+    one corpus scan x |labels| Arrow-batched rows; the argmax groups by
+    the vector id (corpus x |labels| lightweight rows, one shuffle) and
+    the purity rollup is a tiny per-label aggregate."""
+    dims = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    cent = (
+        dims.groupBy(label_col, "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col(label_col).alias("clabel"),
+            F.transform("pc", lambda s: s["c"]).alias("cv"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        label_col,
+        "clabel",
+        F.round(np_cosine()(F.col(vec_col), F.col("cv")), 6).alias("cos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("clabel").asc())
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, label_col, F.col("clabel").alias("assigned"))
+    )
+    return (
+        assigned.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("assigned") == F.col(label_col)).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            label_col,
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n"), 6).alias("purity"),
+        )
+    )

@@ -642,3 +642,44 @@ ORACLE_SQL = {
     "doc_fingerprint": _DOC_FP_SQL,
     "multimodal_decode": _MULTIMODAL_SQL,
 }
+
+
+def embed_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label nearest-centroid purity over the embeddings table —
+    the clustering-evaluation pass (llmdata/similarity.label_purity)."""
+    from ..llmdata.similarity import label_purity
+
+    emb = load(spark, sf_dir, "embeddings")
+    return label_purity(emb).orderBy("label")
+
+
+_LABEL_PURITY_SQL = f"""
+WITH px AS (
+  SELECT label, u.i AS pos, ROUND(AVG(CAST(embedding[u.i] AS DOUBLE)), 6) AS c
+  FROM embeddings, UNNEST(range(1, 65)) u(i)
+  GROUP BY label, u.i
+),
+cent AS (
+  SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM px GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, cent.clabel,
+         ROUND({_COS.format(a="e.embedding", b="cent.cv")}, 6) AS cos
+  FROM embeddings e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, label, clabel AS assigned FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, clabel ASC) AS rk
+    FROM scored) WHERE rk = 1
+)
+SELECT label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN assigned = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN assigned = label THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS purity
+FROM assigned GROUP BY label ORDER BY label
+"""
+
+SPARK_QUERIES["embed_label_purity"] = embed_label_purity
+ORACLE_SQL["embed_label_purity"] = _LABEL_PURITY_SQL

@@ -288,3 +288,23 @@ def test_md5_hash60_cross_engine_equality(spark):
             "SELECT CAST(concat('0x', substr(md5(?), 2, 15)) AS BIGINT)", [s]
         ).fetchone()
         assert got[s] == want, f"hash divergence for {s!r}"
+
+
+def test_label_purity_separated_clusters(spark):
+    from logpump_spark.llmdata.similarity import label_purity
+
+    # two orthogonal clusters; vec 5 carries label 1 but sits in
+    # cluster 0 -> label 1 purity drops, label 0 stays perfect
+    rows = []
+    for i in range(4):
+        rows.append((i, [10.0 + i, 0.0, 0.0, 0.0], 0))
+    for i in range(4):
+        rows.append((10 + i, [0.0, 10.0 + i, 0.0, 0.0], 1))
+    rows.append((5, [9.0, 0.1, 0.0, 0.0], 1))  # mislabeled straggler
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in label_purity(emb).collect()}
+    assert out[0].n == 4 and out[0].purity == 1.0
+    assert out[1].n == 5 and out[1].n_correct == 4
+    assert out[1].purity == pytest.approx(0.8)
