@@ -308,3 +308,27 @@ def test_label_purity_separated_clusters(spark):
     assert out[0].n == 4 and out[0].purity == 1.0
     assert out[1].n == 5 and out[1].n_correct == 4
     assert out[1].purity == pytest.approx(0.8)
+
+
+def test_ivf_index_persists_and_reloads(spark, tmp_path):
+    # the operational ANN story: fit ONCE, persist the cell assignment,
+    # reload in a later job and query without refitting — results must
+    # be identical to querying over the in-memory fit
+    from logpump_spark.llmdata.similarity import fit_ivf, ivf_topk
+    from logpump_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cells, _cent = fit_ivf(emb, n_cells=4, iters=2)
+    with_cells = emb.join(cells, "vec_id")
+
+    idx_path = str(tmp_path / "ivf_cells")
+    cells.write.mode("overwrite").parquet(idx_path)
+    reloaded = emb.join(spark.read.parquet(idx_path), "vec_id")
+
+    q = [0, 1, 2]
+    a = ivf_topk(with_cells, q, k=3, cell_col="cell").collect()
+    b = ivf_topk(reloaded, q, k=3, cell_col="cell").collect()
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[-1])) == sorted(
+        map(tuple, b), key=lambda t: (t[0], t[-1])
+    )
+    assert len(a) > 0
