@@ -683,3 +683,39 @@ FROM assigned GROUP BY label ORDER BY label
 
 SPARK_QUERIES["embed_label_purity"] = embed_label_purity
 ORACLE_SQL["embed_label_purity"] = _LABEL_PURITY_SQL
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over real WAV payloads (the video frame-sample
+    shape: one row per sampled byte offset, every 64 bytes).  PCM16
+    size is deterministic (44 + 2*n_samples), so the offset arithmetic
+    is fully oracle-checkable; the per-frame decode plugs into
+    decode_image_features downstream."""
+    from ..llmdata.multimodal import sample_frames, synthesize_wav_media
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, 16000).otherwise(22050).alias("rate"),
+        (50 + F.col("doc_id") % 100).alias("n"),
+    )
+    media = synthesize_wav_media(docs, "doc_id", "rate", "n", "source")
+    return sample_frames(media, every_n_bytes=64).orderBy(
+        "media_id", "frame_no"
+    )
+
+
+_MULTIMODAL_FRAMES_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, 44 + 2 * (50 + doc_id % 100) AS n_bytes
+  FROM documents
+)
+SELECT media_id, 'audio' AS kind, n_bytes,
+       CAST(u.i AS INT) AS frame_no,
+       CAST(u.i * 64 AS INT) AS byte_offset
+FROM b, UNNEST(range(0, (n_bytes - 1) // 64 + 1)) AS u(i)
+ORDER BY media_id, frame_no
+"""
+
+SPARK_QUERIES["multimodal_frames"] = multimodal_frames
+ORACLE_SQL["multimodal_frames"] = _MULTIMODAL_FRAMES_SQL

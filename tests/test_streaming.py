@@ -480,3 +480,36 @@ def test_metrics_listener_two_batches(spark, tmp_path):
     assert all(b["rows_per_sec"] >= 0.0 for b in batches)
     # exactly one dead-letter row total, in the bad.log batch
     assert sorted(b["rejects"] for b in batches) == [0, 1]
+
+
+def test_llm_quality_gate_streaming_equals_batch(spark, tmp_path):
+    # the curation operators are plain Column logic, so the SAME
+    # gopher_rules call runs unchanged on a streaming micro-batch and
+    # must produce exactly the batch result — the streaming=batch
+    # contract extended to the llmdata plane
+    from logpump_spark.llmdata.quality import gopher_rules
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(src)
+
+    batch = {
+        r.doc_id: (r.keep, r.n_words)
+        for r in gopher_rules(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    seen: dict = {}
+
+    def sink(df, epoch_id):
+        for r in gopher_rules(df).select("doc_id", "keep", "n_words").collect():
+            seen[r.doc_id] = (r.keep, r.n_words)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert seen == batch
