@@ -287,3 +287,38 @@ def boilerplate_flag(
         F.round(frac, 6).alias("boiler_frac"),
         (frac > max_frac).alias("is_boilerplate"),
     )
+
+
+def merge_by_priority(
+    docs: DataFrame,
+    priority: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-corpus merge with priority-based survivor selection: when
+    the same content (md5 fingerprint of ``text_col``) appears in
+    several source corpora, keep the copy with the LOWEST ``priority``
+    value (ties to the smallest id) — the "prefer the curated source
+    over the crawl" step of assembling a training mix from overlapping
+    corpora.
+
+    Emits one row per distinct content: the winning copy plus
+    ``n_copies`` / ``n_sources`` provenance counts.
+
+    Scale shape: one shuffle keyed on the content fingerprint (winner
+    pick and provenance counts ride the same window partitioning); text
+    itself shuffles once as part of the winning row — at 100 TB,
+    project ids + fingerprints first and join winners back if rows are
+    huge."""
+    fp = F.md5(F.col(text_col))
+    w = W.partitionBy("fp").orderBy(priority.asc(), F.col(id_col).asc())
+    wn = W.partitionBy("fp")
+    return (
+        docs.withColumn("fp", fp)
+        .withColumn("pri", priority)
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wn))
+        .withColumn("n_sources", F.size(F.collect_set("source").over(wn)))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "pri")
+    )

@@ -296,3 +296,52 @@ FROM f ORDER BY doc_id
 
 SPARK_QUERIES["text_boilerplate"] = text_boilerplate
 ORACLE_SQL["text_boilerplate"] = _TEXT_BOILERPLATE_SQL
+
+
+def corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-corpora merge: every 7th doc also arrives via a
+    lower-priority 'mirror' corpus (planted in-plan with shifted ids);
+    the merge must keep the original copy and report provenance
+    (llmdata/curation.py merge_by_priority)."""
+    from ..llmdata.curation import merge_by_priority
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            F.lit("mirror").alias("source"),
+        )
+    )
+    both = docs.unionByName(mirror)
+    pri = F.when(F.col("source") == "mirror", 1).otherwise(0)
+    return (
+        merge_by_priority(both, priority=pri)
+        .select("doc_id", "source", "n_copies", "n_sources")
+        .orderBy("doc_id")
+    )
+
+
+_CORPUS_MERGE_SQL = """
+WITH merged AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, 'mirror' AS source
+  FROM documents WHERE doc_id % 7 = 0
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+            ORDER BY CASE WHEN source = 'mirror' THEN 1 ELSE 0 END, doc_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+         COUNT(DISTINCT source) OVER (PARTITION BY md5(text)) AS n_sources
+  FROM merged
+)
+SELECT doc_id, source, n_copies, CAST(n_sources AS INT) AS n_sources
+FROM ranked WHERE rk = 1 ORDER BY doc_id
+"""
+
+SPARK_QUERIES["corpus_merge"] = corpus_merge
+ORACLE_SQL["corpus_merge"] = _CORPUS_MERGE_SQL

@@ -241,3 +241,29 @@ def test_boilerplate_threshold_respects_min_docs(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = boilerplate_flag(docs, k=5, min_docs=3, top_k=10).collect()
     assert all(r.n_boiler == 0 for r in out)
+
+
+def test_merge_by_priority_prefers_curated_source(spark):
+    from logpump_spark.llmdata.curation import merge_by_priority
+
+    rows = [
+        (1, "same content here", "crawl"),
+        (2, "same content here", "curated"),
+        (3, "only in crawl", "crawl"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pri = F.when(F.col("source") == "curated", 0).otherwise(1)
+    out = {r.doc_id: r for r in merge_by_priority(docs, priority=pri).collect()}
+    # curated copy wins the duplicate pair; unique doc passes through
+    assert set(out) == {2, 3}
+    assert out[2].n_copies == 2 and out[2].n_sources == 2
+    assert out[3].n_copies == 1 and out[3].n_sources == 1
+
+
+def test_merge_by_priority_ties_to_smallest_id(spark):
+    from logpump_spark.llmdata.curation import merge_by_priority
+
+    rows = [(9, "x", "a"), (4, "x", "a"), (7, "x", "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = merge_by_priority(docs, priority=F.lit(0)).collect()
+    assert len(out) == 1 and out[0].doc_id == 4 and out[0].n_copies == 3
