@@ -113,3 +113,58 @@ ORACLE_SQL = {
     "fn_json_roundtrip": _FN_JSON_ROUNDTRIP_SQL,
     "fn_decimal": _FN_DECIMAL_SQL,
 }
+
+
+def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` analog: map-valued aggregation.  Each event
+    carries a metrics map (synthesized in-plan from its columns); the
+    aggregate sums the maps KEY-WISE per event_type and returns the
+    CH shape — parallel sorted-keys / summed-values arrays.
+
+    Spark has no map-sum aggregate; the scale-honest expression is
+    explode -> (group, key) sum (map-side partials on the flat rows) ->
+    re-collect sorted.  The per-group map width is bounded by the
+    metric vocabulary, not the corpus."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("cnt"), F.lit(1).cast("long"),
+        F.lit("val_milli"), F.floor(F.col("value") * 1000).cast("long"),
+        F.lit("k"), F.get_json_object("props", "$.k").cast("long"),
+    )
+    flat = ev.select("event_type", F.explode(m).alias("mk", "mv"))
+    per_key = flat.groupBy("event_type", "mk").agg(F.sum("mv").alias("total"))
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("mk", "total"))).alias("kv")
+        )
+        .select(
+            "event_type",
+            F.transform("kv", lambda s: s["mk"]).alias("map_keys"),
+            F.transform("kv", lambda s: s["total"]).alias("map_sums"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AGG_SUM_MAP_SQL = """
+WITH flat AS (
+  SELECT event_type, u.mk,
+         CASE u.mk
+           WHEN 'cnt' THEN 1
+           WHEN 'val_milli' THEN CAST(FLOOR(value * 1000) AS BIGINT)
+           ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS mv
+  FROM events, UNNEST(['cnt', 'val_milli', 'k']) AS u(mk)
+),
+per_key AS (
+  SELECT event_type, mk, SUM(mv) AS total FROM flat GROUP BY event_type, mk
+)
+SELECT event_type,
+       list(mk ORDER BY mk) AS map_keys,
+       list(CAST(total AS BIGINT) ORDER BY mk) AS map_sums
+FROM per_key GROUP BY event_type ORDER BY event_type
+"""
+
+SPARK_QUERIES["agg_sum_map"] = agg_sum_map
+ORACLE_SQL["agg_sum_map"] = _AGG_SUM_MAP_SQL
