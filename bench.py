@@ -77,6 +77,9 @@ HEADLINE = [
     "training_prepare",
     "text_boilerplate",
     "embed_label_purity",
+    "corpus_merge",
+    "multimodal_frames",
+    "agg_sum_map",
 ]
 
 
