@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -382,4 +382,55 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    prefix_len: int = 12,
+    max_dist: int = 2,
+    bucket_chars: int = 3,
+    max_bucket_size: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs over short keys (title /
+    leading-prefix dedup — catches typo-level variants the token-set
+    measures miss).  Key = the first ``prefix_len`` chars; candidates
+    come from (first ``bucket_chars`` chars, key length) buckets, then
+    ``levenshtein(k_a, k_b) <= max_dist`` verifies — both engines define
+    levenshtein identically (unit-cost insert/delete/substitute).
+
+    Recall contract (the LSH-style tradeoff, stated): pairs differing
+    inside the first ``bucket_chars`` chars or in key length by more
+    than 0 land in different buckets and are MISSED; buckets larger
+    than ``max_bucket_size`` are dropped whole (a degenerate prefix
+    would otherwise go quadratic).  Scale shape: one bucket-key shuffle;
+    the quadratic step is per-bucket and capped."""
+    key = F.substring(F.col(text_col), 1, prefix_len)
+    t = docs.select(
+        F.col(id_col).alias("_id"),
+        key.alias("k"),
+        F.concat(
+            F.substring(key, 1, bucket_chars), F.lit("|"), F.length(key)
+        ).alias("bkt"),
+    )
+    w = W.partitionBy("bkt")
+    capped = (
+        t.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= max_bucket_size)
+        .drop("bsz")
+    )
+    a = capped.select(
+        F.col("_id").alias("id_a"), F.col("k").alias("ka"), "bkt"
+    )
+    b = capped.select(
+        F.col("_id").alias("id_b"), F.col("k").alias("kb"), "bkt"
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("ka", "kb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
     )

@@ -719,3 +719,53 @@ ORDER BY media_id, frame_no
 
 SPARK_QUERIES["multimodal_frames"] = multimodal_frames
 ORACLE_SQL["multimodal_frames"] = _MULTIMODAL_FRAMES_SQL
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup pairs by levenshtein over 12-char leading
+    keys: every 31st doc gets an in-plan mutated twin (one char
+    substituted at position 6, outside the 3-char bucket prefix), and
+    the operator must recover those pairs plus any organic ones
+    (llmdata/dedup.edit_distance_pairs)."""
+    from ..llmdata.dedup import edit_distance_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 5), F.lit("#"), F.substring("text", 7, 1_000_000)
+        ).alias("text"),
+    )
+    return (
+        edit_distance_pairs(docs.unionByName(twins))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_DEDUP_EDIT_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, 5) || '#' || substr(text, 7) AS text
+  FROM documents WHERE doc_id % 31 = 0
+),
+keyed AS (
+  SELECT doc_id AS _id, substr(text, 1, 12) AS k,
+         substr(text, 1, 3) || '|' || length(substr(text, 1, 12)) AS bkt
+  FROM all_docs
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bkt) AS bsz FROM keyed)
+  WHERE bsz <= 200
+)
+SELECT a._id AS id_a, b._id AS id_b,
+       CAST(levenshtein(a.k, b.k) AS INT) AS dist
+FROM capped a JOIN capped b USING (bkt)
+WHERE a._id < b._id AND levenshtein(a.k, b.k) <= 2
+ORDER BY id_a, id_b
+"""
+
+SPARK_QUERIES["dedup_edit_distance"] = dedup_edit_distance
+ORACLE_SQL["dedup_edit_distance"] = _DEDUP_EDIT_SQL

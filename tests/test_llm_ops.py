@@ -332,3 +332,35 @@ def test_ivf_index_persists_and_reloads(spark, tmp_path):
         map(tuple, b), key=lambda t: (t[0], t[-1])
     )
     assert len(a) > 0
+
+
+def test_edit_distance_finds_planted_typos(spark):
+    from logpump_spark.llmdata.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpXa beta gamma delta"),   # 1 substitution inside the key
+        (3, "zzz completely different"),
+        (4, "alphq betq gamma others"),  # 2 substitutions
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(docs, max_dist=2).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 4)] == 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_edit_distance_bucket_blindspot_and_cap(spark):
+    from logpump_spark.llmdata.dedup import edit_distance_pairs
+
+    # a difference INSIDE the 3-char bucket prefix is missed by design
+    rows = [(1, "abcdefghijkl rest"), (2, "aXcdefghijkl rest")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert edit_distance_pairs(docs).count() == 0
+    # a degenerate bucket larger than the cap is dropped whole
+    rows = [(i, "same prefix here text") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert edit_distance_pairs(docs, max_bucket_size=10).count() == 0
