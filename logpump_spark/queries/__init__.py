@@ -57,6 +57,12 @@ _MODULES = (
     sources_q,  # latest-r4 additions — rotate into the window next round
 )
 
+# Round-5 rotation candidates (local-parity green at sf0.001/0.01/0.1,
+# never driver-verified — put these in the next window's head):
+#   text_lm_score, scan_csv, scan_jsonl, scan_orc, sql_recursive_cte,
+#   chunk_docs, training_prepare, text_boilerplate, embed_label_purity,
+#   multimodal_frames, corpus_merge, agg_sum_map, dedup_edit_distance
+
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  Round-4 window, in priority order:
 #   1-15   never-driver-verified curation/analytics/timeseries/quality
