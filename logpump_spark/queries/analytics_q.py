@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.funnel import retention, window_funnel
@@ -84,3 +84,47 @@ ORACLE_SQL = {
     "funnel_steps": _FUNNEL_SQL,
     "retention_cohort": _RETENTION_SQL,
 }
+
+
+def trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-2 event types per DAY by event count with the
+    day-over-day count delta — the time-bucketed grouped top-k every
+    monitoring dashboard runs.  The rank window partitions by day, so
+    WindowGroupLimit prunes per input partition and no day funnels
+    through a global sort; the delta lag rides the event_type
+    partitioning."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_lag = W.partitionBy("event_type").orderBy("day")
+    w_rank = W.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        daily.withColumn("prev_n", F.lag("n").over(w_lag))
+        .withColumn("delta", F.col("n") - F.coalesce("prev_n", F.col("n")))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 2)
+        .select("day", "event_type", "n", "delta", "rk")
+        .orderBy("day", "rk")
+    )
+
+
+_TRENDING_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT day, event_type, n,
+         n - COALESCE(LAG(n) OVER (PARTITION BY event_type ORDER BY day), n)
+           AS delta,
+         ROW_NUMBER() OVER (PARTITION BY day
+                            ORDER BY n DESC, event_type) AS rk
+  FROM daily
+)
+SELECT day, event_type, n, CAST(delta AS BIGINT) AS delta, CAST(rk AS INT) AS rk
+FROM x WHERE rk <= 2 ORDER BY day, rk
+"""
+
+SPARK_QUERIES["trending_topk"] = trending_topk
+ORACLE_SQL["trending_topk"] = _TRENDING_SQL
