@@ -62,7 +62,7 @@ _MODULES = (
 #   text_lm_score, scan_csv, scan_jsonl, scan_orc, sql_recursive_cte,
 #   chunk_docs, training_prepare, text_boilerplate, embed_label_purity,
 #   multimodal_frames, corpus_merge, agg_sum_map, dedup_edit_distance,
-#   trending_topk
+#   trending_topk, xform_zorder_key
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  Round-4 window, in priority order:

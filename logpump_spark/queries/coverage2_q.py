@@ -214,3 +214,42 @@ ORACLE_SQL = {
     "fn_generators": _FN_GENERATORS_SQL,
     "setop_union_by_name": _SETOP_UNION_BY_NAME_SQL,
 }
+
+
+def xform_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, event_id mod 2^16)
+    — the multi-column-locality sink layout (operators/zorder.py); the
+    oracle replays the exact bit-interleave, so the key arithmetic that
+    decides row-group placement is value-checked."""
+    from ..operators.zorder import morton_key
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        morton_key(
+            F.col("user_id") % 65536, F.col("event_id") % 65536
+        ).alias("zkey"),
+    ).orderBy("event_id")
+
+
+def _spread_sql(expr: str) -> str:
+    x = f"({expr} & 65535)"
+    for sh, m in (
+        (8, 0x00FF00FF),
+        (4, 0x0F0F0F0F),
+        (2, 0x33333333),
+        (1, 0x55555555),
+    ):
+        x = f"((({x} | ({x} << {sh})) & {m}))"
+    return x
+
+
+_ZORDER_SQL = f"""
+SELECT event_id,
+       CAST(({_spread_sql('(user_id % 65536)')}
+             | ({_spread_sql('(event_id % 65536)')} << 1)) AS BIGINT) AS zkey
+FROM events ORDER BY event_id
+"""
+
+SPARK_QUERIES["xform_zorder_key"] = xform_zorder_key
+ORACLE_SQL["xform_zorder_key"] = _ZORDER_SQL
