@@ -97,3 +97,44 @@ def zscore_anomalies(
         .filter(F.abs(F.col("z")) > z_threshold)
         .select(key_col, "day", "x", "z")
     )
+
+
+def ewma_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_lives: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) of the per-key
+    daily quantized value sum, truncated to the last ``half_lives``
+    observed days — the smoothing shape behind rate dashboards and
+    alerting baselines over tech-log volumes.
+
+    Exactness: with alpha = 1/2 the weights are the integers
+    2^(half_lives-1-k) for lag k, so numerator and denominator are exact
+    int64 sums over LAG values and the EWMA is ONE floored division of
+    exact integers — any engine replays it bit-identically (same trick
+    as zscore_anomalies' power sums).  Truncation bounds the weight
+    vector; beyond 8 half-lives the dropped tail contributes < 0.4% and
+    an untruncated recursive EWMA has no order-exact cross-engine form.
+
+    Scale shape: one groupBy shuffle on (key, day), then one window
+    sorted per key reused by all LAG terms — the window state is O(lags)
+    per key, no spine join, no self-join per lag.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.select(F.col(key_col), day.alias("day"), F.col(value_col))
+        .groupBy(key_col, "day")
+        .agg(F.sum(F.floor(F.col(value_col) * 10000).cast("long")).alias("qsum"))
+    )
+    w = W.partitionBy(key_col).orderBy("day")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k in range(half_lives):
+        weight = 1 << (half_lives - 1 - k)
+        lagged = F.lag("qsum", k).over(w) if k else F.col("qsum")
+        num = num + F.coalesce(lagged * F.lit(weight), F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return daily.withColumn("ewma_q", F.floor(num / den).cast("long"))

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.timeseries import gap_fill_daily, zscore_anomalies
+from ..operators.timeseries import ewma_daily, gap_fill_daily, zscore_anomalies
 from ..tables import load
 
 
@@ -113,14 +113,62 @@ ORDER BY c_nationkey, metric
 """
 
 
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=1/2, 8-lag truncation) of the daily quantized
+    value sum — integer weights make the smoothing engine-exact (users
+    < 30 keep the result and oracle cost bounded)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = ewma_daily(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id", F.col("day").cast("string").alias("day"), "qsum", "ewma_q"
+    ).orderBy("user_id", "day")
+
+
+# weights 2^(7-k) for lag k: exact integers, so num/den replay exactly
+_TS_EWMA_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS qsum
+  FROM events WHERE user_id < 30
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT user_id, day, qsum,
+         {lags}
+  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day, qsum,
+       CAST(FLOOR(({num}) / CAST(({den}) AS DOUBLE)) AS BIGINT) AS ewma_q
+FROM lagged
+ORDER BY user_id, day
+""".format(
+    lags=",\n         ".join(
+        f"LAG(qsum, {k}) OVER w AS l{k}" for k in range(1, 8)
+    ),
+    num=" + ".join(
+        ["qsum * 128"]
+        + [f"COALESCE(l{k} * {1 << (7 - k)}, 0)" for k in range(1, 8)]
+    ),
+    den=" + ".join(
+        ["128"]
+        + [
+            f"CASE WHEN l{k} IS NOT NULL THEN {1 << (7 - k)} ELSE 0 END"
+            for k in range(1, 8)
+        ]
+    ),
+)
+
+
 SPARK_QUERIES = {
     "timeseries_fill": timeseries_fill,
     "timeseries_anomaly": timeseries_anomaly,
     "unpivot_stack": unpivot_stack,
+    "timeseries_ewma": timeseries_ewma,
 }
 
 ORACLE_SQL = {
     "timeseries_fill": _TS_FILL_SQL,
     "timeseries_anomaly": _TS_ANOMALY_SQL,
     "unpivot_stack": _UNPIVOT_SQL,
+    "timeseries_ewma": _TS_EWMA_SQL,
 }

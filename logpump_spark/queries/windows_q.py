@@ -181,12 +181,49 @@ ORDER BY user_id, event_id
 """
 
 
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles of customers by account balance within each
+    nation (NTILE), folded to per-(nation, quartile) counts and quantized
+    balance sums — the bucketing shape behind equi-depth histograms and
+    per-cohort sampling.  ORDER BY carries c_custkey as a unique
+    tiebreaker so tile assignment is deterministic in both engines."""
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("tile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_q"),
+        )
+        .orderBy("c_nationkey", "tile")
+    )
+
+
+_WIN_NTILE_SQL = """
+SELECT c_nationkey, tile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_q
+FROM (
+  SELECT c_nationkey, c_acctbal,
+         NTILE(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal ASC, c_custkey ASC) AS tile
+  FROM customer
+)
+GROUP BY c_nationkey, tile
+ORDER BY c_nationkey, tile
+"""
+
+
 SPARK_QUERIES = {
     "win_rank": win_rank,
     "win_running_sum": win_running_sum,
     "win_lag": win_lag,
     "win_first_last": win_first_last,
     "win_range_frame": win_range_frame,
+    "win_ntile": win_ntile,
 }
 
 ORACLE_SQL = {
@@ -195,4 +232,5 @@ ORACLE_SQL = {
     "win_lag": _WIN_LAG_SQL,
     "win_first_last": _WIN_FIRST_LAST_SQL,
     "win_range_frame": _WIN_RANGE_FRAME_SQL,
+    "win_ntile": _WIN_NTILE_SQL,
 }
