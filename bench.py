@@ -80,6 +80,10 @@ HEADLINE = [
     "corpus_merge",
     "multimodal_frames",
     "agg_sum_map",
+    # r4 tail additions
+    "win_ntile",
+    "timeseries_ewma",
+    "freq_heavy_hitters",
 ]
 
 

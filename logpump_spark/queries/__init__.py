@@ -28,6 +28,7 @@ from . import (
     quality_q,
     relational2_q,
     relational_q,
+    sketch_q,
     sources_q,
     streaming_q,
     timeseries_q,
@@ -55,6 +56,7 @@ _MODULES = (
     curation2_q,  # r4 additions — in the window tail this round
     training_q,  # late-r4 additions — in the window tail this round
     sources_q,  # latest-r4 additions — rotate into the window next round
+    sketch_q,  # r4 tail: count-min heavy hitters
 )
 
 # Round-5 rotation candidates (local-parity green at sf0.001/0.01/0.1,
