@@ -84,6 +84,7 @@ HEADLINE = [
     "win_ntile",
     "timeseries_ewma",
     "freq_heavy_hitters",
+    "dedup_semantic",
 ]
 
 

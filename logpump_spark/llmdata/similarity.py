@@ -519,3 +519,48 @@ def label_purity(
             F.round(F.col("n_correct") / F.col("n"), 6).alias("purity"),
         )
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus embeddings with the fitted k-means coarse quantizer, then
+    prune every vector that has a same-cluster neighbor above the
+    cosine threshold with a smaller id — the kept set is exactly the
+    ids with no smaller-id near-neighbor, deterministic in any engine.
+
+    Composition, not new machinery: fit_ivf supplies the clusters
+    (integer-exact Lloyd, centroids driver-held and broadcast) and
+    embedding_neardup_pairs supplies the capped within-cluster pair
+    scan, so the scale properties are inherited — no corpus self-join
+    outside a cell, hard cap per cell, Arrow-batched cosine.
+
+    Returns one row per vector: (id, cell, keep, kept_by) where
+    kept_by is the smallest-id neighbor that shadows a pruned vector
+    (NULL for kept ones)."""
+    cells, _ = fit_ivf(emb, n_cells, iters, id_col, vec_col)
+    withc = emb.join(cells, id_col).select(id_col, "cell", vec_col)
+    pairs = embedding_neardup_pairs(
+        withc,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col="cell",
+        max_cell_size=max_cell_size,
+    )
+    kept_by = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("kept_by")
+    )
+    return (
+        withc.select(id_col, "cell")
+        .join(kept_by, id_col, "left")
+        .withColumn("keep", F.col("kept_by").isNull())
+        .select(id_col, "cell", "keep", "kept_by")
+    )

@@ -769,3 +769,39 @@ ORDER BY id_a, id_b
 
 SPARK_QUERIES["dedup_edit_distance"] = dedup_edit_distance
 ORACLE_SQL["dedup_edit_distance"] = _DEDUP_EDIT_SQL
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: fitted k-means clusters +
+    within-cluster cosine pruning (llmdata/similarity.semantic_dedup).
+    The oracle replays the ENTIRE pipeline — Lloyd fit, final cell
+    assignment, in-cell pair scan, min-id shadowing — in SQL."""
+    from ..llmdata.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35).orderBy("vec_id")
+
+
+_DEDUP_SEMANTIC_SQL = f"""
+WITH {_ivf_fit_cte(_IVF_CELLS, _IVF_ITERS)},
+capped AS (
+  SELECT e.vec_id, c.cell, e.embedding
+  FROM embeddings e JOIN cells c USING (vec_id)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY e.vec_id) <= 10000
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
+),
+kept_by AS (
+  SELECT id_b AS vec_id, MIN(id_a) AS kept_by FROM pairs GROUP BY id_b
+)
+SELECT c.vec_id AS vec_id, c.cell AS cell,
+       k.kept_by IS NULL AS keep, k.kept_by AS kept_by
+FROM capped c LEFT JOIN kept_by k USING (vec_id)
+ORDER BY vec_id
+"""
+
+SPARK_QUERIES["dedup_semantic"] = dedup_semantic
+ORACLE_SQL["dedup_semantic"] = _DEDUP_SEMANTIC_SQL

@@ -364,3 +364,23 @@ def test_edit_distance_bucket_blindspot_and_cap(spark):
     rows = [(i, "same prefix here text") for i in range(30)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     assert edit_distance_pairs(docs, max_bucket_size=10).count() == 0
+
+
+def test_semantic_dedup_prunes_within_cluster(emb):
+    from logpump_spark.llmdata.similarity import semantic_dedup
+
+    out = semantic_dedup(emb, threshold=0.9, n_cells=2, iters=2).collect()
+    assert len(out) == 40  # one row per vector, none dropped
+    by_id = {r.vec_id: r for r in out}
+    # the two tight clusters make most members near-dups of an earlier
+    # id: every pruned row points at a smaller kept_by in the same cell
+    pruned = [r for r in out if not r.keep]
+    assert pruned, "tight clusters must produce pruned members"
+    for r in pruned:
+        assert r.kept_by < r.vec_id
+        assert by_id[r.kept_by].cell == r.cell
+    # keep set is exactly the ids with no smaller-id near neighbor:
+    # the smallest id of each cell is always kept
+    for cell in {r.cell for r in out}:
+        members = sorted(r.vec_id for r in out if r.cell == cell)
+        assert by_id[members[0]].keep
