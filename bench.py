@@ -85,6 +85,7 @@ HEADLINE = [
     "timeseries_ewma",
     "freq_heavy_hitters",
     "dedup_semantic",
+    "corpus_overlap",
 ]
 
 

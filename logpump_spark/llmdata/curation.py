@@ -322,3 +322,69 @@ def merge_by_priority(
         .filter(F.col("rk") == 1)
         .drop("rk", "pri")
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    count of shared distinct k-token shingles and the shingle-set
+    Jaccard — the corpus-level audit that finds a source mirroring (or
+    quoting wholesale from) another before training-set mixing.
+
+    Scale shape: ONE distinct over (source, shingle) — cardinality
+    bounded by total distinct shingles x sources — then a groupBy
+    shingle whose per-group state is the SOURCE SET (bounded by the
+    number of sources, never by corpus size), pair-expanded in place
+    with higher-order functions.  No shingle self-join: a hot shingle
+    shared by every source costs |sources|^2 pairs once, not
+    |occurrences|^2.  Per-source set sizes broadcast into the final
+    division."""
+    from .dedup import shingles_col, tokens_col
+
+    sh = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("src"),
+            F.explode(shingles_col(tokens_col(text_col), k)).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    srcsets = (
+        sh.groupBy("sh")
+        .agg(F.array_sort(F.collect_set("src")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    pairs = (
+        srcsets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard")
+    )

@@ -345,3 +345,55 @@ FROM ranked WHERE rk = 1 ORDER BY doc_id
 
 SPARK_QUERIES["corpus_merge"] = corpus_merge
 ORACLE_SQL["corpus_merge"] = _CORPUS_MERGE_SQL
+
+
+def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source contamination matrix over the documents table
+    (llmdata/curation.source_overlap_matrix): shared distinct 3-token
+    shingles + shingle-set Jaccard per source pair.  A mirrored slice of
+    the corpus (every 7th doc) is planted under a synthetic source so
+    the matrix provably detects cross-source duplication — the mirror
+    rows dominate the Jaccard ranking."""
+    from ..llmdata.curation import source_overlap_matrix
+
+    docs = load(spark, sf_dir, "documents")
+    mirror = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "source", F.lit("mirror7")
+    )
+    return (
+        source_overlap_matrix(docs.unionByName(mirror))
+        .filter(F.col("n_common") >= 3)
+        .orderBy("src_a", "src_b")
+    )
+
+
+_CORPUS_OVERLAP_SQL = """
+WITH all_docs AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT 'mirror7' AS source, text FROM documents WHERE doc_id % 7 = 0
+),
+sh AS (
+  SELECT DISTINCT source AS src, s AS sh FROM (
+    SELECT source, UNNEST(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS s
+    FROM all_docs WHERE text IS NOT NULL)
+),
+sizes AS (SELECT src, COUNT(*) AS n FROM sh GROUP BY src),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common, na.n AS n_a, nb.n AS n_b,
+       ROUND(n_common / (na.n + nb.n - n_common), 6) AS jaccard
+FROM pairs
+JOIN sizes na ON na.src = src_a
+JOIN sizes nb ON nb.src = src_b
+WHERE n_common >= 3
+ORDER BY src_a, src_b
+"""
+
+SPARK_QUERIES["corpus_overlap"] = corpus_overlap
+ORACLE_SQL["corpus_overlap"] = _CORPUS_OVERLAP_SQL
