@@ -86,6 +86,7 @@ HEADLINE = [
     "freq_heavy_hitters",
     "dedup_semantic",
     "corpus_overlap",
+    "curation_pipeline",
 ]
 
 

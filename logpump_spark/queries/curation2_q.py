@@ -9,8 +9,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..llmdata.curation import corpus_vocab_topk, decontaminate_ngram_overlap
+from ..llmdata.curation import (
+    _SAMPLE_MOD,
+    _SAMPLE_MULT,
+    corpus_vocab_topk,
+    decontaminate_ngram_overlap,
+)
+from ..llmdata.quality import (
+    EMAIL_RE,
+    MAX_MEAN_WORD_LEN,
+    MAX_SYMBOL_WORD_RATIO,
+    MAX_WORDS,
+    MIN_ALPHA_WORD_FRAC,
+    MIN_MEAN_WORD_LEN,
+    MIN_STOPWORD_HITS,
+    MIN_WORDS,
+    PHONE_RE,
+)
 from ..tables import load
+from .quality_q import _STOP_LIST
 
 _EVAL_MOD = 97  # doc_id % 97 == 0 -> the deterministic "benchmark" set
 _SHINGLE_K = 4
@@ -397,3 +414,95 @@ ORDER BY src_a, src_b
 
 SPARK_QUERIES["corpus_overlap"] = corpus_overlap
 ORACLE_SQL["corpus_overlap"] = _CORPUS_OVERLAP_SQL
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation chain a training-data run executes,
+    as ONE composed plan: Gopher quality gate -> exact dedup (min-id
+    keeper) -> PII redaction -> deterministic 50% stratified sample.
+    Every stage is the library operator (llmdata/quality.gopher_rules,
+    llmdata/quality.pii_scrub, llmdata/curation.stratified_sample), so
+    this id proves the operators COMPOSE — same contract a user's
+    production pipeline relies on — and the oracle replays all four
+    stages chained in SQL."""
+    from pyspark.sql import Window as W
+
+    from ..llmdata.curation import stratified_sample
+    from ..llmdata.quality import gopher_rules, pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    gated = gopher_rules(docs).filter(F.col("keep")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    w = W.partitionBy("text").orderBy(F.col("doc_id").asc())
+    deduped = (
+        gated.withColumn("dup_rn", F.row_number().over(w))
+        .filter(F.col("dup_rn") == 1)
+        .drop("dup_rn")
+    )
+    scrubbed = pii_scrub(deduped)  # doc_id, n_emails, ..., redacted_md5
+    sampled = stratified_sample(deduped, "source", 0.5, "doc_id").select(
+        "doc_id", "source", "lang", "strat_n", "sample_rank"
+    )
+    return (
+        sampled.join(scrubbed.select("doc_id", "has_pii", "redacted_md5"), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_CURATION_PIPELINE_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, text, lang, source,
+         string_split(text, ' ') AS t
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+      len(t) AS n_words,
+      (length(text) - (len(t) - 1)) / len(t) AS mean_word_len,
+      len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+      length(regexp_replace(text, '[^#…]', '', 'g')) AS n_symbol,
+      len(list_filter(t, w -> list_contains([{_STOP_LIST}], w))) AS n_stop
+    FROM feats
+  )
+  WHERE n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+    AND mean_word_len >= {MIN_MEAN_WORD_LEN} AND mean_word_len <= {MAX_MEAN_WORD_LEN}
+    AND (n_symbol / n_words) <= {MAX_SYMBOL_WORD_RATIO}
+    AND (n_alpha_words / n_words) >= {MIN_ALPHA_WORD_FRAC}
+    AND n_stop >= {MIN_STOPWORD_HITS}
+),
+deduped AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+scrubbed AS (
+  SELECT doc_id,
+    (len(regexp_extract_all(text, '{EMAIL_RE}'))
+     + len(regexp_extract_all(text, '{PHONE_RE}'))) > 0 AS has_pii,
+    md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+  FROM deduped
+),
+sampled AS (
+  SELECT doc_id, source, lang, strat_n, sample_rank FROM (
+    SELECT doc_id, source, lang,
+           COUNT(*) OVER (PARTITION BY source) AS strat_n,
+           ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD} ASC, doc_id ASC
+           ) AS sample_rank
+    FROM deduped
+  ) WHERE sample_rank <= CEIL(strat_n * 0.5)
+)
+SELECT s.doc_id AS doc_id, s.source AS source, s.lang AS lang,
+       s.strat_n AS strat_n, s.sample_rank AS sample_rank,
+       c.has_pii AS has_pii, c.redacted_md5 AS redacted_md5
+FROM sampled s JOIN scrubbed c ON c.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+SPARK_QUERIES["curation_pipeline"] = curation_pipeline
+ORACLE_SQL["curation_pipeline"] = _CURATION_PIPELINE_SQL
