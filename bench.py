@@ -87,6 +87,7 @@ HEADLINE = [
     "dedup_semantic",
     "corpus_overlap",
     "curation_pipeline",
+    "stream_dedup",
 ]
 
 

@@ -212,7 +212,37 @@ ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
 """
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/stateful.dedup_stream
+    (dropDuplicatesWithinWatermark): replayed events — the reference's
+    Redis-offset-store failure mode re-ingesting a file (SURVEY.md §2.E
+    T3) — collapse to one row per (user, type, ts) key.  Every fifth
+    user's events are planted twice; projecting exactly the key columns
+    makes the kept row deterministic, so the oracle is a plain DISTINCT.
+    The streaming-mode path with watermark-bounded state is exercised
+    end-to-end in tests/test_stateful_streaming.py."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    replayed = ev.unionAll(ev.filter(F.col("user_id") % 5 == 0))
+    return (
+        replayed.filter(F.col("user_id") < 50)
+        .dropDuplicates(["user_id", "event_type", "ts"])
+        .orderBy("user_id", "event_type", "ts")
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type, ts FROM (
+  SELECT user_id, event_type, ts FROM events
+  UNION ALL
+  SELECT user_id, event_type, ts FROM events WHERE user_id % 5 = 0
+)
+WHERE user_id < 50
+ORDER BY user_id, event_type, ts
+"""
+
+
 SPARK_QUERIES = {
+    "stream_dedup": stream_dedup,
     "stream_interval_join": stream_interval_join,
     "sql_lateral": sql_lateral,
     "stream_tumbling": stream_tumbling,
@@ -223,6 +253,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "stream_dedup": _STREAM_DEDUP_SQL,
     "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "sql_lateral": _SQL_LATERAL_SQL,
     "stream_tumbling": _TUMBLING_SQL,
