@@ -88,6 +88,8 @@ HEADLINE = [
     "corpus_overlap",
     "curation_pipeline",
     "stream_dedup",
+    "agg_mode",
+    "fn_url_suite",
 ]
 
 

@@ -3,7 +3,7 @@ to_json/from_json round-trips."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -168,3 +168,85 @@ FROM per_key GROUP BY event_type ORDER BY event_type
 
 SPARK_QUERIES["agg_sum_map"] = agg_sum_map
 ORACLE_SQL["agg_sum_map"] = _AGG_SUM_MAP_SQL
+
+
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties to the
+    smallest): the most common daily event count per event_type.  Spark
+    4's ``mode()`` breaks ties arbitrarily, so the engine-exact form is
+    count + rank — same shape both engines, same winner always."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    freq = daily.groupBy("event_type", "x").agg(F.count(F.lit(1)).alias("f"))
+    w = W.partitionBy("event_type").orderBy(F.col("f").desc(), F.col("x").asc())
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("x").alias("mode_daily_count"), F.col("f").alias("n_days_at_mode"))
+        .orderBy("event_type")
+    )
+
+
+_AGG_MODE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+freq AS (
+  SELECT event_type, x, COUNT(*) AS f FROM daily GROUP BY 1, 2
+)
+SELECT event_type, x AS mode_daily_count, f AS n_days_at_mode FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY f DESC, x ASC) AS rn
+  FROM freq
+) WHERE rn = 1 ORDER BY event_type
+"""
+
+SPARK_QUERIES["agg_mode"] = agg_mode
+ORACLE_SQL["agg_mode"] = _AGG_MODE_SQL
+
+
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: scheme/host/path/query-param extraction over
+    URLs synthesized from document metadata.  Uses regexp extraction
+    (RE2-portable, identical in DuckDB) rather than ``parse_url`` so the
+    oracle checks values, not just shape — ``F.parse_url`` exists for
+    users and returns the same components for these URLs."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"[?&]lang=([^&]*)", 1).alias("q_lang"),
+        F.regexp_extract("url", r"[?&]v=([^&]*)", 1).alias("q_v"),
+    ).orderBy("doc_id")
+
+
+_FN_URL_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+         || '?lang=' || lang || '&v=2' AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       COALESCE(regexp_extract(url, '^([a-z]+)://', 1), '') AS scheme,
+       COALESCE(regexp_extract(url, '^[a-z]+://([^/]+)/', 1), '') AS host,
+       COALESCE(regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1), '') AS path,
+       COALESCE(regexp_extract(url, '[?&]lang=([^&]*)', 1), '') AS q_lang,
+       COALESCE(regexp_extract(url, '[?&]v=([^&]*)', 1), '') AS q_v
+FROM d ORDER BY doc_id
+"""
+
+SPARK_QUERIES["fn_url_suite"] = fn_url_suite
+ORACLE_SQL["fn_url_suite"] = _FN_URL_SQL
