@@ -64,7 +64,9 @@ _MODULES = (
 #   text_lm_score, scan_csv, scan_jsonl, scan_orc, sql_recursive_cte,
 #   chunk_docs, training_prepare, text_boilerplate, embed_label_purity,
 #   multimodal_frames, corpus_merge, agg_sum_map, dedup_edit_distance,
-#   trending_topk, xform_zorder_key
+#   trending_topk, xform_zorder_key, win_ntile, timeseries_ewma,
+#   freq_heavy_hitters, dedup_semantic, corpus_overlap,
+#   curation_pipeline, stream_dedup, agg_mode, fn_url_suite
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  Round-4 window, in priority order:
