@@ -139,13 +139,19 @@ PHONE_RE = "[+]1-555-[0-9]{4}"
 
 
 def pii_scrub(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Detect and redact e-mail / phone PII in one projection pass.
 
     Emits match counts, the redacted text's length and fingerprint, and a
     ``has_pii`` flag.  Redaction replaces every match with a fixed-width
-    sentinel so downstream token counts stay stable.
+    sentinel so downstream token counts stay stable.  ``keep_cols`` ride
+    along unchanged so a pipeline can scrub WITHOUT a re-derive-and-join
+    (joining a DataFrame back to a projection of itself makes Catalyst
+    evaluate the whole upstream twice — a double corpus scan at 100 TB).
     """
     text = F.col(text_col)
     n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
@@ -155,6 +161,7 @@ def pii_scrub(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_email.alias("n_emails"),
         n_phone.alias("n_phones"),
         ((n_email + n_phone) > 0).alias("has_pii"),

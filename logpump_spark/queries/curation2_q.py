@@ -440,14 +440,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_rn") == 1)
         .drop("dup_rn")
     )
-    scrubbed = pii_scrub(deduped)  # doc_id, n_emails, ..., redacted_md5
-    sampled = stratified_sample(deduped, "source", 0.5, "doc_id").select(
-        "doc_id", "source", "lang", "strat_n", "sample_rank"
+    # scrub AFTER the sample, with metadata riding through the scrub
+    # projection: one linear plan, ONE corpus scan (joining a scrubbed
+    # branch back to a sampled branch would re-derive gate+dedup+sample
+    # twice — Catalyst does not share the subplan)
+    sampled = stratified_sample(deduped, "source", 0.5, "doc_id")
+    scrubbed = pii_scrub(
+        sampled, keep_cols=("source", "lang", "strat_n", "sample_rank")
     )
-    return (
-        sampled.join(scrubbed.select("doc_id", "has_pii", "redacted_md5"), "doc_id")
-        .orderBy("doc_id")
-    )
+    return scrubbed.select(
+        "doc_id", "source", "lang", "strat_n", "sample_rank",
+        "has_pii", "redacted_md5",
+    ).orderBy("doc_id")
 
 
 _CURATION_PIPELINE_SQL = f"""

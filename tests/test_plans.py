@@ -274,3 +274,14 @@ def test_boilerplate_hot_set_broadcast(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_pipeline_single_corpus_scan(spark):
+    """The composed gate->dedup->scrub->sample pipeline must stay ONE
+    linear plan: a scrub branch joined back to a sample branch would
+    re-derive the upstream twice (two corpus scans at 100 TB)."""
+    from logpump_spark.queries.curation2_q import curation_pipeline
+
+    df = curation_pipeline(spark, SF_SMALL)
+    explained = df._jdf.queryExecution().toString()
+    assert explained.count("FileScan parquet") == 1
