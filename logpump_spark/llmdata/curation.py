@@ -345,20 +345,26 @@ def source_overlap_matrix(
     division."""
     from .dedup import shingles_col, tokens_col
 
-    sh = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(group_col).alias("src"),
-            F.explode(shingles_col(tokens_col(text_col), k)).alias("sh"),
-        )
-        .distinct()
+    sh = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("src"),
+        F.explode(shingles_col(tokens_col(text_col), k)).alias("sh"),
     )
-    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    srcsets = (
-        sh.groupBy("sh")
-        .agg(F.array_sort(F.collect_set("src")).alias("ss"))
-        .filter(F.size("ss") >= 2)
+    # ONE corpus shuffle total: collect_set dedups (src, shingle)
+    # occurrences itself — partial aggregation dedups map-side — so no
+    # separate DISTINCT pass, and everything downstream (pair counts AND
+    # per-source sizes) reads this per-shingle aggregate through a
+    # ReusedExchange instead of re-deriving the corpus shingle set per
+    # branch.  (A prior sh.distinct() + per-branch re-aggregation shape
+    # cost either two corpus shuffles or N corpus scans.)
+    srcsets_all = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_set("src")).alias("ss")
     )
+    sizes = (
+        srcsets_all.select(F.explode("ss").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    srcsets = srcsets_all.filter(F.size("ss") >= 2)
     pair_structs = F.flatten(
         F.transform(
             F.col("ss"),

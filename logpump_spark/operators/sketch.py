@@ -66,10 +66,14 @@ def cms_estimate(
     sketch: DataFrame,
     depth: int = 4,
     width: int = 256,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Point-query the sketch for every row of ``keys``: est = min over
     the key's depth cells.  The sketch is broadcast (depth*width rows),
-    so this adds no shuffle to whatever produced ``keys``."""
+    so this adds no shuffle to whatever produced ``keys``.  ``carry_cols``
+    ride through the estimate unchanged so a caller never has to join the
+    result back to ``keys`` — joining a DataFrame to an aggregate of
+    itself makes Catalyst derive the upstream twice."""
     buckets = cms_bucket_cols(F.col(key_col), depth, width)
     cells = F.explode(
         F.array(
@@ -79,10 +83,12 @@ def cms_estimate(
             ]
         )
     )
-    exploded = keys.select(F.col(key_col), cells.alias("cell")).select(
-        key_col, F.col("cell.r").alias("r"), F.col("cell.b").alias("b")
+    exploded = keys.select(
+        F.col(key_col), *[F.col(c) for c in carry_cols], cells.alias("cell")
+    ).select(
+        key_col, *carry_cols, F.col("cell.r").alias("r"), F.col("cell.b").alias("b")
     )
     joined = exploded.join(F.broadcast(sketch), ["r", "b"], "left").withColumn(
         "c", F.coalesce("c", F.lit(0))
     )
-    return joined.groupBy(key_col).agg(F.min("c").alias("est"))
+    return joined.groupBy(key_col, *carry_cols).agg(F.min("c").alias("est"))

@@ -34,11 +34,13 @@ def freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact").desc(), F.col("key").asc())
         .limit(_TOPN)
     )
-    est = cms_estimate(exact, "key", sketch, _CMS_DEPTH, _CMS_WIDTH)
-    return (
-        exact.join(est, "key")
-        .select("key", "exact", "est")
-        .orderBy(F.col("exact").desc(), F.col("key").asc())
+    # exact count rides through the estimate (carry_cols), so the top-20
+    # aggregate is derived once — no self-join re-derivation
+    est = cms_estimate(
+        exact, "key", sketch, _CMS_DEPTH, _CMS_WIDTH, carry_cols=("exact",)
+    )
+    return est.select("key", "exact", "est").orderBy(
+        F.col("exact").desc(), F.col("key").asc()
     )
 
 
