@@ -90,6 +90,7 @@ HEADLINE = [
     "stream_dedup",
     "agg_mode",
     "fn_url_suite",
+    "dedup_substring",
 ]
 
 

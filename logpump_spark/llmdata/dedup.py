@@ -434,3 +434,62 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def substring_fingerprint_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    mod: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Exact-substring duplicate pairs: docs sharing any k-char run whose
+    fingerprint survives MOD-sampling — the scalable analog of the
+    suffix-array exact-substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499), which
+    a distributed engine cannot build globally.
+
+    Content-defined sampling is the load-bearing choice: every char
+    k-gram is hashed (md5_hash60 — oracle-replayable) and kept iff
+    h % mod == 0, so selection depends only on the BYTES of the gram —
+    two docs sharing a substring sample the SAME positions inside it
+    (positional striding would misalign).  A shared run of length L
+    contains L-k+1 grams and is detected with prob 1-(1-1/mod)^(L-k+1):
+    ~96% at L = k+24 with mod=8, ->1 for long plagiarized runs.
+
+    Scale shape mirrors the MinHash path: per-doc gram selection is one
+    projection (higher-order functions, no UDF); one shuffle groups
+    selected fingerprints; pairs expand inside each fingerprint bucket
+    (collect_set bounded by max_bucket_size — a gram shared by everyone
+    is boilerplate, exact_dedup territory); the pair count per doc pair
+    aggregates bucket hits."""
+    n = F.length(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(F.col(text_col), i, k))
+    fps = (
+        df.filter(F.col(text_col).isNotNull() & (n >= k))
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, md5_hash60(F.col("g")).alias("h"))
+        .filter(F.col("h") % mod == 0)
+        .distinct()
+    )
+    buckets = (
+        fps.groupBy("h")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )

@@ -805,3 +805,59 @@ ORDER BY vec_id
 
 SPARK_QUERIES["dedup_semantic"] = dedup_semantic
 ORACLE_SQL["dedup_semantic"] = _DEDUP_SEMANTIC_SQL
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs via MOD-sampled char-32-gram
+    fingerprints (llmdata/dedup.substring_fingerprint_pairs).  Twins
+    carrying an 80-char verbatim slice of every 13th doc inside fresh
+    surrounding text are planted; the pair list must recover them."""
+    from ..llmdata.dedup import substring_fingerprint_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh preamble text that shares nothing "),
+            F.substring("text", 10, 80),
+            F.lit(" and an unrelated tail"),
+        ).alias("text"),
+    )
+    return (
+        substring_fingerprint_pairs(docs.unionByName(twins))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_DEDUP_SUBSTRING_SQL = f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         'fresh preamble text that shares nothing ' || substr(text, 10, 80)
+         || ' and an unrelated tail' AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+fps AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, {_MD5I.format(s="g")} AS h FROM (
+      SELECT doc_id, UNNEST(list_transform(
+        range(1, greatest(length(text) - 31, 1) + 1),
+        i -> substr(text, i, 32))) AS g
+      FROM all_docs WHERE text IS NOT NULL AND length(text) >= 32)
+  ) WHERE h % 8 = 0
+),
+bsize AS (SELECT h, COUNT(*) AS n FROM fps GROUP BY h),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_fps
+  FROM fps a
+  JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN bsize s ON s.h = a.h
+  WHERE s.n BETWEEN 2 AND 1000
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared_fps FROM pairs ORDER BY id_a, id_b
+"""
+
+SPARK_QUERIES["dedup_substring"] = dedup_substring
+ORACLE_SQL["dedup_substring"] = _DEDUP_SUBSTRING_SQL

@@ -384,3 +384,18 @@ def test_semantic_dedup_prunes_within_cluster(emb):
     for cell in {r.cell for r in out}:
         members = sorted(r.vec_id for r in out if r.cell == cell)
         assert by_id[members[0]].keep
+
+
+def test_substring_fingerprints_find_planted_run(spark):
+    from logpump_spark.llmdata.dedup import substring_fingerprint_pairs
+
+    shared = "x".join(str(i * 7919 % 97) for i in range(40))  # ~100 chars
+    rows = [
+        (1, "left context totally unlike anything " + shared),
+        (2, shared + " completely different right side here"),
+        (3, "no common run with the others at all, just filler words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in substring_fingerprint_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
