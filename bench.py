@@ -91,6 +91,7 @@ HEADLINE = [
     "agg_mode",
     "fn_url_suite",
     "dedup_substring",
+    "graph_pagerank",
 ]
 
 

@@ -108,3 +108,58 @@ def connected_components(
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
     return members.union(roots).distinct()
+
+
+def pagerank_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Integer-exact PageRank, ``iters`` unrolled power iterations.
+
+    Exactness contract (same family as fit_ivf / zscore): ranks are
+    int64 at ``scale``; each iteration's contribution is ONE floored
+    division floor(pr_u * d_num / (d_den * outdeg_u)) of exact integers,
+    and the per-target sum is an int64 sum — so any engine replays the
+    ranks bit-identically, no double-accumulation drift.  Teleport mass
+    is floor(scale * (d_den-d_num) / d_den) per node; dangling-node mass
+    is dropped (simplified PageRank — ranks compare, they don't sum to
+    1, which is what top-k ranking needs).
+
+    Scale shape: per iteration, one join of the rank vector with edges
+    on the source key and one groupBy on the target key — both shuffle
+    ON THE SAME KEYS every iteration, so AQE reuses the edge exchange
+    across iterations; a driver loop with localCheckpoint (the
+    connected_components pattern above) replaces plan unrolling when
+    iters grows beyond a handful."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    base = (scale * (damping_den - damping_num)) // damping_den
+    pr = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "u"), "u")
+            .join(outdeg, "u")
+            .select(
+                F.col("v").alias("node"),
+                F.floor(
+                    F.col("pr") * damping_num / (F.lit(damping_den) * F.col("deg"))
+                ).cast("long").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base).cast("long") + F.coalesce(F.col("inflow"), F.lit(0))).alias(
+                "pr"
+            ),
+        )
+    return pr

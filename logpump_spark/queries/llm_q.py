@@ -861,3 +861,59 @@ SELECT id_a, id_b, n_shared_fps FROM pairs ORDER BY id_a, id_b
 
 SPARK_QUERIES["dedup_substring"] = dedup_substring
 ORACLE_SQL["dedup_substring"] = _DEDUP_SUBSTRING_SQL
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (llmdata/graph.pagerank_int), 3 power
+    iterations over the customer->supplier purchase graph (suppliers
+    offset into a disjoint id space).  Returns the top-20 nodes by rank
+    — the importance-propagation primitive behind graph-based corpus
+    curation (e.g. ranking domains by link mass before crawl
+    selection)."""
+    from ..llmdata.graph import pagerank_int
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank_int(edges, iters=3)
+    return pr.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(20)
+
+
+def _pagerank_oracle_sql(iters: int = 3, scale: int = 10**9) -> str:
+    base = (scale * 15) // 100
+    parts = [
+        """e AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+outdeg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u),
+pr0 AS (SELECT node, CAST(%d AS BIGINT) AS pr FROM nodes)""" % scale
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (
+  SELECT e.v AS node,
+         CAST(SUM(CAST(FLOOR(p.pr * 85 / (100 * d.deg)) AS BIGINT)) AS BIGINT)
+           AS inflow
+  FROM e JOIN pr{i - 1} p ON p.node = e.u JOIN outdeg d ON d.u = e.u
+  GROUP BY e.v
+),
+pr{i} AS (
+  SELECT n.node, CAST({base} + COALESCE(c{i}.inflow, 0) AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, pr FROM pr{iters} ORDER BY pr DESC, node ASC LIMIT 20"
+    )
+
+
+SPARK_QUERIES["graph_pagerank"] = graph_pagerank
+ORACLE_SQL["graph_pagerank"] = _pagerank_oracle_sql()

@@ -399,3 +399,15 @@ def test_substring_fingerprints_find_planted_run(spark):
     pairs = {(r.id_a, r.id_b) for r in substring_fingerprint_pairs(df).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_pagerank_int_exact_tiny_graph(spark):
+    from logpump_spark.llmdata.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    pr = {r.node: r.pr for r in pagerank_int(edges, iters=1).collect()}
+    # hand-computed: base 150_000_000; 1 gets 850M from 3;
+    # 2 gets 425M from 1; 3 gets 425M + 850M
+    assert pr == {1: 1_000_000_000, 2: 575_000_000, 3: 1_425_000_000}
