@@ -66,7 +66,8 @@ _MODULES = (
 #   multimodal_frames, corpus_merge, agg_sum_map, dedup_edit_distance,
 #   trending_topk, xform_zorder_key, win_ntile, timeseries_ewma,
 #   freq_heavy_hitters, dedup_semantic, corpus_overlap,
-#   curation_pipeline, stream_dedup, agg_mode, fn_url_suite
+#   curation_pipeline, stream_dedup, agg_mode, fn_url_suite,
+#   dedup_substring, graph_pagerank
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  Round-4 window, in priority order:
