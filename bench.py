@@ -92,6 +92,7 @@ HEADLINE = [
     "fn_url_suite",
     "dedup_substring",
     "graph_pagerank",
+    "timeseries_ohlc",
 ]
 
 

@@ -138,3 +138,46 @@ def ewma_daily(
         num = num + F.coalesce(lagged * F.lit(weight), F.lit(0))
         den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
     return daily.withColumn("ewma_q", F.floor(num / den).cast("long"))
+
+
+def ohlc_resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC downsampling (the ClickHouse first_value/last_value-per-
+    bucket reporting shape): per (key, time bucket) the opening value,
+    closing value, high, low, count, and volume.
+
+    Values are floor-quantized to int64 first, so every aggregate is
+    exact; open/close come from row_numbers over (ts, id) — the unique
+    id tiebreak makes first/last engine-deterministic even with
+    duplicate timestamps.  One shuffle on (key, bucket) drives both the
+    window and the final aggregate (same partitioning, AQE reuses it).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    qv = F.floor(F.col(value_col) * 10000).cast("long")
+    base = df.select(
+        F.col(key_col), b.alias("bucket"), qv.alias("qv"),
+        F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"),
+    )
+    w_a = W.partitionBy(key_col, "bucket").orderBy(
+        F.col("_ts").asc(), F.col("_id").asc()
+    )
+    w_d = W.partitionBy(key_col, "bucket").orderBy(
+        F.col("_ts").desc(), F.col("_id").desc()
+    )
+    marked = base.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return marked.groupBy(key_col, "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("qv"))).alias("open_q"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("qv"))).alias("close_q"),
+        F.max("qv").alias("high_q"),
+        F.min("qv").alias("low_q"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("volume_q"),
+    )

@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.timeseries import ewma_daily, gap_fill_daily, zscore_anomalies
+from ..operators.timeseries import (
+    ewma_daily,
+    gap_fill_daily,
+    ohlc_resample,
+    zscore_anomalies,
+)
 from ..tables import load
 
 
@@ -172,3 +177,47 @@ ORACLE_SQL = {
     "unpivot_stack": _UNPIVOT_SQL,
     "timeseries_ewma": _TS_EWMA_SQL,
 }
+
+
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type (operators/timeseries.py
+    ohlc_resample): open/close picked by (ts, event_id) row order,
+    high/low/volume over quantized values — all exact integers."""
+    ev = load(spark, sf_dir, "events")
+    out = ohlc_resample(ev, "event_type", "ts", "value", "event_id", "hour")
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("string").alias("bucket"),
+        "open_q", "close_q", "high_q", "low_q", "n", "volume_q",
+    ).orderBy("event_type", "bucket")
+
+
+_TS_OHLC_SQL = """
+WITH base AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS qv, ts, event_id
+  FROM events
+),
+marked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM base
+)
+SELECT event_type,
+       CAST(bucket AS VARCHAR) AS bucket,
+       MAX(CASE WHEN rn_a = 1 THEN qv END) AS open_q,
+       MAX(CASE WHEN rn_d = 1 THEN qv END) AS close_q,
+       MAX(qv) AS high_q,
+       MIN(qv) AS low_q,
+       COUNT(*) AS n,
+       CAST(SUM(qv) AS BIGINT) AS volume_q
+FROM marked
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+SPARK_QUERIES["timeseries_ohlc"] = timeseries_ohlc
+ORACLE_SQL["timeseries_ohlc"] = _TS_OHLC_SQL
