@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_substring",
     "graph_pagerank",
     "timeseries_ohlc",
+    "dedup_cluster_stats",
 ]
 
 
@@ -133,6 +134,7 @@ def main() -> None:
     eager_construction = {
         "dedup_components",
         "dedup_canonical",  # runs the same CC loop at construction (r4)
+        "dedup_cluster_stats",  # same CC loop at construction (r4 tail)
         "sim_ivf_topk",  # k-means fit collects at construction (r4)
         "sim_pq_adc",  # PQ codebook fit collects at construction (r4)
         "embed_quantize_sq8",  # range stats collect at construction (r4)
