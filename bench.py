@@ -94,6 +94,8 @@ HEADLINE = [
     "graph_pagerank",
     "timeseries_ohlc",
     "dedup_cluster_stats",
+    "agg_quantile_hist",
+    "text_oov_rate",
 ]
 
 

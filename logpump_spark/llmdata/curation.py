@@ -394,3 +394,45 @@ def source_overlap_matrix(
         )
         .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-k
+    vocabulary — the coverage check run before freezing a tokenizer
+    (how much of each doc the vocab fails to cover).
+
+    Two corpus passes by construction (the same sanctioned shape as
+    boilerplate_flag's hot-shingle pass): pass 1 builds the top-k vocab
+    (token counts with map-side partials + distributed TakeOrdered,
+    deterministic count-desc/token-asc tie rule), which is k rows —
+    BROADCAST; pass 2 explodes tokens once and counts vocab misses per
+    doc.  The OOV ratio is one division of exact integers, rounded 6dp.
+    """
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vocab_k)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+    )

@@ -510,3 +510,36 @@ ORDER BY s.doc_id
 
 SPARK_QUERIES["curation_pipeline"] = curation_pipeline
 ORACLE_SQL["curation_pipeline"] = _CURATION_PIPELINE_SQL
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus top-100 vocabulary
+    (llmdata/curation.oov_rate) — the tokenizer-coverage report."""
+    from ..llmdata.curation import oov_rate
+
+    docs = load(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_k=100).orderBy("doc_id")
+
+
+_TEXT_OOV_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT 100
+  )
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.token = t.token
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+SPARK_QUERIES["text_oov_rate"] = text_oov_rate
+ORACLE_SQL["text_oov_rate"] = _TEXT_OOV_SQL

@@ -90,3 +90,120 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "freq_heavy_hitters": _cms_oracle_sql(),
 }
+
+
+_QH_BUCKETS = 64
+_QH_QS = (50, 90, 99)  # percentiles
+
+
+def agg_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (the deterministic cousin of
+    ClickHouse's approximate quantile* family, next to the exact
+    `agg_percentile`): per event_type, values quantize to int64, bucket
+    into 64 equal-width bins over the group's [min, max], and each
+    requested percentile reports its bin's LOWER BOUND — pure integer
+    arithmetic end to end, so the sketch replays exactly in any engine.
+
+    Scale shape: one agg for per-group (min, max, n) broadcast back, one
+    agg for bin counts, and a per-group sorted fold over <= 64 bins via
+    collect_list — per-group state is bounded by the bin count, never by
+    row count (the reason to sketch at 100 TB instead of sorting)."""
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    base = ev.select("event_type", qv.alias("qv"))
+    rng = base.groupBy("event_type").agg(
+        F.min("qv").alias("lo"), F.max("qv").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (F.col("hi") - F.col("lo") + 1)
+    binned = (
+        base.join(F.broadcast(rng), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "lo",
+            "hi",
+            F.floor(
+                (F.col("qv") - F.col("lo")) * _QH_BUCKETS / w
+            ).cast("long").alias("b"),
+        )
+        .groupBy("event_type", "n", "lo", "hi", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = binned.groupBy("event_type", "n", "lo", "hi").agg(
+        F.array_sort(F.collect_list(F.struct("b", "c"))).alias("bins")
+    )
+    # cumulative walk over <= 64 bins with higher-order functions:
+    # percentile p -> first bin whose cumulative count reaches ceil(p*n/100)
+    cum = F.expr(
+        f"""transform(bins, x -> named_struct(
+              'b', x.b,
+              'cum', aggregate(filter(bins, y -> y.b <= x.b), 0L, (a, y) -> a + y.c)))"""
+    )
+    out = hist.withColumn("cbins", cum)
+    cols = [
+        F.element_at(
+            F.filter(
+                F.col("cbins"),
+                lambda x: x["cum"] >= F.ceil(F.col("n") * p / 100),
+            ),
+            1,
+        )["b"].alias(f"b{p}")
+        for p in _QH_QS
+    ]
+    est = out.select("event_type", "n", "lo", "hi", *cols)
+    for p in _QH_QS:
+        est = est.withColumn(
+            f"p{p}_est",
+            (
+                F.col("lo")
+                + F.floor(
+                    F.col(f"b{p}") * (F.col("hi") - F.col("lo") + 1) / _QH_BUCKETS
+                ).cast("long")
+            ),
+        )
+    return est.select(
+        "event_type", "n", "p50_est", "p90_est", "p99_est"
+    ).orderBy("event_type")
+
+
+def _quantile_hist_oracle_sql() -> str:
+    b = _QH_BUCKETS
+    ests = []
+    for p in _QH_QS:
+        ests.append(
+            f"""(SELECT lo + CAST(FLOOR(MIN(b) * (hi - lo + 1) / {b}.0) AS BIGINT)
+     FROM cumul c2
+     WHERE c2.event_type = g.event_type AND c2.cum >= CEIL(g.n * {p} / 100.0))
+       AS p{p}_est"""
+        )
+    est_cols = ",\n  ".join(ests)
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS qv FROM events
+),
+rng AS (
+  SELECT event_type, MIN(qv) AS lo, MAX(qv) AS hi, COUNT(*) AS n
+  FROM base GROUP BY event_type
+),
+binned AS (
+  SELECT b.event_type,
+         CAST(FLOOR((b.qv - r.lo) * {b} / (r.hi - r.lo + 1)) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM base b JOIN rng r ON r.event_type = b.event_type
+  GROUP BY 1, 2
+),
+cumul AS (
+  SELECT event_type, b,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM binned
+)
+SELECT g.event_type, g.n,
+  {est_cols}
+FROM rng g ORDER BY g.event_type
+"""
+
+
+SPARK_QUERIES["agg_quantile_hist"] = agg_quantile_hist
+ORACLE_SQL["agg_quantile_hist"] = _quantile_hist_oracle_sql()
