@@ -67,7 +67,8 @@ _MODULES = (
 #   trending_topk, xform_zorder_key, win_ntile, timeseries_ewma,
 #   freq_heavy_hitters, dedup_semantic, corpus_overlap,
 #   curation_pipeline, stream_dedup, agg_mode, fn_url_suite,
-#   dedup_substring, graph_pagerank
+#   dedup_substring, graph_pagerank, timeseries_ohlc,
+#   dedup_cluster_stats, agg_quantile_hist, text_oov_rate
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  Round-4 window, in priority order:
