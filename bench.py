@@ -96,6 +96,9 @@ HEADLINE = [
     "dedup_cluster_stats",
     "agg_quantile_hist",
     "text_oov_rate",
+    "join_null_safe",
+    "agg_bool",
+    "timeseries_gaps",
 ]
 
 

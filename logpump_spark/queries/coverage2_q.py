@@ -253,3 +253,77 @@ FROM events ORDER BY event_id
 
 SPARK_QUERIES["xform_zorder_key"] = xform_zorder_key
 ORACLE_SQL["xform_zorder_key"] = _ZORDER_SQL
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): two small
+    per-bucket aggregates with NULL buckets on both sides join so that
+    NULL matches NULL — the semantics plain equi-joins silently drop.
+    Sides are aggregated FIRST (bounded bucket cardinality), so the
+    null-bucket match is a tiny-to-tiny join, never a corpus-scale
+    null-key hotspot."""
+    ev = load(spark, sf_dir, "events")
+    bucket_a = F.when(F.col("user_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 7
+    )
+    bucket_b = F.when(F.col("user_id") % 3 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 7
+    )
+    a = ev.groupBy(bucket_a.alias("bucket")).agg(F.count(F.lit(1)).alias("n_a"))
+    b = ev.groupBy(bucket_b.alias("bucket")).agg(F.count(F.lit(1)).alias("n_b"))
+    return (
+        a.join(b, a["bucket"].eqNullSafe(b["bucket"]))
+        .select(a["bucket"].alias("bucket"), "n_a", "n_b")
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )
+
+
+_JOIN_NULL_SAFE_SQL = """
+WITH a AS (
+  SELECT CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id % 7 END AS bucket,
+         COUNT(*) AS n_a
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN NULL ELSE user_id % 7 END AS bucket,
+         COUNT(*) AS n_b
+  FROM events GROUP BY 1
+)
+SELECT a.bucket, a.n_a, b.n_b
+FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+ORDER BY a.bucket ASC NULLS FIRST
+"""
+
+SPARK_QUERIES["join_null_safe"] = join_null_safe
+ORACLE_SQL["join_null_safe"] = _JOIN_NULL_SAFE_SQL
+
+
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: count_if / bool_and / bool_or /
+    every-any per event_type over value predicates."""
+    ev = load(spark, sf_dir, "events")
+    pos = F.col("value") > 0
+    big = F.col("value") > 100
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(pos).alias("n_pos"),
+            F.bool_and(pos).alias("all_pos"),
+            F.bool_or(big).alias("any_big"),
+            F.count_if(F.col("props").isNotNull()).alias("n_props"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AGG_BOOL_SQL = """
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value > 0) AS n_pos,
+       BOOL_AND(value > 0) AS all_pos,
+       BOOL_OR(value > 100) AS any_big,
+       COUNT(*) FILTER (WHERE props IS NOT NULL) AS n_props
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+SPARK_QUERIES["agg_bool"] = agg_bool
+ORACLE_SQL["agg_bool"] = _AGG_BOOL_SQL

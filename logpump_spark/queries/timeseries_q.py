@@ -3,7 +3,7 @@ analog), z-score anomaly days, and unpivot/stack."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..operators.timeseries import (
@@ -221,3 +221,56 @@ ORDER BY event_type, bucket
 
 SPARK_QUERIES["timeseries_ohlc"] = timeseries_ohlc
 ORACLE_SQL["timeseries_ohlc"] = _TS_OHLC_SQL
+
+
+def timeseries_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event_type: exact p50/p95/max
+    of the µs gap between consecutive events (LAG over event time, id
+    tiebreak) — the burstiness/SLA report over the techlog stream.
+    Exact percentiles on int64 gaps: both engines interpolate
+    identically on integers, with the result floored back to int64."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.floor(F.expr("percentile(gap_us, 0.5)")).cast("long").alias("p50_us"),
+            F.floor(F.expr("percentile(gap_us, 0.95)")).cast("long").alias("p95_us"),
+            F.max("gap_us").alias("max_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TS_GAPS_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts) ASC, event_id ASC
+         ) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       CAST(FLOOR(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_us,
+       CAST(FLOOR(quantile_cont(gap_us, 0.95)) AS BIGINT) AS p95_us,
+       MAX(gap_us) AS max_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+SPARK_QUERIES["timeseries_gaps"] = timeseries_gaps
+ORACLE_SQL["timeseries_gaps"] = _TS_GAPS_SQL
