@@ -99,6 +99,7 @@ HEADLINE = [
     "join_null_safe",
     "agg_bool",
     "timeseries_gaps",
+    "cdc_latest_wins",
 ]
 
 

@@ -4,7 +4,7 @@ missing columns."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -327,3 +327,62 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 SPARK_QUERIES["agg_bool"] = agg_bool
 ORACLE_SQL["agg_bool"] = _AGG_BOOL_SQL
+
+
+def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ReplacingMergeTree analog: latest-wins upsert
+    compaction.  Events replayed with updates (every 4th user's rows
+    duplicated with bumped values and later timestamps) collapse to ONE
+    row per (user_id, event_type) — the newest by (ts, event_id), both
+    engines deterministic via the id tiebreak.  This is the CDC /
+    mutable-dimension compaction a log-structured sink needs; shape =
+    one shuffle on the key, row_number, filter (WindowGroupLimit prunes
+    per input partition before the shuffle on Spark 4)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    updates = ev.filter(F.col("user_id") % 4 == 0).select(
+        "user_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 400 DAYS")).alias("ts"),
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("value") + 1000).alias("value"),
+    )
+    merged = ev.unionByName(updates).filter(F.col("user_id") < 100)
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.floor(F.col("value") * 10000).cast("long").alias("latest_value_q"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+_CDC_LATEST_SQL = """
+WITH merged AS (
+  SELECT user_id, event_type, ts, event_id, value FROM events
+  UNION ALL
+  SELECT user_id, event_type, ts + INTERVAL 400 DAY AS ts,
+         event_id + 10000000 AS event_id, value + 1000 AS value
+  FROM events WHERE user_id % 4 = 0
+)
+SELECT user_id, event_type,
+       event_id AS latest_event_id,
+       CAST(FLOOR(value * 10000) AS BIGINT) AS latest_value_q
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM merged WHERE user_id < 100
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+SPARK_QUERIES["cdc_latest_wins"] = cdc_latest_wins
+ORACLE_SQL["cdc_latest_wins"] = _CDC_LATEST_SQL
