@@ -141,6 +141,7 @@ def main() -> None:
         "dedup_components",
         "dedup_canonical",  # runs the same CC loop at construction (r4)
         "dedup_cluster_stats",  # same CC loop at construction (r4 tail)
+        "dedup_semantic",  # k-means fit collects at construction (r4 tail)
         "sim_ivf_topk",  # k-means fit collects at construction (r4)
         "sim_pq_adc",  # PQ codebook fit collects at construction (r4)
         "embed_quantize_sq8",  # range stats collect at construction (r4)

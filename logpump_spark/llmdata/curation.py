@@ -343,7 +343,7 @@ def source_overlap_matrix(
     shared by every source costs |sources|^2 pairs once, not
     |occurrences|^2.  Per-source set sizes broadcast into the final
     division."""
-    from .dedup import shingles_col, tokens_col
+    from .dedup import ordered_pair_structs, shingles_col, tokens_col
 
     sh = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(group_col).alias("src"),
@@ -365,14 +365,9 @@ def source_overlap_matrix(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     srcsets = srcsets_all.filter(F.size("ss") >= 2)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ss"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ss"), i + 2, F.size("ss")),
-                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
-            ),
-        )
+    pair_structs = ordered_pair_structs(
+        F.col("ss"),
+        lambda x, y: F.struct(x.alias("src_a"), y.alias("src_b")),
     )
     pairs = (
         srcsets.select(F.explode(pair_structs).alias("p"))

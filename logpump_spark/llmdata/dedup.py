@@ -45,6 +45,24 @@ def md5_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 2, 15), 16, 10).cast("long")
 
 
+def ordered_pair_structs(arr: Column, make) -> Column:
+    """All ordered pairs (earlier, later) of a SORTED array column,
+    expanded in place — the bucket-collect pair idiom every *_pairs
+    operator shares (pairs form inside the collected bucket, so a
+    bucket of n members costs n^2/2 rows ONCE, never an occurrence
+    self-join).  ``make(a, b)`` builds the per-pair struct; the i + 2
+    slice start is 1-based-slice + skip-self."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: make(x, y),
+            ),
+        )
+    )
+
+
 def shingles_col(toks: Column, k: int = 3) -> Column:
     """Overlapping k-token shingles as strings.  Documents shorter than k
     tokens contribute their full token string as a single shingle."""
@@ -166,19 +184,14 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), "signature"))).alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= F.lit(max_bucket_size)))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda m, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda m2: F.struct(
-                    m["id"].alias("id_a"),
-                    m2["id"].alias("id_b"),
-                    m["signature"].alias("sig_a"),
-                    m2["signature"].alias("sig_b"),
-                ),
-            ),
-        )
+    pair_structs = ordered_pair_structs(
+        F.col("ms"),
+        lambda m, m2: F.struct(
+            m["id"].alias("id_a"),
+            m2["id"].alias("id_b"),
+            m["signature"].alias("sig_a"),
+            m2["signature"].alias("sig_b"),
+        ),
     )
     # score after the explode: one flat zip_with per candidate row keeps
     # the generated code small (the nested-lambda variant compiles ~2x
@@ -297,21 +310,16 @@ def simhash_neardup_pairs(
         )
         .filter((F.size("ms") >= 2) & (F.size("ms") <= F.lit(max_bucket_size)))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda m, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda m2: F.struct(
-                    m["id"].alias("id_a"),
-                    m2["id"].alias("id_b"),
-                    (
-                        F.bit_count(m["sig_hi"].bitwiseXOR(m2["sig_hi"]))
-                        + F.bit_count(m["sig_lo"].bitwiseXOR(m2["sig_lo"]))
-                    ).alias("hamming"),
-                ),
-            ),
-        )
+    pair_structs = ordered_pair_structs(
+        F.col("ms"),
+        lambda m, m2: F.struct(
+            m["id"].alias("id_a"),
+            m2["id"].alias("id_b"),
+            (
+                F.bit_count(m["sig_hi"].bitwiseXOR(m2["sig_hi"]))
+                + F.bit_count(m["sig_lo"].bitwiseXOR(m2["sig_lo"]))
+            ).alias("hamming"),
+        ),
     )
     return (
         members.select(F.explode(pair_structs).alias("p"))
@@ -479,14 +487,9 @@ def substring_fingerprint_pairs(
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    pair_structs = ordered_pair_structs(
+        F.col("ids"),
+        lambda x, y: F.struct(x.alias("id_a"), y.alias("id_b")),
     )
     return (
         buckets.select(F.explode(pair_structs).alias("p"))

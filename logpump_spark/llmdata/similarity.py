@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .dedup import ordered_pair_structs
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -392,14 +394,9 @@ def srp_lsh_neardup_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= F.lit(max_bucket_size)))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda m, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda m2: F.struct(m.alias("id_a"), m2.alias("id_b")),
-            ),
-        )
+    pair_structs = ordered_pair_structs(
+        F.col("ids"),
+        lambda m, m2: F.struct(m.alias("id_a"), m2.alias("id_b")),
     )
     candidates = (
         members.select(F.explode(pair_structs).alias("p"))
@@ -547,6 +544,16 @@ def semantic_dedup(
     (NULL for kept ones)."""
     cells, _ = fit_ivf(emb, n_cells, iters, id_col, vec_col)
     withc = emb.join(cells, id_col).select(id_col, "cell", vec_col)
+    # apply the cell cap to the OUTPUT set too, not just the pair scan:
+    # vectors beyond the cap were never compared to anything, so leaving
+    # them in as keep=true would silently claim they were deduped (and
+    # diverge from an oracle that replays the capped set)
+    w_cell = W.partitionBy("cell").orderBy(F.col(id_col).asc())
+    withc = (
+        withc.withColumn("_cn", F.row_number().over(w_cell))
+        .filter(F.col("_cn") <= max_cell_size)
+        .drop("_cn")
+    )
     pairs = embedding_neardup_pairs(
         withc,
         threshold=threshold,

@@ -425,8 +425,6 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     this id proves the operators COMPOSE — same contract a user's
     production pipeline relies on — and the oracle replays all four
     stages chained in SQL."""
-    from pyspark.sql import Window as W
-
     from ..llmdata.curation import stratified_sample
     from ..llmdata.quality import gopher_rules, pii_scrub
 

@@ -321,13 +321,10 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters vs mega-clusters).  Same edges + connected components as
     `dedup_components`, folded twice: component -> size, size ->
     (n_clusters, n_docs).  Both folds are tiny aggregates after the CC
-    labels exist, so the histogram costs nothing beyond the labeling."""
-    docs = _docs_with_planted_dups(spark, sf_dir)
-    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    labels = connected_components(edges, "id_a", "id_b")
-    labeled = docs.select("doc_id").join(
-        labels, docs.doc_id == labels.node, "left"
-    ).select(F.coalesce(F.col("component"), F.col("doc_id")).alias("component"))
+    labels exist, so the histogram costs nothing beyond the labeling.
+    Reuses dedup_components' (doc_id, component) output directly so the
+    edge rule / CC labeling can never drift between the two ids."""
+    labeled = dedup_components(spark, sf_dir)
     sizes = labeled.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     return (
         sizes.groupBy("csize")
@@ -339,19 +336,16 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_CLUSTER_STATS_SQL = (
-    _DEDUP_COMPONENTS_SQL.rsplit("SELECT node AS doc_id", 1)[0].rstrip()
-    + """,
-comp AS (
-  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
-),
-csizes AS (
-  SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+# wrap the components oracle as a subquery (no string surgery on its
+# CTE chain — a fragile rsplit here once produced broken SQL on edit)
+_DEDUP_CLUSTER_STATS_SQL = f"""
+WITH csizes AS (
+  SELECT component, COUNT(*) AS csize
+  FROM ({_DEDUP_COMPONENTS_SQL}) GROUP BY component
 )
 SELECT csize, COUNT(*) AS n_clusters, CAST(SUM(csize) AS BIGINT) AS n_docs
 FROM csizes GROUP BY csize ORDER BY csize
 """
-)
 
 SPARK_QUERIES["dedup_cluster_stats"] = dedup_cluster_stats
 ORACLE_SQL["dedup_cluster_stats"] = _DEDUP_CLUSTER_STATS_SQL
