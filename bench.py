@@ -100,6 +100,8 @@ HEADLINE = [
     "agg_bool",
     "timeseries_gaps",
     "cdc_latest_wins",
+    "sim_hardneg",
+    "split_leakage_check",
 ]
 
 

@@ -8,7 +8,7 @@ with planted duplicates proving they actually detect near-dups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..llmdata.dedup import (
@@ -18,7 +18,12 @@ from ..llmdata.dedup import (
     simhash_neardup_pairs,
 )
 from ..llmdata.multimodal import attach_media, decode_image_features
-from ..llmdata.similarity import brute_force_topk, embedding_neardup_pairs, ivf_topk
+from ..llmdata.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    np_cosine,
+)
 from ..llmdata.text import bpe_token_count, fingerprint, lang_id, quality_features
 from ..tables import load
 
@@ -917,3 +922,61 @@ pr{i} AS (
 
 SPARK_QUERIES["graph_pagerank"] = graph_pagerank
 ORACLE_SQL["graph_pagerank"] = _pagerank_oracle_sql()
+
+
+def sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    query vector, the top-5 most-similar vectors whose LABEL DIFFERS —
+    the near-miss negatives that carry the training signal (easy
+    negatives are uninformative; same-label neighbors are positives).
+    Same broadcast-queries / single-corpus-pass shape as sim_topk with
+    one extra label predicate in the join."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").alias("v"), "label")
+    queries = base.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = base.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("qlabel")),
+    ).withColumn("cos", F.round(np_cosine()(F.col("qv"), F.col("v")), 6))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("neg_label"),
+            "cos",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_SIM_HARDNEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS negative_id, e.label AS neg_label,
+         ROUND({_COS.format(a='q.qv', b='e.embedding')}, 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id AND e.label != q.qlabel
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, negative_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, negative_id, neg_label, cos, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+SPARK_QUERIES["sim_hardneg"] = sim_hardneg
+ORACLE_SQL["sim_hardneg"] = _SIM_HARDNEG_SQL

@@ -356,3 +356,93 @@ FROM c ORDER BY doc_id
 
 SPARK_QUERIES["training_prepare"] = training_prepare
 ORACLE_SQL["training_prepare"] = _training_prepare_sql()
+
+
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit: near-duplicate pairs (same token-set
+    Jaccard edge rule as dedup_ngram_jaccard) that straddle two different
+    splits of the stratified assignment — the check that catches a test
+    set contaminated by near-copies of training docs.  Planted clones
+    (ids shifted by 10^6, re-hashed into splits independently) guarantee
+    the audit provably fires.  Output: pair counts per (split_a,
+    split_b) crossing, plus how many touch val or test."""
+    from ..llmdata.dedup import ngram_jaccard_pairs
+    from .llm_q import _docs_with_planted_dups
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    splits = assign_splits(docs, strata_col="lang").select("doc_id", "split")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaked_pairs"),
+            F.sum(
+                (
+                    F.col("split_a").isin("val", "test")
+                    | F.col("split_b").isin("val", "test")
+                ).cast("long")
+            ).alias("n_touching_holdout"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+_SPLIT_LEAKAGE_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN rk <= CEIL(n * 0.1) THEN 'val'
+              WHEN rk <= CEIL(n * 0.1) + CEIL(n * 0.1) THEN 'test'
+              ELSE 'train' END AS split
+  FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY (doc_id * {_SAMPLE_MULT}) % {_SAMPLE_MOD}, doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM docs)
+),
+tok AS (
+  SELECT doc_id, source, n_chars,
+         UNNEST(list_distinct(string_split(text, ' '))) AS tok
+  FROM docs
+),
+sizes AS (
+  SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n_tok FROM docs
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM tok a JOIN tok b
+    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 20
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM shared
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE n_shared / (na.n_tok + nb.n_tok - n_shared) >= 0.2
+)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       COUNT(*) AS n_leaked_pairs,
+       CAST(SUM(CASE WHEN sa.split IN ('val','test')
+                       OR sb.split IN ('val','test') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_touching_holdout
+FROM pairs
+JOIN splits sa ON sa.doc_id = id_a
+JOIN splits sb ON sb.doc_id = id_b
+WHERE sa.split != sb.split
+GROUP BY 1, 2 ORDER BY split_a, split_b
+"""
+
+SPARK_QUERIES["split_leakage_check"] = split_leakage_check
+ORACLE_SQL["split_leakage_check"] = _SPLIT_LEAKAGE_SQL
