@@ -285,3 +285,53 @@ def test_curation_pipeline_single_corpus_scan(spark):
     df = curation_pipeline(spark, SF_SMALL)
     explained = df._jdf.queryExecution().toString()
     assert explained.count("FileScan parquet") == 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """At 100 TB the win on a selective shuffle join comes from runtime
+    row-level filtering: Spark injects a bloom filter built from the
+    filtered build side into the probe side's scan.  Pin that the
+    engine's runtime bloom actually fires here (confs are session-level;
+    restored after)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower()
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in executed.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
