@@ -102,6 +102,8 @@ HEADLINE = [
     "cdc_latest_wins",
     "sim_hardneg",
     "split_leakage_check",
+    "agg_ttest",
+    "agg_entropy",
 ]
 
 

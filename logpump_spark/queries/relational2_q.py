@@ -13,7 +13,7 @@ would differ in merge order between Spark partials and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..compat import dsum, quant, sql_dsum, sql_quant
@@ -460,3 +460,104 @@ ORACLE_SQL = {
     "win_percent_rank": _WIN_PERCENT_RANK_SQL,
     "sql_recursive_cte": _SQL_RECURSIVE_SQL,
 }
+
+
+def agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-statistic between each event_type's values and
+    the 'error' type's (the A/B-test primitive): means and variances
+    from exact quantized power sums (decimal second moments — the
+    agg_corr overflow trick), ONE rounded final expression, so both
+    engines compute the identical t."""
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+
+    def moments(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(qv).cast("double").alias("s1"),
+            F.sum(qv.cast("decimal(19,0)") * qv.cast("decimal(19,0)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    m = moments(ev)
+    ctrl = m.filter(F.col("event_type") == "error").select(
+        F.col("n").alias("cn"), F.col("s1").alias("cs1"), F.col("s2").alias("cs2")
+    )
+    j = m.filter(F.col("event_type") != "error").crossJoin(F.broadcast(ctrl))
+    mean, cmean = F.col("s1") / F.col("n"), F.col("cs1") / F.col("cn")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    cvar = (F.col("cs2") - F.col("cs1") * F.col("cs1") / F.col("cn")) / (
+        F.col("cn") - 1
+    )
+    t = (mean - cmean) / F.sqrt(var / F.col("n") + cvar / F.col("cn"))
+    return (
+        j.select("event_type", F.round(t, 6).alias("t_vs_error"))
+        .orderBy("event_type")
+    )
+
+
+_AGG_TTEST_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(FLOOR(value * 10000) AS HUGEINT)
+                  * CAST(FLOOR(value * 10000) AS HUGEINT)) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+ctrl AS (SELECT n AS cn, s1 AS cs1, s2 AS cs2 FROM m WHERE event_type = 'error')
+SELECT event_type,
+       ROUND(((s1 / n) - (cs1 / cn))
+             / sqrt(((s2 - s1 * s1 / n) / (n - 1)) / n
+                    + ((cs2 - cs1 * cs1 / cn) / (cn - 1)) / cn), 6) AS t_vs_error
+FROM m CROSS JOIN ctrl
+WHERE event_type != 'error'
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["agg_ttest"] = agg_ttest
+ORACLE_SQL["agg_ttest"] = _AGG_TTEST_SQL
+
+
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution (behavior
+    diversity score; users < 50 bound the result): p_i from exact
+    integer counts, -sum(p ln p) rounded 6dp — identical count operands
+    make the doubles identical in both engines."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("user_id")
+    p = F.col("c") / F.sum("c").over(w)
+    return (
+        per_type.withColumn("term", -p * F.log(p))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum("term"), 6).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_AGG_ENTROPY_SQL = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+),
+withp AS (
+  SELECT user_id, c,
+         c / CAST(SUM(c) OVER (PARTITION BY user_id) AS DOUBLE) AS p
+  FROM per_type
+)
+SELECT user_id,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       COUNT(*) AS n_types,
+       ROUND(SUM(-p * ln(p)), 6) AS entropy
+FROM withp GROUP BY user_id ORDER BY user_id
+"""
+
+SPARK_QUERIES["agg_entropy"] = agg_entropy
+ORACLE_SQL["agg_entropy"] = _AGG_ENTROPY_SQL
