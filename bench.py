@@ -104,6 +104,8 @@ HEADLINE = [
     "split_leakage_check",
     "agg_ttest",
     "agg_entropy",
+    "fn_variant",
+    "agg_regr",
 ]
 
 

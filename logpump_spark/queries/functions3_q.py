@@ -250,3 +250,53 @@ FROM d ORDER BY doc_id
 
 SPARK_QUERIES["fn_url_suite"] = fn_url_suite
 ORACLE_SQL["fn_url_suite"] = _FN_URL_SQL
+
+
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface (the engine's semi-structured type —
+    ClickHouse JSON/Object analog): JSON built from columns parses to
+    VARIANT once and every downstream access is a typed variant_get
+    (binary-encoded traversal, no re-parsing) — scalar, nested object,
+    and array-index paths.  The oracle extracts the same paths from the
+    same JSON text."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    j = F.concat(
+        F.lit('{"a": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "b": {"c": '),
+        F.floor(F.col("value") * 1000).cast("long").cast("string"),
+        F.lit(', "tags": ["x", "'),
+        F.col("event_type"),
+        F.lit('"]}}'),
+    )
+    v = F.parse_json(j)
+    return (
+        ev.select(
+            "event_id",
+            F.try_variant_get(v, "$.a", "long").alias("a"),
+            F.try_variant_get(v, "$.b.c", "long").alias("c"),
+            F.try_variant_get(v, "$.b.tags[1]", "string").alias("tag1"),
+            F.try_variant_get(v, "$.missing", "long").alias("absent"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_FN_VARIANT_SQL = """
+WITH j AS (
+  SELECT event_id,
+         '{"a": ' || CAST(user_id AS VARCHAR) || ', "b": {"c": '
+         || CAST(CAST(FLOOR(value * 1000) AS BIGINT) AS VARCHAR)
+         || ', "tags": ["x", "' || event_type || '"]}}' AS js
+  FROM events WHERE user_id < 100
+)
+SELECT event_id,
+       CAST(js ->> '$.a' AS BIGINT) AS a,
+       CAST(js ->> '$.b.c' AS BIGINT) AS c,
+       js ->> '$.b.tags[1]' AS tag1,
+       CAST(js ->> '$.missing' AS BIGINT) AS absent
+FROM j ORDER BY event_id
+"""
+
+SPARK_QUERIES["fn_variant"] = fn_variant
+ORACLE_SQL["fn_variant"] = _FN_VARIANT_SQL

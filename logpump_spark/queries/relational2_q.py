@@ -561,3 +561,51 @@ FROM withp GROUP BY user_id ORDER BY user_id
 
 SPARK_QUERIES["agg_entropy"] = agg_entropy
 ORACLE_SQL["agg_entropy"] = _AGG_ENTROPY_SQL
+
+
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope/intercept of price over quantity per return
+    flag (regr_slope / regr_intercept analog) — same exact-power-sum
+    derivation as agg_corr, one rounded division each."""
+    li = load(spark, sf_dir, "lineitem")
+    qx, qy = quant("l_quantity"), quant("l_extendedprice")
+
+    def dsum2(a, b):
+        return F.sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
+
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum(qx).cast("double"), F.sum(qy).cast("double")
+    sxx, sxy = dsum2(qx, qx), dsum2(qx, qy)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / F.lit(10000.0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(slope, 6).alias("slope_qp"),
+            F.round(intercept, 4).alias("intercept_p"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_AGG_REGR_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS HUGEINT)
+                  * CAST(FLOOR(l_quantity * 10000) AS HUGEINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS HUGEINT)
+                  * CAST(FLOOR(l_extendedprice * 10000) AS HUGEINT)) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_qp,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 10000.0, 4)
+         AS intercept_p
+FROM s ORDER BY l_returnflag
+"""
+
+SPARK_QUERIES["agg_regr"] = agg_regr
+ORACLE_SQL["agg_regr"] = _AGG_REGR_SQL
