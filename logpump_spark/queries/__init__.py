@@ -70,7 +70,8 @@ _MODULES = (
 #   dedup_substring, graph_pagerank, timeseries_ohlc,
 #   dedup_cluster_stats, agg_quantile_hist, text_oov_rate,
 #   join_null_safe, agg_bool, timeseries_gaps, cdc_latest_wins,
-#   sim_hardneg, split_leakage_check, agg_ttest, agg_entropy
+#   sim_hardneg, split_leakage_check, agg_ttest, agg_entropy,
+#   fn_variant, agg_regr
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  Round-4 window, in priority order:
