@@ -106,6 +106,7 @@ HEADLINE = [
     "agg_entropy",
     "fn_variant",
     "agg_regr",
+    "fn_hash_suite",
 ]
 
 

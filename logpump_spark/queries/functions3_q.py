@@ -300,3 +300,39 @@ FROM j ORDER BY event_id
 
 SPARK_QUERIES["fn_variant"] = fn_variant
 ORACLE_SQL["fn_variant"] = _FN_VARIANT_SQL
+
+
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine hash surface: md5, sha2-256, and a deterministic
+    UUID-shaped stable row id derived from md5 hex — the content-
+    addressed identity every dedup/lineage pipeline needs (xxhash64 is
+    Spark-only; md5/sha256 are the portable pair)."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    return docs.select(
+        "doc_id",
+        h.alias("md5"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8),
+            F.substring(h, 9, 4),
+            F.substring(h, 13, 4),
+            F.substring(h, 17, 4),
+            F.substring(h, 21, 12),
+        ).alias("stable_uuid"),
+    ).orderBy("doc_id")
+
+
+_FN_HASH_SQL = """
+SELECT doc_id,
+       md5(text) AS md5,
+       sha256(text) AS sha256,
+       substr(md5(text), 1, 8) || '-' || substr(md5(text), 9, 4) || '-'
+       || substr(md5(text), 13, 4) || '-' || substr(md5(text), 17, 4) || '-'
+       || substr(md5(text), 21, 12) AS stable_uuid
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_QUERIES["fn_hash_suite"] = fn_hash_suite
+ORACLE_SQL["fn_hash_suite"] = _FN_HASH_SQL
