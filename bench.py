@@ -107,6 +107,7 @@ HEADLINE = [
     "fn_variant",
     "agg_regr",
     "fn_hash_suite",
+    "udtf_sentences",
 ]
 
 

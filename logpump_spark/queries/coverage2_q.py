@@ -386,3 +386,50 @@ ORDER BY user_id, event_type
 
 SPARK_QUERIES["cdc_latest_wins"] = cdc_latest_wins
 ORACLE_SQL["cdc_latest_wins"] = _CDC_LATEST_SQL
+
+
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface — the third leg of the UDF
+    trio beside the scalar pandas_udf and applyInPandas ids: each doc
+    expands to one row per '. '-separated sentence with index and exact
+    counts, via a registered UDTF in a LATERAL join.  Sentence-splitting
+    logic itself is trivial (the oracle replays it with string ops) —
+    the thing under test is the UDTF execution path: per-row Python
+    generators producing a TABLE, joined laterally."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id long, sent_no int, sentence string, n_chars int, n_words int")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                yield doc_id, i, s, len(s), len(s.split(" "))
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_no, s.sentence, s.n_chars, s.n_words
+        FROM docs_udtf d, LATERAL split_sentences(d.doc_id, d.text) s
+        ORDER BY s.doc_id, s.sent_no
+        """
+    )
+
+
+_UDTF_SENTENCES_SQL = """
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS sent_no,
+       s AS sentence,
+       CAST(length(s) AS INT) AS n_chars,
+       CAST(len(string_split(s, ' ')) AS INT) AS n_words
+FROM (
+  SELECT doc_id, UNNEST(string_split(text, '. ')) AS s,
+         UNNEST(generate_series(1, len(string_split(text, '. ')))) AS i
+  FROM documents WHERE doc_id < 100
+)
+ORDER BY doc_id, sent_no
+"""
+
+SPARK_QUERIES["udtf_sentences"] = udtf_sentences
+ORACLE_SQL["udtf_sentences"] = _UDTF_SENTENCES_SQL
