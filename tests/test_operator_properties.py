@@ -1,0 +1,115 @@
+"""Property-based invariants for the r4-tail operators (hypothesis):
+random inputs, structural guarantees — complements the oracle parity
+gate, which checks one fixed dataset."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 6)),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_cms_never_underestimates_random_keys(spark, rows):
+    from logpump_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in rows], "ka long, kb long"
+    ).select(F.concat_ws(":", "ka", "kb").alias("key"))
+    sketch = cms_build(df, F.col("key"), depth=3, width=16)
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(exact, "key", sketch, depth=3, width=16, carry_cols=("exact",))
+    bad = est.filter(F.col("est") < F.col("exact")).count()
+    assert bad == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.floats(-100, 100)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_ohlc_invariants_random_frames(spark, rows):
+    from datetime import datetime, timedelta
+
+    from logpump_spark.operators.timeseries import ohlc_resample
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (f"k{k}", base + timedelta(minutes=m), float(v), i)
+        for i, (k, m, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "key string, ts timestamp, value double, event_id long"
+    )
+    out = ohlc_resample(df, "key", "ts", "value", "event_id", "hour").collect()
+    assert out, "at least one bar"
+    for r in out:
+        assert r.low_q <= r.open_q <= r.high_q
+        assert r.low_q <= r.close_q <= r.high_q
+        assert r.n >= 1
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 400), st.floats(-10, 10)),
+        min_size=1,
+        max_size=150,
+    )
+)
+def test_ewma_stays_within_observed_range(spark, rows):
+    from datetime import datetime, timedelta
+
+    from logpump_spark.operators.timeseries import ewma_daily
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (k, base + timedelta(days=d), float(v)) for (k, d, v) in rows
+    ]
+    df = spark.createDataFrame(data, "key long, ts timestamp, value double")
+    out = ewma_daily(df, "key", "ts", "value").collect()
+    # EWMA of the daily sums is a convex combination of observed daily
+    # sums (integer weights), so it must lie inside each key's [min, max]
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    for key, rs in by_key.items():
+        lo = min(r.qsum for r in rs)
+        hi = max(r.qsum for r in rs)
+        for r in rs:
+            assert lo <= r.ewma_q <= hi
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=2, max_size=80, unique=True)
+)
+def test_pagerank_mass_and_positivity(spark, nodes):
+    from logpump_spark.llmdata.graph import pagerank_int
+
+    # ring graph over the given nodes: every node has in/out degree 1
+    edges = [(nodes[i], nodes[(i + 1) % len(nodes)]) for i in range(len(nodes))]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = pagerank_int(df, iters=2).collect()
+    assert len(pr) == len(nodes)
+    # ring symmetry: every node keeps the full mass (base + damped
+    # inflow of a full rank) -> all ranks equal and positive
+    vals = {r.pr for r in pr}
+    assert len(vals) == 1
+    assert vals.pop() > 0
