@@ -108,6 +108,7 @@ HEADLINE = [
     "agg_regr",
     "fn_hash_suite",
     "udtf_sentences",
+    "agg_skew_kurt",
 ]
 
 

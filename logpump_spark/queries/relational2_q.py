@@ -609,3 +609,62 @@ FROM s ORDER BY l_returnflag
 
 SPARK_QUERIES["agg_regr"] = agg_regr
 ORACLE_SQL["agg_regr"] = _AGG_REGR_SQL
+
+
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of value per event_type —
+    completes the moment-statistics family (mean/var/corr/regr/t):
+    3rd/4th power sums in decimal(38,0) stay exact (q^4 ~ 1e28 per row
+    fits), every downstream double derives from identical integers, one
+    6dp round each."""
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    q1 = qv.cast("decimal(19,0)")
+    q2 = (q1 * q1).cast("decimal(19,0)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qv).cast("double").alias("s1"),
+        F.sum(q1 * q1).cast("double").alias("s2"),
+        F.sum(q2 * q1).cast("double").alias("s3"),
+        F.sum(q2 * q2).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * s2 / n + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * s3 / n
+        + 6 * mean * mean * s2 / n
+        - 3 * mean * mean * mean * mean
+    )
+    return agg.select(
+        "event_type",
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")
+
+
+_AGG_SKEW_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(q) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(q AS HUGEINT) * q) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(q AS HUGEINT) * q * q) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(q AS HUGEINT) * q * q * q) AS DOUBLE) AS s4
+  FROM (SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS q FROM events)
+  GROUP BY event_type
+)
+SELECT event_type,
+       ROUND((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n))
+             / POW(s2/n - (s1/n)*(s1/n), 1.5), 6) AS skewness,
+       ROUND((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+              - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 6)
+         AS excess_kurtosis
+FROM s ORDER BY event_type
+"""
+
+SPARK_QUERIES["agg_skew_kurt"] = agg_skew_kurt
+ORACLE_SQL["agg_skew_kurt"] = _AGG_SKEW_SQL
