@@ -109,6 +109,8 @@ HEADLINE = [
     "fn_hash_suite",
     "udtf_sentences",
     "agg_skew_kurt",
+    "agg_bitmap_distinct",
+    "win_cume_dist",
 ]
 
 

@@ -71,7 +71,8 @@ _MODULES = (
 #   dedup_cluster_stats, agg_quantile_hist, text_oov_rate,
 #   join_null_safe, agg_bool, timeseries_gaps, cdc_latest_wins,
 #   sim_hardneg, split_leakage_check, agg_ttest, agg_entropy,
-#   fn_variant, agg_regr, fn_hash_suite, udtf_sentences, agg_skew_kurt
+#   fn_variant, agg_regr, fn_hash_suite, udtf_sentences, agg_skew_kurt,
+#   agg_bitmap_distinct, win_cume_dist
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  Round-4 window, in priority order:

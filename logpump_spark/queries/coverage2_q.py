@@ -433,3 +433,70 @@ ORDER BY doc_id, sent_no
 
 SPARK_QUERIES["udtf_sentences"] = udtf_sentences
 ORACLE_SQL["udtf_sentences"] = _UDTF_SENTENCES_SQL
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-aggregate distinct counting (Spark 3.5+ bitmap surface,
+    the ClickHouse groupBitmap analog): per (group, bucket) a 32k-bit
+    bitmap is OR-aggregated from bit positions, then distinct = sum of
+    per-bucket popcounts.  The two-level shape is the point at 100 TB:
+    bitmaps pre-aggregate map-side into fixed 4 KB values and merge by
+    OR, so re-aggregating distinct counts across groups never rescans
+    rows (the MERGEABLE sketch countDistinct lacks).  The oracle checks
+    the bitmap path against plain COUNT(DISTINCT)."""
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+_AGG_BITMAP_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+SPARK_QUERIES["agg_bitmap_distinct"] = agg_bitmap_distinct
+ORACLE_SQL["agg_bitmap_distinct"] = _AGG_BITMAP_SQL
+
+
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist over customer balances per nation (completes the
+    ranking-window family beside rank/percent_rank/ntile); the fraction
+    is count-derived, so both engines produce identical doubles."""
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            # floor-quantize, not round: k/n can land exactly on a
+            # .xxxxx5 boundary where Spark rounds half-up and DuckDB
+            # half-even; floor of the identical double is mode-free
+            F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias("cume_ppm"),
+        )
+        .filter(F.col("c_custkey") % 7 == 0)
+        .orderBy("c_custkey")
+    )
+
+
+_WIN_CUME_SQL = """
+SELECT c_custkey, c_nationkey, cume_ppm FROM (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(CUME_DIST() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal ASC, c_custkey ASC) * 1000000) AS BIGINT)
+           AS cume_ppm
+  FROM customer
+) WHERE c_custkey % 7 = 0 ORDER BY c_custkey
+"""
+
+SPARK_QUERIES["win_cume_dist"] = win_cume_dist
+ORACLE_SQL["win_cume_dist"] = _WIN_CUME_SQL
