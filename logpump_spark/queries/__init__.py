@@ -59,54 +59,48 @@ _MODULES = (
     sketch_q,  # r4 tail: count-min heavy hitters
 )
 
-# Round-5 rotation candidates (local-parity green at sf0.001/0.01/0.1,
-# never driver-verified — put these in the next window's head):
-#   text_lm_score, scan_csv, scan_jsonl, scan_orc, sql_recursive_cte,
-#   chunk_docs, training_prepare, text_boilerplate, embed_label_purity,
-#   multimodal_frames, corpus_merge, agg_sum_map, dedup_edit_distance,
-#   trending_topk, xform_zorder_key, win_ntile, timeseries_ewma,
-#   freq_heavy_hitters, dedup_semantic, corpus_overlap,
-#   curation_pipeline, stream_dedup, agg_mode, fn_url_suite,
-#   dedup_substring, graph_pagerank, timeseries_ohlc,
-#   dedup_cluster_stats, agg_quantile_hist, text_oov_rate,
-#   join_null_safe, agg_bool, timeseries_gaps, cdc_latest_wins,
-#   sim_hardneg, split_leakage_check, agg_ttest, agg_entropy,
-#   fn_variant, agg_regr, fn_hash_suite, udtf_sentences, agg_skew_kurt,
-#   agg_bitmap_distinct, win_cume_dist
-
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
-# registry entries per round.  Round-4 window, in priority order:
-#   1-15   never-driver-verified curation/analytics/timeseries/quality
-#   16     sim_pq_adc (new this round)
-#   17-27  parse plane (all err in r3: Spark 4.1 TIMESTAMP_NTZ, fixed)
-#   28-30  win_lag / win_range_frame / fn_date_suite (same r3 err)
-#   31-37  ids whose IMPLEMENTATION changed this round (np_cosine
-#          scoring, md5-based MinHash/SimHash now fully oracle-checked,
-#          multimodal decode fallbacks) — changed code gets re-verified
-#   38-39  q1_pricing_summary + join_inner long-green canaries
-#   40-45  the six ids added later in round 4 (never driver-verified)
-#   46-50  the five training-assembly ids added latest in round 4
-#          (never driver-verified; displaced r1-green scalar/window ids
-#          that stay covered by local parity on Spark 4.1)
+# registry entries per round.  Round-5 window, in priority order:
+#   1-45   the 45 round-4-tail ids that have never had a driver
+#          CORRECTNESS row (local-parity green at sf0.001/0.01/0.1 via
+#          tests/test_oracle_parity.py, but never externally checked) —
+#          scans, aggregates, dedup variants, graph, timeseries, CDC,
+#          training assembly, VARIANT/hash/URL scalar suites
+#   46-47  q1_pricing_summary + join_inner long-green canaries
+#   48-50  sim_pq_adc / embed_quantize_sq8 / sessionize_events — in the
+#          round-4 window, but no CORRECTNESS_r04.json was produced, so
+#          re-listed as a hedge (code changed in r4: PQ wiring, SQ8
+#          numpy encode, NTZ-safe sessionize).
+# The remaining round-4-window ids (parse plane, windows, similarity)
+# rotate back in round 6 if r04 artifacts never materialize.
 _WINDOW_PRIORITY = [
-    "dedup_components", "text_tfidf", "sample_stratified", "sim_srp_lsh",
-    "topk_per_group", "sessionize_events", "funnel_steps", "retention_cohort",
-    "timeseries_fill", "timeseries_anomaly", "unpivot_stack",
-    "text_quality_gopher", "text_repetition", "text_pii_scrub",
-    "embed_quantize_sq8",
-    "sim_pq_adc",
-    "parse_full_entry", "parse_header_positional", "parse_kv_map",
-    "parse_sql_quoted", "parse_context", "xform_filename_date",
-    "xform_event_time", "xform_duration", "filter_valid_rows",
-    "records_explode", "parse_scaled",
-    "win_lag", "win_range_frame", "fn_date_suite",
-    "sim_topk", "sim_ivf_topk", "sim_neardup", "dedup_minhash_lsh",
-    "dedup_simhash", "multimodal_decode", "multimodal_audio",
+    # scans / sources
+    "scan_csv", "scan_jsonl", "scan_orc",
+    # relational / SQL surface
+    "sql_recursive_cte", "join_null_safe", "win_ntile", "win_cume_dist",
+    "trending_topk",
+    # aggregate suites
+    "agg_bool", "agg_mode", "agg_sum_map", "agg_entropy", "agg_ttest",
+    "agg_regr", "agg_skew_kurt", "agg_bitmap_distinct",
+    "agg_quantile_hist", "freq_heavy_hitters",
+    # scalar suites
+    "fn_url_suite", "fn_variant", "fn_hash_suite", "udtf_sentences",
+    # timeseries / CDC
+    "timeseries_ewma", "timeseries_ohlc", "timeseries_gaps",
+    "cdc_latest_wins", "xform_zorder_key", "stream_dedup",
+    # dedup / graph / similarity
+    "dedup_edit_distance", "dedup_semantic", "dedup_substring",
+    "dedup_cluster_stats", "graph_pagerank", "sim_hardneg",
+    "embed_label_purity",
+    # text / corpus curation
+    "text_lm_score", "text_boilerplate", "text_oov_rate",
+    "corpus_merge", "corpus_overlap", "curation_pipeline", "chunk_docs",
+    # training assembly
+    "training_prepare", "split_leakage_check", "multimodal_frames",
+    # canaries (driver-green r1-r3)
     "q1_pricing_summary", "join_inner",
-    "text_decontaminate", "corpus_vocab", "quality_decile_by_lang",
-    "dedup_canonical", "sample_topp", "join_skew_salted",
-    "pack_sequences", "split_assign", "sample_temperature", "seq_match",
-    "multimodal_resize",
+    # round-4-window hedges (changed in r4, r04 artifacts missing)
+    "sim_pq_adc", "embed_quantize_sq8", "sessionize_events",
 ]
 
 
