@@ -32,6 +32,7 @@ from . import (
     sources_q,
     streaming_q,
     timeseries_q,
+    tpch_q,
     training_q,
     windows_q,
 )
@@ -57,6 +58,7 @@ _MODULES = (
     training_q,  # late-r4 additions — in the window tail this round
     sources_q,  # latest-r4 additions — rotate into the window next round
     sketch_q,  # r4 tail: count-min heavy hitters
+    tpch_q,  # r5: TPC-H Q3/Q5/Q6/Q10/Q18 classic shapes
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
