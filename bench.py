@@ -111,6 +111,18 @@ HEADLINE = [
     "agg_skew_kurt",
     "agg_bitmap_distinct",
     "win_cume_dist",
+    # r5 additions
+    "tpch_q3_shipping",
+    "tpch_q5_nation_volume",
+    "tpch_q6_revenue_delta",
+    "tpch_q10_returns",
+    "tpch_q18_big_orders",
+    "agg_hll_distinct",
+    "agg_argmax",
+    "pivot_wide",
+    "fn_ip_suite",
+    "chat_assemble",
+    "pref_pairs",
 ]
 
 

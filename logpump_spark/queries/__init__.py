@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     analytics_q,
     coverage2_q,
+    coverage3_q,
     coverage_q,
     curation2_q,
     curation_q,
@@ -59,6 +60,7 @@ _MODULES = (
     sources_q,  # latest-r4 additions — rotate into the window next round
     sketch_q,  # r4 tail: count-min heavy hitters
     tpch_q,  # r5: TPC-H Q3/Q5/Q6/Q10/Q18 classic shapes
+    coverage3_q,  # r5: HLL sketch, argMax, pivot, IP suite, chat/pref assembly
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50

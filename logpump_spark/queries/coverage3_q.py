@@ -1,0 +1,440 @@
+"""Round-5 coverage: HyperLogLog distinct sketch, argMax/argMin, pivot,
+IP-parsing scalar suite, chat-turn assembly, and preference-pair
+construction.
+
+Reference parity: ClickHouse exposes ``uniqCombined``/``uniqHLL12``
+(HLL distinct), ``argMax``/``argMin``, and ``pivot``-shaped conditional
+aggregation as everyday log-analytics primitives — the surface the
+reference delegates (SURVEY.md §2.F).  The chat/preference builders
+extend the LLM training-data plane (§2.H/§2.I).
+
+Every sketch here is *replayable*: md5-derived hashes and pure integer
+register arithmetic mean the DuckDB oracle reconstructs the exact same
+registers, so the driver's value-hash checks the sketch itself, not
+just its estimate's plausibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import quant
+from ..llmdata.dedup import md5_hash60
+from ..tables import load
+
+# --------------------------------------------------------------------
+# agg_hll_distinct — HyperLogLog with oracle-replayable registers
+# --------------------------------------------------------------------
+
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 registers
+# rho counts trailing zeros of the remaining 51 hash bits; an empty
+# register contributes 2^52 to the scaled harmonic sum (2^(52-0)).
+_HLL_RMAX = 52
+
+# DuckDB twin of md5_hash60 (shared with sketch_q / dedup oracles)
+_MD5I = "CAST(concat('0x', substr(md5({s}), 2, 15)) AS BIGINT)"
+
+
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event type (ClickHouse
+    ``uniqHLL12`` analog), next to the exact count so estimate quality
+    is part of the checked result.
+
+    Replayable by construction: bucket = md5-60bit hash mod 512,
+    rho = 1 + trailing-zeros of the remaining bits via the exact
+    ``bit_count((h & -h) - 1)`` identity (no float log2 — engines
+    disagree in the last ulp), registers = per-bucket MAX(rho), and the
+    harmonic sum is the *integer* ``sum(2^(52-rho))`` so merge order
+    can't wobble the estimate.  The only doubles are one identical
+    literal expression and one final division of identical operands.
+
+    Scale shape: the register agg's shuffle is bounded by
+    |groups| x 512 regardless of row count — the whole point of HLL at
+    100 TB — and it's mergeable: re-aggregating register tables from
+    shards ORs the same maxima.  (Raw estimate, no small/large-range
+    correction; the exact column alongside shows the bias.)"""
+    ev = load(spark, sf_dir, "events")
+    key = F.floor(F.col("value") * 100).cast("long").cast("string")
+    h = md5_hash60(key)
+    base = ev.select(
+        "event_type",
+        (h % _HLL_M).alias("bucket"),
+        F.shiftrightunsigned(h, _HLL_P).alias("h2"),
+    )
+    rho = F.when(F.col("h2") == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.bit_count(F.col("h2").bitwiseAND(-F.col("h2")) - 1) + 1
+    )
+    regs = base.groupBy("event_type", "bucket").agg(F.max(rho).alias("rho"))
+    stats = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLL_RMAX} - rho)")).alias("s_used"),
+        F.count(F.lit(1)).alias("m_used"),
+    )
+    # empty registers contribute 2^52 each; alpha_512 from one literal
+    # expression evaluated identically in both engines
+    s_total = F.col("s_used") + (F.lit(_HLL_M) - F.col("m_used")) * F.lit(
+        1 << _HLL_RMAX
+    ).cast("long")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
+    est = F.floor(
+        alpha
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.pow(F.lit(2.0), F.lit(float(_HLL_RMAX)))
+        / s_total.cast("double")
+    ).cast("long")
+    exact = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("k")
+    ).groupBy("event_type").agg(F.countDistinct("k").alias("n_exact"))
+    return (
+        stats.select("event_type", est.alias("n_hll"), F.col("m_used"))
+        .join(exact, "event_type")
+        .select("event_type", "n_exact", "n_hll", "m_used")
+        .orderBy("event_type")
+    )
+
+
+_HLL_H = _MD5I.format(s="CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)")
+
+_HLL_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         ({_HLL_H}) % {_HLL_M} AS bucket,
+         ({_HLL_H}) // {_HLL_M} AS h2
+  FROM events
+),
+rhos AS (
+  SELECT event_type, bucket,
+         CASE WHEN h2 = 0 THEN {_HLL_RMAX}
+              ELSE bit_count(CAST((h2 & -h2) - 1 AS BIGINT)) + 1 END AS rho
+  FROM base
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS rho FROM rhos GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         SUM((CAST(1 AS BIGINT) << ({_HLL_RMAX} - rho))) AS s_used,
+         COUNT(*) AS m_used
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, m_used,
+         CAST(FLOOR(
+           (0.7213 / (1.0 + 1.079 / {float(_HLL_M)}))
+           * {float(_HLL_M * _HLL_M)} * power(2.0, {float(_HLL_RMAX)})
+           / CAST(s_used + ({_HLL_M} - m_used) * (CAST(1 AS BIGINT) << {_HLL_RMAX}) AS DOUBLE)
+         ) AS BIGINT) AS n_hll
+  FROM stats
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT CAST(FLOOR(value * 100) AS BIGINT)) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT e.event_type AS event_type, exact.n_exact AS n_exact,
+       e.n_hll AS n_hll, e.m_used AS m_used
+FROM est e JOIN exact ON exact.event_type = e.event_type
+ORDER BY e.event_type
+"""
+
+
+# --------------------------------------------------------------------
+# agg_argmax — argMax / argMin (max_by / min_by)
+# --------------------------------------------------------------------
+
+
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMax``/``argMin`` via Spark's ``max_by``/``min_by``
+    with a composite (value, id) ordering struct — the id tiebreak makes
+    the picked row engine-deterministic even on duplicate values.  One
+    partial-aggregated shuffle on the group key."""
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    base = ev.select("event_type", "user_id", "event_id", qv.alias("qv"))
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.expr("max_by(user_id, struct(qv, event_id))").alias("top_user"),
+            F.expr("min_by(user_id, struct(qv, event_id))").alias("bottom_user"),
+            (F.max("qv").cast("double") / 10000).alias("max_value"),
+            (F.min("qv").cast("double") / 10000).alias("min_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ARGMAX_SQL = """
+WITH base AS (
+  SELECT event_type, user_id, event_id,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS qv
+  FROM events
+),
+hi AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv DESC, event_id DESC) AS rn
+  FROM base
+),
+lo AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv ASC, event_id ASC) AS rn
+  FROM base
+),
+ext AS (
+  SELECT event_type,
+         CAST(MAX(qv) AS DOUBLE) / 10000 AS max_value,
+         CAST(MIN(qv) AS DOUBLE) / 10000 AS min_value
+  FROM base GROUP BY 1
+)
+SELECT ext.event_type AS event_type,
+       hi.user_id AS top_user,
+       lo.user_id AS bottom_user,
+       ext.max_value AS max_value,
+       ext.min_value AS min_value
+FROM ext
+JOIN hi ON hi.event_type = ext.event_type AND hi.rn = 1
+JOIN lo ON lo.event_type = ext.event_type AND lo.rn = 1
+ORDER BY ext.event_type
+"""
+
+
+# --------------------------------------------------------------------
+# pivot_wide — long-to-wide conditional aggregation
+# --------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot: per user cohort (user_id mod 10), one count
+    column per event type.  The pivot values are an EXPLICIT list —
+    at 100 TB an implicit pivot costs an extra distinct-scan job to
+    discover them, and makes the output schema data-dependent."""
+    ev = load(spark, sf_dir, "events")
+    wide = (
+        ev.select((F.col("user_id") % 10).alias("cohort"), "event_type")
+        .groupBy("cohort")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    ).orderBy("cohort")
+
+
+_PIVOT_SQL = f"""
+SELECT user_id % 10 AS cohort,
+{",".join(f"  COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# fn_ip_suite — IPv4 parse / format / CIDR membership
+# --------------------------------------------------------------------
+
+
+def fn_ip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 scalar suite (ClickHouse IPv4NumToString / IPv4StringToNum /
+    isIPAddressInRange analogs): synthesize a deterministic address per
+    event from the md5 hash, format int -> dotted-quad, parse it BACK
+    with split+cast (the function under test), and classify RFC-1918
+    private ranges + the /16 subnet.  Pure codegen'd column arithmetic."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 512)
+    ip = (md5_hash60(F.col("event_id").cast("string")) % F.lit(1 << 32)).alias("ip_int")
+    df = ev.select("event_id", ip)
+    octet = lambda n: (F.shiftrightunsigned(F.col("ip_int"), n) % 256).cast("string")
+    df = df.withColumn(
+        "ip_str", F.concat_ws(".", octet(24), octet(16), octet(8), octet(0))
+    )
+    parts = F.split(F.col("ip_str"), "\\.")
+    parsed = (
+        parts.getItem(0).cast("long") * (1 << 24)
+        + parts.getItem(1).cast("long") * (1 << 16)
+        + parts.getItem(2).cast("long") * (1 << 8)
+        + parts.getItem(3).cast("long")
+    )
+    o1 = F.shiftrightunsigned(F.col("ip_int"), 24) % 256
+    o2 = F.shiftrightunsigned(F.col("ip_int"), 16) % 256
+    is_private = (
+        (o1 == 10)
+        | ((o1 == 172) & (o2 >= 16) & (o2 <= 31))
+        | ((o1 == 192) & (o2 == 168))
+    )
+    return df.select(
+        "event_id",
+        "ip_str",
+        parsed.alias("ip_parsed"),
+        (F.col("ip_int") == parsed).alias("roundtrip_ok"),
+        F.concat_ws(".", octet(24), octet(16), F.lit("0"), F.lit("0")).alias(
+            "subnet16"
+        ),
+        is_private.alias("is_private"),
+    ).orderBy("event_id")
+
+
+_IP_H = _MD5I.format(s="CAST(event_id AS VARCHAR)")
+
+_IP_SQL = f"""
+WITH base AS (
+  SELECT event_id, ({_IP_H}) % 4294967296 AS ip_int
+  FROM events WHERE event_id < 512
+),
+fmt AS (
+  SELECT event_id, ip_int,
+         CAST((ip_int // 16777216) % 256 AS VARCHAR) || '.' ||
+         CAST((ip_int // 65536) % 256 AS VARCHAR) || '.' ||
+         CAST((ip_int // 256) % 256 AS VARCHAR) || '.' ||
+         CAST(ip_int % 256 AS VARCHAR) AS ip_str
+  FROM base
+),
+parsed AS (
+  SELECT event_id, ip_int, ip_str,
+         CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_parsed
+  FROM fmt
+)
+SELECT event_id, ip_str, ip_parsed,
+       (ip_int = ip_parsed) AS roundtrip_ok,
+       CAST((ip_int // 16777216) % 256 AS VARCHAR) || '.' ||
+       CAST((ip_int // 65536) % 256 AS VARCHAR) || '.0.0' AS subnet16,
+       ((ip_int // 16777216) % 256 = 10
+        OR ((ip_int // 16777216) % 256 = 172
+            AND (ip_int // 65536) % 256 BETWEEN 16 AND 31)
+        OR ((ip_int // 16777216) % 256 = 192
+            AND (ip_int // 65536) % 256 = 168)) AS is_private
+FROM parsed
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------
+# chat_assemble — conversation/turn assembly for chat training data
+# --------------------------------------------------------------------
+
+
+def chat_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template assembly: each user's events become time-ordered
+    tagged turns concatenated into one training document — the standard
+    multi-turn SFT formatting pass.  Deterministic order via
+    (unix_micros(ts), event_id) inside array_sort; the dialog travels as
+    an md5 fingerprint + length so the checked result stays small.
+
+    Scale shape: one shuffle on the conversation key; per-group state is
+    the collected turn array (bounded by turns-per-conversation, the
+    same bound any chat formatter needs)."""
+    ev = load(spark, sf_dir, "events")
+    line = F.concat(F.lit("<"), F.col("event_type"), F.lit("> "), F.col("props"))
+    turn = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id").alias("eid"),
+        line.alias("line"),
+    )
+    dialog = F.array_join(
+        F.transform(F.array_sort(F.collect_list(turn)), lambda x: x["line"]), "\n"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.length(dialog).alias("dialog_len"),
+            F.md5(dialog).alias("dialog_md5"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CHAT_SQL = """
+WITH lines AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         '<' || event_type || '> ' || props AS line
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_turns,
+       length(string_agg(line, chr(10) ORDER BY us, event_id)) AS dialog_len,
+       md5(string_agg(line, chr(10) ORDER BY us, event_id)) AS dialog_md5
+FROM lines
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------
+# pref_pairs — preference-pair (chosen/rejected) construction
+# --------------------------------------------------------------------
+
+
+def pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within each (source, lang)
+    prompt group, chosen = highest-scored document, rejected = lowest
+    (score = n_chars here; any scalar quality score plugs in), with doc
+    id tiebreaks for engine determinism.  Groups of one can't form a
+    pair and are dropped.  One partial-aggregated shuffle — max/min of
+    a (score, id) struct — never a self-join."""
+    docs = load(spark, sf_dir, "documents")
+    sd = F.struct(F.col("n_chars").alias("s"), F.col("doc_id").alias("d"))
+    g = (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.max(sd).alias("c"),
+            F.min(sd).alias("r"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return g.select(
+        "source",
+        "lang",
+        F.col("c.d").alias("chosen_id"),
+        F.col("r.d").alias("rejected_id"),
+        (F.col("c.s") - F.col("r.s")).alias("margin"),
+        "n_docs",
+    ).orderBy("source", "lang")
+
+
+_PREF_SQL = """
+WITH hi AS (
+  SELECT source, lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY n_chars DESC, doc_id DESC) AS rn
+  FROM documents
+),
+lo AS (
+  SELECT source, lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY n_chars ASC, doc_id ASC) AS rn
+  FROM documents
+),
+n AS (SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2)
+SELECT n.source AS source, n.lang AS lang,
+       hi.doc_id AS chosen_id, lo.doc_id AS rejected_id,
+       hi.n_chars - lo.n_chars AS margin,
+       n.n_docs AS n_docs
+FROM n
+JOIN hi ON hi.source = n.source AND hi.lang = n.lang AND hi.rn = 1
+JOIN lo ON lo.source = n.source AND lo.lang = n.lang AND lo.rn = 1
+WHERE n.n_docs >= 2
+ORDER BY n.source, n.lang
+"""
+
+
+SPARK_QUERIES = {
+    "agg_hll_distinct": agg_hll_distinct,
+    "agg_argmax": agg_argmax,
+    "pivot_wide": pivot_wide,
+    "fn_ip_suite": fn_ip_suite,
+    "chat_assemble": chat_assemble,
+    "pref_pairs": pref_pairs,
+}
+
+ORACLE_SQL = {
+    "agg_hll_distinct": _HLL_SQL,
+    "agg_argmax": _ARGMAX_SQL,
+    "pivot_wide": _PIVOT_SQL,
+    "fn_ip_suite": _IP_SQL,
+    "chat_assemble": _CHAT_SQL,
+    "pref_pairs": _PREF_SQL,
+}

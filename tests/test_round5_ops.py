@@ -1,0 +1,175 @@
+"""Behavioral/plan properties for the round-5 operators, beyond the
+DuckDB oracle parity that tests/test_oracle_parity.py already enforces:
+plan shape for the TPC-H joins, sketch accuracy + mergeability for HLL,
+and internal-consistency invariants for argmax/pivot/ip/chat/pref."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from logpump_spark.queries.coverage3_q import (
+    agg_argmax,
+    agg_hll_distinct,
+    chat_assemble,
+    fn_ip_suite,
+    pivot_wide,
+    pref_pairs,
+)
+from logpump_spark.queries.tpch_q import (
+    tpch_q3_shipping,
+    tpch_q5_nation_volume,
+    tpch_q6_revenue_delta,
+    tpch_q18_big_orders,
+)
+from logpump_spark.tables import load
+
+from .conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ----- TPC-H plan shape --------------------------------------------------
+
+
+def test_q3_broadcasts_customer_segment(spark):
+    df = tpch_q3_shipping(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the top-10 must be TakeOrdered, not a global sort of all orders
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_broadcasts_all_dims(spark):
+    df = tpch_q5_nation_volume(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    # region/nation/supplier all ride broadcast joins
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q6_pushes_filters_and_prunes(spark):
+    df = tpch_q6_revenue_delta(spark, SF_SMALL)
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in explained
+    read_schema = explained.split("ReadSchema")[-1]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema  # pruned
+
+
+def test_q18_takeordered(spark):
+    df = tpch_q18_big_orders(spark, SF_SMALL)
+    df.collect()
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+# ----- HLL sketch --------------------------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark):
+    # The checked result carries the RAW estimate plus m_used (registers
+    # hit) so the standard small-range correction stays applicable by
+    # the consumer without any cross-engine ln() in the value-hashed
+    # columns.  Apply it here: below 2.5m, linear counting from the
+    # empty-register count is the estimator; above, the raw HLL is.
+    rows = {r["event_type"]: r for r in agg_hll_distinct(spark, SF_SMALL).collect()}
+    assert rows
+    m = 512
+    for r in rows.values():
+        assert r["m_used"] <= m
+        if r["n_hll"] <= 2.5 * m and r["m_used"] < m:
+            est = m * math.log(m / (m - r["m_used"]))  # linear counting
+        else:
+            est = r["n_hll"]
+        # ~1.04/sqrt(512) = 4.6% standard error; allow 3 sigma
+        assert abs(est - r["n_exact"]) <= max(10, 0.15 * r["n_exact"]), (r, est)
+
+
+def test_hll_registers_merge(spark):
+    # register tables built on disjoint halves OR-merge (max per bucket)
+    # to exactly the registers of the whole — the mergeability that lets
+    # shards aggregate without rescanning rows
+    ev = load(spark, SF_SMALL, "events")
+    from logpump_spark.llmdata.dedup import md5_hash60
+
+    key = F.floor(F.col("value") * 100).cast("long").cast("string")
+    h = md5_hash60(key)
+    base = ev.select(
+        (F.col("event_id") % 2).alias("half"),
+        (h % 512).alias("bucket"),
+        F.shiftrightunsigned(h, 9).alias("h2"),
+    )
+    rho = F.when(F.col("h2") == 0, F.lit(52)).otherwise(
+        F.bit_count(F.col("h2").bitwiseAND(-F.col("h2")) - 1) + 1
+    )
+    whole = {
+        r["bucket"]: r["rho"]
+        for r in base.groupBy("bucket").agg(F.max(rho).alias("rho")).collect()
+    }
+    halves = (
+        base.groupBy("half", "bucket").agg(F.max(rho).alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("rho"))
+        .collect()
+    )
+    assert {r["bucket"]: r["rho"] for r in halves} == whole
+
+
+# ----- argmax / pivot / ip / chat / pref ---------------------------------
+
+
+def test_argmax_picks_actual_extreme_rows(spark):
+    res = {r["event_type"]: r for r in agg_argmax(spark, SF_SMALL).collect()}
+    ev = load(spark, SF_SMALL, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    for et, r in res.items():
+        top = (
+            ev.filter(F.col("event_type") == et)
+            .orderBy(qv.desc(), F.col("event_id").desc())
+            .select("user_id").first()["user_id"]
+        )
+        assert r["top_user"] == top
+        assert math.isclose(r["max_value"] * 10000 % 1, 0, abs_tol=1e-9)
+
+
+def test_pivot_rows_sum_to_group_counts(spark):
+    res = pivot_wide(spark, SF_SMALL).collect()
+    ev = load(spark, SF_SMALL, "events")
+    counts = {
+        r["cohort"]: r["n"]
+        for r in ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert len(res) == len(counts)
+    for r in res:
+        total = sum(r[c] for c in r.asDict() if c.startswith("n_"))
+        assert total == counts[r["cohort"]]
+
+
+def test_ip_roundtrip_always_ok(spark):
+    rows = fn_ip_suite(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["roundtrip_ok"] for r in rows)
+    for r in rows[:20]:
+        assert r["ip_str"].count(".") == 3
+        assert 0 <= r["ip_parsed"] < 1 << 32
+
+
+def test_chat_assemble_conserves_turns(spark):
+    res = chat_assemble(spark, SF_SMALL)
+    total_turns = res.agg(F.sum("n_turns")).first()[0]
+    assert total_turns == load(spark, SF_SMALL, "events").count()
+    assert res.filter(F.col("dialog_len") <= 0).count() == 0
+
+
+def test_pref_pairs_margin_nonnegative_and_distinct(spark):
+    rows = pref_pairs(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["margin"] >= 0
+        assert r["n_docs"] >= 2
+        if r["margin"] > 0:
+            assert r["chosen_id"] != r["rejected_id"]
