@@ -45,14 +45,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(na) * F.sqrt(nb))
 
 
-def np_cosine() -> Column:
+def np_cosine(once: bool = False) -> Column:
     """Arrow-batched row-wise cosine — the vectorized twin of
     ``cosine()`` for hot scoring paths (Spark's higher-order functions
     evaluate interpreted, ~50x numpy on dense arithmetic).  Vectors ship
     as raw float32 (half the Arrow bytes) and widen to double inside
     numpy — float->double is exact, so the math matches the Column
     expression up to summation fold order; every caller rounds to 6 dp,
-    which absorbs that last-ULP noise (same contract as the oracle)."""
+    which absorbs that last-ULP noise (same contract as the oracle).
+
+    ``once=True`` marks the UDF nondeterministic, which stops the
+    optimizer pushing a later ``filter(cos >= t)`` beneath the
+    projection and thereby evaluating the Python stage TWICE (observed
+    as back-to-back ArrowEvalPython nodes in the srp/near-dup verify
+    plans).  The function is pure, so results are unchanged; use it on
+    every cos-then-threshold path."""
 
     @F.pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -65,7 +72,7 @@ def np_cosine() -> Column:
             dots / (np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1)))
         )
 
-    return _cos
+    return _cos.asNondeterministic() if once else _cos
 
 
 def brute_force_topk(
@@ -411,7 +418,7 @@ def srp_lsh_neardup_pairs(
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", F.round(np_cosine()(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(np_cosine(once=True)(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -448,7 +455,7 @@ def embedding_neardup_pairs(
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(np_cosine()(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(np_cosine(once=True)(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cell", "cos")
     )
