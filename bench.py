@@ -123,6 +123,8 @@ HEADLINE = [
     "fn_ip_suite",
     "chat_assemble",
     "pref_pairs",
+    "rollup_incremental",
+    "agg_cond_suite",
 ]
 
 

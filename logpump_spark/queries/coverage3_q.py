@@ -421,6 +421,122 @@ ORDER BY n.source, n.lang
 """
 
 
+# --------------------------------------------------------------------
+# rollup_incremental — mergeable partial-aggregate maintenance
+# --------------------------------------------------------------------
+
+
+def rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (ClickHouse AggregatingMergeTree /
+    SummingMergeTree analog): a persisted daily rollup STATE is updated
+    by merging the state of a late-arriving delta batch — never by
+    rescanning the base data.
+
+    Here the corpus is split deterministically (event_id mod 10 == 0 is
+    the 'late' delta), both sides fold to per-(event_type, day) states
+    (count / quantized sum / min / max — each mergeable), and the merge
+    is a second groupBy over the UNION of states: sum-of-counts,
+    sum-of-sums, min-of-mins, max-of-maxes.  The oracle computes the
+    rollup directly over the full corpus, so the driver's hash check
+    proves merge(state(base), state(delta)) == state(full) — the
+    algebraic property that makes 100 TB rollups maintainable: a day's
+    re-aggregation touches only that day's states plus the delta.
+    """
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        qv.alias("qv"),
+        (F.col("event_id") % 10 == 0).alias("is_delta"),
+    )
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qv").alias("s"),
+            F.min("qv").alias("mn"),
+            F.max("qv").alias("mx"),
+        )
+
+    merged = (
+        state(base.filter(~F.col("is_delta")))
+        .unionByName(state(base.filter(F.col("is_delta"))))
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("s").cast("double") / 10000).alias("sum_value"),
+            (F.min("mn").cast("double") / 10000).alias("min_value"),
+            (F.max("mx").cast("double") / 10000).alias("max_value"),
+        )
+    )
+    return merged.orderBy("event_type", "day")
+
+
+_ROLLUP_INC_SQL = """
+SELECT event_type,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_value,
+       CAST(MIN(CAST(FLOOR(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS min_value,
+       CAST(MAX(CAST(FLOOR(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# agg_cond_suite — ClickHouse -If combinator family
+# --------------------------------------------------------------------
+
+
+def agg_cond_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``countIf``/``sumIf``/``avgIf``/``minIf`` combinator
+    twins: conditional aggregates as filtered aggregation inside ONE
+    grouped pass — never one scan per condition."""
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    big = F.col("qv") > 100 * 10000
+    even_user = F.col("user_id") % 2 == 0
+    return (
+        ev.select("event_type", "user_id", qv.alias("qv"))
+        .groupBy("event_type")
+        .agg(
+            F.count_if(big).alias("n_big"),
+            (F.sum(F.when(big, F.col("qv"))).cast("double") / 10000).alias(
+                "sum_big"
+            ),
+            (
+                F.sum(F.when(even_user, F.col("qv"))).cast("double")
+                / F.count_if(even_user)
+                / 10000
+            ).alias("avg_even_user"),
+            (F.min(F.when(big, F.col("qv"))).cast("double") / 10000).alias(
+                "min_big"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_COND_SQL = """
+WITH base AS (
+  SELECT event_type, user_id, CAST(FLOOR(value * 10000) AS BIGINT) AS qv
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) FILTER (WHERE qv > 1000000) AS n_big,
+       CAST(SUM(qv) FILTER (WHERE qv > 1000000) AS DOUBLE) / 10000 AS sum_big,
+       CAST(SUM(qv) FILTER (WHERE user_id % 2 = 0) AS DOUBLE)
+         / COUNT(*) FILTER (WHERE user_id % 2 = 0) / 10000 AS avg_even_user,
+       CAST(MIN(qv) FILTER (WHERE qv > 1000000) AS DOUBLE) / 10000 AS min_big
+FROM base
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "agg_hll_distinct": agg_hll_distinct,
     "agg_argmax": agg_argmax,
@@ -428,6 +544,8 @@ SPARK_QUERIES = {
     "fn_ip_suite": fn_ip_suite,
     "chat_assemble": chat_assemble,
     "pref_pairs": pref_pairs,
+    "rollup_incremental": rollup_incremental,
+    "agg_cond_suite": agg_cond_suite,
 }
 
 ORACLE_SQL = {
@@ -437,4 +555,6 @@ ORACLE_SQL = {
     "fn_ip_suite": _IP_SQL,
     "chat_assemble": _CHAT_SQL,
     "pref_pairs": _PREF_SQL,
+    "rollup_incremental": _ROLLUP_INC_SQL,
+    "agg_cond_suite": _COND_SQL,
 }

@@ -165,6 +165,42 @@ def test_chat_assemble_conserves_turns(spark):
     assert res.filter(F.col("dialog_len") <= 0).count() == 0
 
 
+def test_rollup_incremental_merge_equals_full(spark):
+    # merge(state(base), state(delta)) must equal the rollup computed in
+    # one pass over everything — the algebraic property that makes the
+    # operator an incremental-maintenance primitive
+    from logpump_spark.queries.coverage3_q import rollup_incremental
+
+    merged = rollup_incremental(spark, SF_SMALL)
+    ev = load(spark, SF_SMALL, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    full = (
+        ev.groupBy("event_type", F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(qv).cast("double") / 10000).alias("sum_value"),
+            (F.min(qv).cast("double") / 10000).alias("min_value"),
+            (F.max(qv).cast("double") / 10000).alias("max_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+    assert merged.collect() == full.collect()
+
+
+def test_cond_suite_single_aggregation(spark):
+    # all four conditional aggregates must ride ONE grouped pass — one
+    # hash exchange, no per-condition rescan
+    from logpump_spark.queries.coverage3_q import agg_cond_suite
+
+    df = agg_cond_suite(spark, SF_SMALL)
+    df.collect()
+    # AQE's toString echoes the pre-adaptive plan too — count only the
+    # final plan section
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_pref_pairs_margin_nonnegative_and_distinct(spark):
     rows = pref_pairs(spark, SF_SMALL).collect()
     assert rows
