@@ -125,6 +125,9 @@ HEADLINE = [
     "pref_pairs",
     "rollup_incremental",
     "agg_cond_suite",
+    "graph_triangles",
+    "text_pmi_pairs",
+    "sketch_kmv_overlap",
 ]
 
 

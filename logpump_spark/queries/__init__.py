@@ -24,6 +24,7 @@ from . import (
     functions3_q,
     functions_q,
     llm_q,
+    mining_q,
     parse_q,
     pq_q,
     quality_q,
@@ -61,6 +62,7 @@ _MODULES = (
     sketch_q,  # r4 tail: count-min heavy hitters
     tpch_q,  # r5: TPC-H Q3/Q5/Q6/Q10/Q18 classic shapes
     coverage3_q,  # r5: HLL sketch, argMax, pivot, IP suite, chat/pref assembly
+    mining_q,  # r5: triangles, PMI collocations, KMV overlap sketch
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50

@@ -165,6 +165,65 @@ def test_chat_assemble_conserves_turns(spark):
     assert res.filter(F.col("dialog_len") <= 0).count() == 0
 
 
+def test_triangles_match_bruteforce(spark):
+    # the degree-oriented count must equal the naive triple-join count
+    # (orientation changes the plan, never the result)
+    from logpump_spark.queries.mining_q import _TRI_HI, _TRI_LO, graph_triangles
+    from logpump_spark.llmdata.dedup import ordered_pair_structs
+
+    row = graph_triangles(spark, SF_SMALL).first()
+    li = load(spark, SF_SMALL, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_TRI_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_TRI_HI).cast("timestamp"))
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    pair_structs = ordered_pair_structs(
+        F.col("ss"), lambda a, b: F.struct(a.alias("sa"), b.alias("sb"))
+    )
+    e = (
+        ps.groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.sa", "p.sb")
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    brute = (
+        e1.join(e2, (F.col("e2.sa") == F.col("e1.sa")) & (F.col("e2.sb") > F.col("e1.sb")))
+        .join(e3, (F.col("e3.sa") == F.col("e1.sb")) & (F.col("e3.sb") == F.col("e2.sb")))
+        .count()
+    )
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == e.count()
+
+
+def test_kmv_estimates_track_exact(spark):
+    # where the sample saw overlap, the theta estimate should be in the
+    # right order of magnitude of the exact overlap; union estimate >=
+    # intersection estimate always
+    from logpump_spark.queries.mining_q import sketch_kmv_overlap
+
+    rows = sketch_kmv_overlap(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["est_union"] >= r["est_intersection"]
+        assert r["n_common_sample"] >= 0
+        if r["exact_common"] == 0:
+            assert r["n_common_sample"] == 0  # no false sample overlap
+
+
+def test_pmi_counts_consistent(spark):
+    # a bigram cannot occur more often than either of its words
+    from logpump_spark.queries.mining_q import text_pmi_pairs
+
+    rows = text_pmi_pairs(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["c12"] <= r["c1"] and r["c12"] <= r["c2"]
+        assert r["lift"] > 0
+
+
 def test_rollup_incremental_merge_equals_full(spark):
     # merge(state(base), state(delta)) must equal the rollup computed in
     # one pass over everything — the algebraic property that makes the
