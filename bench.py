@@ -128,6 +128,8 @@ HEADLINE = [
     "graph_triangles",
     "text_pmi_pairs",
     "sketch_kmv_overlap",
+    "cdc_scd2",
+    "attribution_last_touch",
 ]
 
 

@@ -128,3 +128,114 @@ FROM x WHERE rk <= 2 ORDER BY day, rk
 
 SPARK_QUERIES["trending_topk"] = trending_topk
 ORACLE_SQL["trending_topk"] = _TRENDING_SQL
+
+
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history build (the warehouse-dimension twin of
+    `cdc_latest_wins`): each user's event_type stream collapses to
+    validity intervals — consecutive identical values merge into one
+    interval, valid_to = next CHANGE's timestamp, the open interval is
+    current.  Both window passes (change detection via lag, interval
+    close via lead) ride ONE user_id shuffle; (ts, event_id) ordering
+    makes duplicate timestamps deterministic."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    base = ev.select("user_id", "event_type", us.alias("us"), "event_id")
+    changes = (
+        base.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("us").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            F.col("us").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+_SCD2_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+changes AS (
+  SELECT user_id, event_type, us, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM base
+),
+kept AS (
+  SELECT user_id, event_type, us, event_id FROM changes
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       event_type AS status,
+       us AS valid_from,
+       LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+       (LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL) AS is_current
+FROM kept
+ORDER BY user_id, valid_from
+"""
+
+SPARK_QUERIES["cdc_scd2"] = cdc_scd2
+ORACLE_SQL["cdc_scd2"] = _SCD2_SQL
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every purchase is credited to
+    the user's most recent PRECEDING non-purchase event (type + µs
+    timestamp).  `last(..., ignorenulls)` over a running frame rides the
+    same user_id shuffle as the event ordering — one pass, no self-join
+    of the event log against itself."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select("user_id", "event_type", us.alias("us"), "event_id")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_us = F.when(F.col("event_type") != "purchase", F.col("us"))
+    return (
+        base.withColumn("touch_type", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("touch_us", F.last(touch_us, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("us").alias("purchase_us"),
+            "touch_type",
+            "touch_us",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+_ATTRIB_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+attributed AS (
+  SELECT user_id, event_type, us, event_id,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+  FROM base
+)
+SELECT event_id AS purchase_id, user_id, us AS purchase_us, touch_type, touch_us
+FROM attributed
+WHERE event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+SPARK_QUERIES["attribution_last_touch"] = attribution_last_touch
+ORACLE_SQL["attribution_last_touch"] = _ATTRIB_SQL

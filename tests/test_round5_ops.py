@@ -260,6 +260,38 @@ def test_cond_suite_single_aggregation(spark):
     assert plan.count("FileScan parquet") == 1
 
 
+def test_scd2_intervals_tile_and_single_shuffle(spark):
+    # intervals per user must be contiguous-by-construction (valid_to of
+    # row i == valid_from of row i+1), exactly one interval open, and no
+    # zero-length or same-status-adjacent intervals; both window passes
+    # must reuse ONE user_id exchange
+    from logpump_spark.queries.analytics_q import cdc_scd2
+
+    df = cdc_scd2(spark, SF_SMALL)
+    rows = df.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for ivs in by_user.values():
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["status"] != b["status"]
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_attribution_credits_preceding_event(spark):
+    from logpump_spark.queries.analytics_q import attribution_last_touch
+
+    rows = attribution_last_touch(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["touch_type"] != "purchase"
+        if r["touch_us"] is not None:
+            assert r["touch_us"] <= r["purchase_us"]
+
+
 def test_pref_pairs_margin_nonnegative_and_distinct(spark):
     rows = pref_pairs(spark, SF_SMALL).collect()
     assert rows
