@@ -130,6 +130,8 @@ HEADLINE = [
     "sketch_kmv_overlap",
     "cdc_scd2",
     "attribution_last_touch",
+    "dedup_bloom_probe",
+    "agg_quantile_weighted",
 ]
 
 

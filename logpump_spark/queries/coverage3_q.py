@@ -537,6 +537,83 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------
+# agg_quantile_weighted — exact weighted quantiles
+# --------------------------------------------------------------------
+
+
+def agg_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted`` analog: per event type, the
+    lower weighted median and weighted p90 over quantized values with
+    integer weights (user_id mod 5 + 1 — any integer weight column
+    plugs in).  The selected value is the smallest qv whose running
+    weight reaches the target — pure integer comparisons (cum*2 >=
+    total for p50, cum*10 >= 9*total for p90), so the pick is
+    engine-exact with no interpolation arithmetic.  One group shuffle
+    feeds the per-group total (broadcast back), the cumulative window,
+    and the conditional-min fold."""
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    w_int = (F.col("user_id") % 5 + 1).cast("long")
+    base = ev.select("event_type", qv.alias("qv"), w_int.alias("w"), "event_id")
+    tot = base.groupBy("event_type").agg(F.sum("w").alias("tw"))
+    from pyspark.sql import Window as W
+
+    cum_w = (
+        W.partitionBy("event_type")
+        .orderBy("qv", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = (
+        base.join(F.broadcast(tot), "event_type")
+        .withColumn("cw", F.sum("w").over(cum_w))
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            (
+                F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("qv"))).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("wmedian"),
+            (
+                F.min(F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("qv"))).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("wp90"),
+            F.max("tw").alias("total_weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WQUANT_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS qv,
+         CAST(user_id % 5 + 1 AS BIGINT) AS w,
+         event_id
+  FROM events
+),
+tot AS (SELECT event_type, SUM(w) AS tw FROM base GROUP BY 1),
+flagged AS (
+  SELECT b.event_type, b.qv, t.tw,
+         SUM(b.w) OVER (PARTITION BY b.event_type ORDER BY b.qv, b.event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM base b JOIN tot t ON t.event_type = b.event_type
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN cw * 2 >= tw THEN qv END) AS DOUBLE) / 10000 AS wmedian,
+       CAST(MIN(CASE WHEN cw * 10 >= tw * 9 THEN qv END) AS DOUBLE) / 10000 AS wp90,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
     "agg_hll_distinct": agg_hll_distinct,
     "agg_argmax": agg_argmax,
@@ -546,6 +623,7 @@ SPARK_QUERIES = {
     "pref_pairs": pref_pairs,
     "rollup_incremental": rollup_incremental,
     "agg_cond_suite": agg_cond_suite,
+    "agg_quantile_weighted": agg_quantile_weighted,
 }
 
 ORACLE_SQL = {
@@ -557,4 +635,5 @@ ORACLE_SQL = {
     "pref_pairs": _PREF_SQL,
     "rollup_incremental": _ROLLUP_INC_SQL,
     "agg_cond_suite": _COND_SQL,
+    "agg_quantile_weighted": _WQUANT_SQL,
 }

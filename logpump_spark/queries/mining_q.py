@@ -358,3 +358,124 @@ ORACLE_SQL = {
     "text_pmi_pairs": _PMI_SQL,
     "sketch_kmv_overlap": _KMV_SQL,
 }
+
+
+# --------------------------------------------------------------------
+# dedup_bloom_probe — replayable Bloom-filter membership dedup
+# --------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 4  # hash functions (the _MH_PARAMS affine family)
+
+
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter cross-corpus dedup probe (the classic membership
+    sketch, completing the sketch family next to CMS/HLL/KMV): src0's
+    document contents build a 4096-bit filter (k=4 md5-affine hash
+    positions — the same oracle-replayable family as the count-min
+    sketch); every other source probes it.  Per source the report
+    carries bloom hits AND exact content matches, so the false-positive
+    rate is part of the checked result.
+
+    Scale shape: the filter is a bounded distinct-position set
+    (<= m rows) built in one aggregation and BROADCAST; the probe is
+    one corpus scan + k-way explode + broadcast semi-join — the shape
+    that lets a 100 TB corpus skip re-shuffling against a reference
+    corpus it almost never matches."""
+    from ..llmdata.dedup import _MH_P, _MH_PARAMS
+
+    docs = load(spark, sf_dir, "documents")
+    h = md5_hash60(F.col("text")) % _MH_P
+    positions = F.array(
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P % _BLOOM_M)
+            for a, b in _MH_PARAMS[:_BLOOM_K]
+        ]
+    )
+    build = (
+        docs.filter(F.col("source") == "src0")
+        .select(h.alias("h"))
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "source", h.alias("h"))
+        .select("doc_id", "source", "h", F.explode(positions).alias("pos"))
+    )
+    hits = (
+        probe.join(F.broadcast(build), "pos")
+        .groupBy("doc_id", "source", "h")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+        .withColumn("bloom_hit", F.col("n_pos") == _BLOOM_K)
+    )
+    exact = (
+        docs.filter(F.col("source") == "src0")
+        .select(h.alias("h"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    per_doc = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "source", h.alias("h"))
+        .join(hits.select("doc_id", "bloom_hit"), "doc_id", "left")
+        .join(F.broadcast(exact), "h", "left")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("bloom_hit"), F.lit(False)).cast("long")).alias(
+                "n_bloom_hits"
+            ),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(False)).cast("long")).alias(
+                "n_true_dups"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_BLOOM_MD5 = "(CAST(concat('0x', substr(md5(text), 2, 15)) AS BIGINT) % 4294967311)"
+
+
+def _bloom_sql() -> str:
+    from ..llmdata.dedup import _MH_P, _MH_PARAMS
+
+    pos_terms = ", ".join(
+        f"((({a} * h + {b}) % {_MH_P}) % {_BLOOM_M})"
+        for a, b in _MH_PARAMS[:_BLOOM_K]
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, source, {_BLOOM_MD5} AS h FROM documents
+),
+build AS (
+  SELECT DISTINCT pos
+  FROM (SELECT UNNEST([{pos_terms}]) AS pos FROM hashed WHERE source = 'src0')
+),
+probe AS (
+  SELECT doc_id, source, h, UNNEST([{pos_terms}]) AS pos
+  FROM hashed WHERE source <> 'src0'
+),
+hits AS (
+  SELECT p.doc_id, COUNT(*) AS n_pos
+  FROM probe p JOIN build b ON b.pos = p.pos
+  GROUP BY 1
+),
+exact AS (SELECT DISTINCT h FROM hashed WHERE source = 'src0')
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(hits.n_pos, 0) = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(CASE WHEN exact.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups
+FROM hashed d
+LEFT JOIN hits ON hits.doc_id = d.doc_id
+LEFT JOIN exact ON exact.h = d.h
+WHERE d.source <> 'src0'
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+SPARK_QUERIES["dedup_bloom_probe"] = dedup_bloom_probe
+ORACLE_SQL["dedup_bloom_probe"] = _bloom_sql()

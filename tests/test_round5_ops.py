@@ -213,6 +213,18 @@ def test_kmv_estimates_track_exact(spark):
             assert r["n_common_sample"] == 0  # no false sample overlap
 
 
+def test_bloom_no_false_negatives(spark):
+    # the Bloom invariant: every true duplicate MUST be a bloom hit
+    # (false positives allowed, false negatives never)
+    from logpump_spark.queries.mining_q import dedup_bloom_probe
+
+    rows = dedup_bloom_probe(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bloom_hits"] >= r["n_true_dups"]
+        assert r["n_bloom_hits"] <= r["n_docs"]
+
+
 def test_pmi_counts_consistent(spark):
     # a bigram cannot occur more often than either of its words
     from logpump_spark.queries.mining_q import text_pmi_pairs
