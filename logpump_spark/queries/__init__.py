@@ -81,12 +81,14 @@ _MODULES = (
 # rotate back in round 6 if r04 artifacts never materialize.
 #
 # Round-6 rotation candidates (local-parity green, never driver-
-# verified): the 13 round-5 additions (tpch_q3_shipping,
+# verified): the 20 round-5 additions (tpch_q3_shipping,
 # tpch_q5_nation_volume, tpch_q6_revenue_delta, tpch_q10_returns,
 # tpch_q18_big_orders, agg_hll_distinct, agg_argmax, pivot_wide,
 # fn_ip_suite, chat_assemble, pref_pairs, rollup_incremental,
-# agg_cond_suite) plus whatever the r05 CORRECTNESS artifact shows as
-# still unverified from the r4 window.
+# agg_cond_suite, graph_triangles, text_pmi_pairs, sketch_kmv_overlap,
+# cdc_scd2, attribution_last_touch, dedup_bloom_probe,
+# agg_quantile_weighted) plus whatever the r05 CORRECTNESS artifact
+# shows as still unverified from the r4 window.
 _WINDOW_PRIORITY = [
     # scans / sources
     "scan_csv", "scan_jsonl", "scan_orc",

@@ -38,6 +38,11 @@ PROBES = [
     "text_repetition",        # documents bigram explode + two-level agg
     "corpus_vocab",           # documents explode + top-k
     "sim_topk",               # embeddings broadcast-query corpus scan
+    # r5 probes
+    "agg_hll_distinct",       # events scan; register shuffle stays 512/group
+    "text_pmi_pairs",         # documents bigram explode + vocab-bounded joins
+    "sketch_kmv_overlap",     # documents scan; per-source K-sample bounded
+    "cdc_scd2",               # events per-user window (group sizes constant)
 ]
 
 _OFFSETS = {
