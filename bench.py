@@ -132,6 +132,8 @@ HEADLINE = [
     "attribution_last_touch",
     "dedup_bloom_probe",
     "agg_quantile_weighted",
+    "agg_hll_sliding",
+    "join_scd2_pointintime",
 ]
 
 

