@@ -134,6 +134,10 @@ HEADLINE = [
     "agg_quantile_weighted",
     "agg_hll_sliding",
     "join_scd2_pointintime",
+    "tpch_q4_priority",
+    "tpch_q14_promo",
+    "tpch_q17_small_qty",
+    "tpch_q22_global_sales",
 ]
 
 

@@ -1,13 +1,14 @@
 """TPC-H classic query shapes over the driver's TPC-H-ish star schema.
 
 The reference delegates its whole analytical surface to ClickHouse
-(SURVEY.md §2.F); these five queries are the canonical multi-join /
-selective-filter / top-k shapes a warehouse user actually runs, adapted
-to the columns the synthetic tables carry (no l_commitdate /
-o_shippriority / c_address — see TESTDATA.md).  Together with
-q1_pricing_summary (relational_q.py) they cover TPC-H Q1/Q3/Q5/Q6/Q10/
-Q18 — the standard evidence that the join planner, broadcast selection,
-and partial aggregation hold up.
+(SURVEY.md §2.F); these queries are the canonical multi-join /
+selective-filter / top-k / subquery shapes a warehouse user actually
+runs, adapted to the columns the synthetic tables carry (no
+l_commitdate / o_shippriority / c_address — see TESTDATA.md).  Together
+with q1_pricing_summary (relational_q.py) they cover TPC-H
+Q1/Q3/Q4/Q5/Q6/Q10/Q14/Q17/Q18/Q22 — join planning, broadcast
+selection, partial aggregation, EXISTS decorrelation, conditional
+aggregation, correlated-scalar-average rewrite, and anti joins.
 
 Scale notes (100 TB):
 - Dimension sides (region, nation, supplier, the filtered customer
@@ -256,3 +257,200 @@ ORACLE_SQL = {
     "tpch_q10_returns": _Q10_SQL,
     "tpch_q18_big_orders": _Q18_SQL,
 }
+
+
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), EXISTS form: count orders per
+    priority that have at least one line shipped after the order date.
+    Written as a correlated EXISTS subquery in SQL so Catalyst's
+    rewrite-to-left-semi decorrelation is the surface under test — at
+    scale the semi join shuffles each side once on the order key and
+    never multiplies rows."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    orders.createOrReplaceTempView("t_orders")
+    li.createOrReplaceTempView("t_lineitem")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM t_orders
+        WHERE o_orderdate >= TIMESTAMP '{_Q5_LO}'
+          AND o_orderdate < TIMESTAMP '{_Q5_HI}'
+          AND EXISTS (
+            SELECT 1 FROM t_lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO revenue share of one month,
+    via conditional aggregation over the part join — part broadcasts;
+    the ratio is one division of identical quantized operands."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = quant(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines under 50% of
+    their part's average quantity.  The correlated scalar subquery
+    decorrelates to one aggregate over lineitem re-joined on partkey —
+    expressed directly in that decorrelated DataFrame shape (the plan
+    Catalyst would produce), since the avg side is a partial-aggregated
+    shuffle, not a per-row subquery loop.  Integer-exact threshold:
+    qty*10 < 5*avg_scaled with avg as an exact integer ratio
+    (2*sum < n*qty flips to sum*10 > ... kept multiplicative)."""
+    li = load(spark, sf_dir, "lineitem")
+    qq = F.floor(F.col("l_quantity") * 10000).cast("long")
+    avg_side = (
+        li.select("l_partkey", qq.alias("qq"))
+        .groupBy("l_partkey")
+        .agg(F.sum("qq").alias("sq"), F.count(F.lit(1)).alias("nq"))
+        .select(F.col("l_partkey").alias("p_key"), "sq", "nq")
+    )
+    rev = quant(F.col("l_extendedprice"))
+    return (
+        li.select("l_partkey", qq.alias("qq"), rev.alias("rev"))
+        .join(avg_side, F.col("l_partkey") == F.col("p_key"))
+        # qty < 0.5 * avg  <=>  qq * 2 * nq < sq  (all exact int64)
+        .filter(F.col("qq") * 2 * F.col("nq") < F.col("sq"))
+        .agg(
+            (F.sum("rev").cast("double") / F.lit(10000.0 * 7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): positive-balance customers
+    above the average positive balance with NO recent orders
+    (none since 1999) — scalar subquery (one broadcast 1-row aggregate)
+    + anti join, grouped by a
+    derived segment (custkey mod 7 stands in for the missing phone
+    country code)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    qbal = F.floor(F.col("c_acctbal") * 100).cast("long")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(qbal).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    rich = (
+        cust.select("c_custkey", qbal.alias("qb"))
+        .crossJoin(F.broadcast(avg_pos))
+        # bal > avg  <=>  qb * n > s  (exact int64)
+        .filter(F.col("qb") * F.col("n") > F.col("s"))
+    )
+    recent = orders.filter(F.col("o_orderdate") >= _ts("1999-01-01"))
+    no_orders = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.groupBy((F.col("c_custkey") % 7).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("qb").cast("double") / 100).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q5_LO}'
+  AND o_orderdate < TIMESTAMP '{_Q5_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_Q14_SQL = f"""
+SELECT
+  round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN {sql_quant('l_extendedprice * (1 - l_discount)')}
+                   ELSE 0 END) AS DOUBLE)
+        / CAST(SUM({sql_quant('l_extendedprice * (1 - l_discount)')}) AS DOUBLE),
+        6) AS promo_revenue_pct,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+_Q17_SQL = """
+WITH q AS (
+  SELECT l_partkey, CAST(FLOOR(l_quantity * 10000) AS BIGINT) AS qq,
+         CAST(FLOOR(l_extendedprice * 10000) AS BIGINT) AS rev
+  FROM lineitem
+),
+avg_side AS (
+  SELECT l_partkey AS p_key, SUM(qq) AS sq, COUNT(*) AS nq
+  FROM q GROUP BY 1
+)
+SELECT CAST(SUM(q.rev) AS DOUBLE) / (10000.0 * 7.0) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM q JOIN avg_side ON q.l_partkey = avg_side.p_key
+WHERE q.qq * 2 * avg_side.nq < avg_side.sq
+"""
+
+_Q22_SQL = """
+WITH qc AS (
+  SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS qb, c_acctbal
+  FROM customer
+),
+avg_pos AS (
+  SELECT SUM(qb) AS s, COUNT(*) AS n FROM qc WHERE c_acctbal > 0.0
+)
+SELECT c_custkey % 7 AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(qb) AS DOUBLE) / 100 AS totacctbal
+FROM qc CROSS JOIN avg_pos
+WHERE qb * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1
+ORDER BY 1
+"""
+
+SPARK_QUERIES.update(
+    {
+        "tpch_q4_priority": tpch_q4_priority,
+        "tpch_q14_promo": tpch_q14_promo,
+        "tpch_q17_small_qty": tpch_q17_small_qty,
+        "tpch_q22_global_sales": tpch_q22_global_sales,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "tpch_q4_priority": _Q4_SQL,
+        "tpch_q14_promo": _Q14_SQL,
+        "tpch_q17_small_qty": _Q17_SQL,
+        "tpch_q22_global_sales": _Q22_SQL,
+    }
+)

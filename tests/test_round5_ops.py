@@ -61,6 +61,27 @@ def test_q6_pushes_filters_and_prunes(spark):
     assert "l_returnflag" not in read_schema  # pruned
 
 
+def test_q4_exists_becomes_semi_join(spark):
+    # Catalyst must decorrelate the EXISTS into a left semi join — never
+    # a per-row subquery loop
+    from logpump_spark.queries.tpch_q import tpch_q4_priority
+
+    df = tpch_q4_priority(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    from logpump_spark.queries.tpch_q import tpch_q22_global_sales
+
+    df = tpch_q22_global_sales(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan  # the 1-row average side
+
+
 def test_q18_takeordered(spark):
     df = tpch_q18_big_orders(spark, SF_SMALL)
     df.collect()
