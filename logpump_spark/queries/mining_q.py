@@ -57,6 +57,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.sa", "p.sb")
         .distinct()
     )
+    return triangle_stats(edges)
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle/edge/node stats over a DISTINCT
+    undirected edge set (columns sa < sb).  Reusable core of
+    `graph_triangles`; property tests drive it with random graphs."""
     deg = (
         edges.select(F.col("sa").alias("v"))
         .unionAll(edges.select(F.col("sb").alias("v")))
@@ -212,9 +219,15 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive recomputation the sketch exists to avoid."""
     docs = load(spark, sf_dir, "documents")
     hs = docs.select("source", md5_hash60(F.col("text")).alias("h")).distinct()
+    return kmv_pair_overlap(hs, _KMV_K)
+
+
+def kmv_pair_overlap(hs: DataFrame, k: int) -> DataFrame:
+    """KMV pair-overlap core over DISTINCT (source, h) hash rows.
+    Reusable by property tests with synthetic hash sets."""
     w = W.partitionBy("source").orderBy("h")
     sample = hs.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= _KMV_K
+        F.col("rk") <= k
     )
     theta = sample.groupBy("source").agg(
         F.max("h").alias("theta"), F.count(F.lit(1)).alias("k_used")
