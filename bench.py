@@ -138,6 +138,8 @@ HEADLINE = [
     "tpch_q14_promo",
     "tpch_q17_small_qty",
     "tpch_q22_global_sales",
+    "timeseries_mad",
+    "timeseries_islands",
 ]
 
 

@@ -274,3 +274,156 @@ GROUP BY event_type ORDER BY event_type
 
 SPARK_QUERIES["timeseries_gaps"] = timeseries_gaps
 ORACLE_SQL["timeseries_gaps"] = _TS_GAPS_SQL
+
+
+def timeseries_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (MAD-based) outlier counting per event type — the
+    median-of-absolute-deviations twin of `timeseries_anomaly`'s
+    z-score (robust to the heavy tails that wreck mean/std gates).
+    Both medians are LOWER medians picked by rank over (value, id) —
+    pure integer comparisons, no interpolation — and the outlier gate
+    |x - med| > 3 * MAD is exact int64 arithmetic.
+
+    Scale shape: two window passes and one broadcast join, all on the
+    event_type partitioning; no per-group sort escapes its partition."""
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    base = ev.select("event_type", qv.alias("qv"), "event_id")
+    w1 = W.partitionBy("event_type").orderBy("qv", "event_id")
+    n1 = W.partitionBy("event_type")
+    med = (
+        base.withColumn("rk", F.row_number().over(w1))
+        .withColumn("n", F.count(F.lit(1)).over(n1))
+        .filter(F.col("rk") * 2 == F.col("n") + (F.col("n") % 2))
+        .select("event_type", F.col("qv").alias("med"))
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "qv",
+        "event_id",
+        F.abs(F.col("qv") - F.col("med")).alias("ad"),
+        "med",
+    )
+    w2 = W.partitionBy("event_type").orderBy("ad", "event_id")
+    mad = (
+        dev.withColumn("rk", F.row_number().over(w2))
+        .withColumn("n", F.count(F.lit(1)).over(n1))
+        .filter(F.col("rk") * 2 == F.col("n") + (F.col("n") % 2))
+        .select("event_type", F.col("ad").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.max("med").cast("double") / 10000).alias("median_value"),
+            (F.max("mad").cast("double") / 10000).alias("mad_value"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TS_MAD_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS qv, event_id
+  FROM events
+),
+med AS (
+  SELECT event_type, qv AS med FROM (
+    SELECT event_type, qv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv, event_id) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM base
+  ) WHERE rk * 2 = n + (n % 2)
+),
+dev AS (
+  SELECT b.event_type, b.qv, b.event_id, ABS(b.qv - m.med) AS ad, m.med
+  FROM base b JOIN med m ON m.event_type = b.event_type
+),
+mad AS (
+  SELECT event_type, ad AS mad FROM (
+    SELECT event_type, ad,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, event_id) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  ) WHERE rk * 2 = n + (n % 2)
+)
+SELECT d.event_type,
+       CAST(MAX(d.med) AS DOUBLE) / 10000 AS median_value,
+       CAST(MAX(x.mad) AS DOUBLE) / 10000 AS mad_value,
+       CAST(SUM(CASE WHEN d.ad > 3 * x.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_events
+FROM dev d JOIN mad x ON x.event_type = d.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+SPARK_QUERIES["timeseries_mad"] = timeseries_mad
+ORACLE_SQL["timeseries_mad"] = _TS_MAD_SQL
+
+
+def timeseries_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CALENDAR-consecutive active
+    days per user (the classic date - row_number() grouping trick — the
+    group key is constant exactly while days are consecutive).  Differs
+    from sessionize_events (time-gap sessions): islands are calendar
+    runs over the distinct-day series.  Per-user top run lengths feed
+    streak/retention reports.  One user shuffle carries the distinct,
+    the window, and the island aggregation."""
+    ev = load(spark, sf_dir, "events")
+    epoch_day = (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(
+        86_400_000_000
+    )).cast("long")
+    days = ev.select("user_id", epoch_day.alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn("grp", F.col("d") - F.row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("start_day"),
+            F.max("d").alias("end_day"),
+            F.count(F.lit(1)).alias("len_days"),
+        )
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("len_days").alias("longest_streak"),
+            F.min("start_day").alias("first_day"),
+            F.max("end_day").alias("last_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_TS_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp,
+         d
+  FROM days
+),
+agg AS (
+  SELECT user_id, grp, MIN(d) AS start_day, MAX(d) AS end_day, COUNT(*) AS len_days
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       MAX(len_days) AS longest_streak,
+       MIN(start_day) AS first_day,
+       MAX(end_day) AS last_day
+FROM agg
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+SPARK_QUERIES["timeseries_islands"] = timeseries_islands
+ORACLE_SQL["timeseries_islands"] = _TS_ISLANDS_SQL
