@@ -140,6 +140,7 @@ HEADLINE = [
     "tpch_q22_global_sales",
     "timeseries_mad",
     "timeseries_islands",
+    "multimodal_phash",
 ]
 
 

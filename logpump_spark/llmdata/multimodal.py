@@ -382,3 +382,55 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
         n.alias("n_bytes"),
         F.posexplode(offsets).alias("frame_no", "byte_offset"),
     )
+
+
+PHASH_SCHEMA = "media_id long, src_width int, src_height int, dhash long"
+
+
+def dhash_features(media: DataFrame, hash_w: int = 8, hash_h: int = 7) -> DataFrame:
+    """Difference-hash (dHash) over REAL decoded pixels — the standard
+    perceptual image fingerprint for near-duplicate image dedup: resize
+    channel 0 to (hash_w+1) x hash_h with the same nearest-neighbor
+    floor map as ``resize_image_features``, then bit (y*hash_w + x) = 1
+    iff g[y][x] < g[y][x+1].  8x7 = 56 bits keeps the hash a
+    nonnegative int64.  Visually-similar images (crops/resizes of the
+    same content) collide; a downstream groupBy on dhash (or a banded
+    hamming join, same shape as SimHash bands in dedup.py) yields the
+    duplicate clusters.
+
+    Channel 0 stands in for luma: the oracle replays it exactly, and
+    for the grayscale mode it IS the luma.  Arrow batches through
+    mapInPandas, numpy comparisons per payload, no shuffle introduced."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        tw, th = hash_w + 1, hash_h
+
+        def dhash(p: bytes) -> tuple[int, int, int]:
+            d = decode_png(p)
+            w, h = d["width"], d["height"]
+            nch = len(d["pixels"]) // (w * h)
+            arr = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, nch)
+            sx = (np.arange(tw) * w) // tw
+            sy = (np.arange(th) * h) // th
+            g = arr[sy][:, sx, 0].astype(np.int64)
+            bits = (g[:, :-1] < g[:, 1:]).astype(np.int64)  # (th, hash_w)
+            weights = np.int64(1) << (
+                np.arange(th)[:, None] * hash_w + np.arange(hash_w)[None, :]
+            )
+            return (w, h, int((bits * weights).sum()))
+
+        for pdf in it:
+            out = [dhash(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": [o[0] for o in out],
+                    "src_height": [o[1] for o in out],
+                    "dhash": [o[2] for o in out],
+                }
+            )
+
+    return media.mapInPandas(_batches, PHASH_SCHEMA)

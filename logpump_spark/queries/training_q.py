@@ -11,7 +11,7 @@ generate_series replay of the nearest-neighbor pixel map (resize).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..llmdata.curation import _SAMPLE_MOD, _SAMPLE_MULT
@@ -446,3 +446,63 @@ GROUP BY 1, 2 ORDER BY split_a, split_b
 
 SPARK_QUERIES["split_leakage_check"] = split_leakage_check
 ORACLE_SQL["split_leakage_check"] = _SPLIT_LEAKAGE_SQL
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) image dedup over real encoded-then-
+    decoded PNGs: every image gets a 56-bit difference hash from its
+    decoded pixels; identical-looking images (here: same formula
+    pixels, i.e. same (w, h)) share a hash, and the per-hash group size
+    is the duplicate-cluster report.  The oracle replays the resize map
+    and the bit comparisons arithmetically, so a hash match proves the
+    fingerprint came from genuine decode -> resize -> compare."""
+    from ..llmdata.multimodal import dhash_features, synthesize_png_media
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (1 + F.col("doc_id") % 17).alias("w"),
+        (1 + (F.col("doc_id") * 7) % 13).alias("h"),
+        F.when(F.col("doc_id") % 3 == 0, "RGB")
+        .when(F.col("doc_id") % 3 == 1, "L")
+        .otherwise("RGBA")
+        .alias("m"),
+    )
+    media = synthesize_png_media(docs, "doc_id", "w", "h", "m", "source")
+    hashed = dhash_features(media)
+    w_dup = W.partitionBy("dhash")
+    return (
+        hashed.withColumn("n_same_hash", F.count(F.lit(1)).over(w_dup))
+        .select("media_id", "src_width", "src_height", "dhash", "n_same_hash")
+        .orderBy("media_id")
+    )
+
+
+# pixel(x, y, c=0) = (x*7 + y*13) % 256; resize maps target (x, y) to
+# source (x*w // 9, y*h // 7); bit(y*8+x) = g(x,y) < g(x+1,y)
+_PHASH_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CAST(1 + doc_id % 17 AS INT) AS w,
+         CAST(1 + (doc_id * 7) % 13 AS INT) AS h
+  FROM documents
+),
+bits AS (
+  SELECT media_id, w, h,
+         CASE WHEN ((x.i * w // 9) * 7 + (y.i * h // 7) * 13) % 256
+                 < (((x.i + 1) * w // 9) * 7 + (y.i * h // 7) * 13) % 256
+              THEN (CAST(1 AS BIGINT) << (y.i * 8 + x.i)) ELSE 0 END AS b
+  FROM dims, range(0, 8) x(i), range(0, 7) y(i)
+),
+hashed AS (
+  SELECT media_id, w, h, SUM(b) AS dhash FROM bits GROUP BY 1, 2, 3
+)
+SELECT media_id, w AS src_width, h AS src_height,
+       CAST(dhash AS BIGINT) AS dhash,
+       COUNT(*) OVER (PARTITION BY dhash) AS n_same_hash
+FROM hashed
+ORDER BY media_id
+"""
+
+SPARK_QUERIES["multimodal_phash"] = multimodal_phash
+ORACLE_SQL["multimodal_phash"] = _PHASH_SQL

@@ -264,6 +264,25 @@ def test_pit_join_conserves_purchases(spark):
     assert all(r["status"] != "purchase" for r in rows)
 
 
+def test_phash_identical_content_collides(spark):
+    # images with identical source dimensions carry identical formula
+    # pixels, so their dHashes MUST collide; the reported cluster size
+    # must equal the actual per-hash group count
+    from logpump_spark.queries.training_q import multimodal_phash
+
+    rows = multimodal_phash(spark, SF_SMALL).collect()
+    assert rows
+    by_dims: dict[tuple, set] = {}
+    by_hash: dict[int, int] = {}
+    for r in rows:
+        by_dims.setdefault((r["src_width"], r["src_height"]), set()).add(r["dhash"])
+        by_hash[r["dhash"]] = by_hash.get(r["dhash"], 0) + 1
+    for dims, hashes in by_dims.items():
+        assert len(hashes) == 1, f"same-content images diverged: {dims}"
+    for r in rows:
+        assert r["n_same_hash"] == by_hash[r["dhash"]]
+
+
 def test_bloom_no_false_negatives(spark):
     # the Bloom invariant: every true duplicate MUST be a bloom hit
     # (false positives allowed, false negatives never)
