@@ -141,6 +141,7 @@ HEADLINE = [
     "timeseries_mad",
     "timeseries_islands",
     "multimodal_phash",
+    "multimodal_audio_fp",
 ]
 
 

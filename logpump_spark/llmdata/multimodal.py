@@ -434,3 +434,47 @@ def dhash_features(media: DataFrame, hash_w: int = 8, hash_h: int = 7) -> DataFr
             )
 
     return media.mapInPandas(_batches, PHASH_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "media_id long, n_samples long, fp long"
+
+_AFP_WINDOWS = 8
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Temporal difference-fingerprint over REAL decoded PCM16 samples —
+    the audio twin of ``dhash_features``: split the waveform into 8
+    equal windows (floor boundaries), window energy = integer sum of
+    |sample|, bit j = energy[j] < energy[j+1] (7 bits).  Robust to
+    uniform gain changes (monotone energy comparisons), which is what
+    an audio near-dup pass needs.  Arrow batches through mapInPandas,
+    numpy per payload, no shuffle introduced."""
+
+    def _batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def fp(p: bytes) -> tuple[int, int]:
+            d = decode_wav(p)
+            s = np.asarray(d["samples"], dtype=np.int64)
+            n = len(s)
+            # sample i -> window (i*8)//n: the direct integer map both
+            # engines express identically (exact for n*8 < 2^53)
+            win = (np.arange(n) * _AFP_WINDOWS) // n
+            e = np.bincount(win, weights=np.abs(s), minlength=_AFP_WINDOWS).astype(
+                np.int64
+            )
+            bits = (e[:-1] < e[1:]).astype(np.int64)
+            return (n, int((bits << np.arange(_AFP_WINDOWS - 1)).sum()))
+
+        for pdf in it:
+            out = [fp(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [o[0] for o in out],
+                    "fp": [o[1] for o in out],
+                }
+            )
+
+    return media.mapInPandas(_batches, AUDIO_FP_SCHEMA)

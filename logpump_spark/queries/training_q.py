@@ -506,3 +506,63 @@ ORDER BY media_id
 
 SPARK_QUERIES["multimodal_phash"] = multimodal_phash
 ORACLE_SQL["multimodal_phash"] = _PHASH_SQL
+
+
+def multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprint over real encoded-then-decoded WAVs:
+    7-bit temporal energy-difference signature per clip + per-signature
+    cluster size.  The oracle re-derives window energies from the known
+    sample formula ((i*257) % 1024 - 512), proving the signature came
+    from genuine PCM decode."""
+    from ..llmdata.multimodal import audio_fingerprint, synthesize_wav_media
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, 16000).otherwise(22050).alias("rate"),
+        (50 + F.col("doc_id") % 100).alias("n"),
+    )
+    media = synthesize_wav_media(docs, "doc_id", "rate", "n", "source")
+    fp = audio_fingerprint(media)
+    w_dup = W.partitionBy("fp")
+    return (
+        fp.withColumn("n_same_fp", F.count(F.lit(1)).over(w_dup))
+        .select("media_id", "n_samples", "fp", "n_same_fp")
+        .orderBy("media_id")
+    )
+
+
+_AUDIO_FP_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id, CAST(50 + doc_id % 100 AS BIGINT) AS n
+  FROM documents
+),
+samples AS (
+  SELECT media_id, n, i.i AS i,
+         ABS((i.i * 257) % 1024 - 512) AS a,
+         (i.i * 8) // n AS win
+  FROM dims, range(0, 150) i(i)
+  WHERE i.i < n
+),
+energies AS (
+  SELECT media_id, n, win, SUM(a) AS e
+  FROM samples GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT media_id, n, win,
+         CASE WHEN e < LEAD(e) OVER (PARTITION BY media_id ORDER BY win)
+              THEN (CAST(1 AS BIGINT) << win) ELSE 0 END AS b
+  FROM energies
+),
+hashed AS (
+  SELECT media_id, n, SUM(CASE WHEN win < 7 THEN b ELSE 0 END) AS fp
+  FROM bits GROUP BY 1, 2
+)
+SELECT media_id, n AS n_samples, CAST(fp AS BIGINT) AS fp,
+       COUNT(*) OVER (PARTITION BY fp) AS n_same_fp
+FROM hashed
+ORDER BY media_id
+"""
+
+SPARK_QUERIES["multimodal_audio_fp"] = multimodal_audio_fp
+ORACLE_SQL["multimodal_audio_fp"] = _AUDIO_FP_SQL
