@@ -142,6 +142,7 @@ HEADLINE = [
     "timeseries_islands",
     "multimodal_phash",
     "multimodal_audio_fp",
+    "agg_hll_native",
 ]
 
 

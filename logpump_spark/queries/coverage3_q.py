@@ -637,3 +637,57 @@ ORACLE_SQL = {
     "agg_cond_suite": _COND_SQL,
     "agg_quantile_weighted": _WQUANT_SQL,
 }
+
+
+def agg_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION HLL path: Spark's JVM-native Datasketches
+    aggregates (hll_sketch_agg / hll_union_agg / hll_sketch_estimate) —
+    the tool an operator actually reaches for at 100 TB, next to the
+    oracle-replayable register twin `agg_hll_distinct`.  DuckDB cannot
+    replay a Datasketches binary, so the CHECKED columns are the exact
+    distinct plus tolerance flags: the direct estimate and the
+    shard-merged estimate (two half-sketches unioned — the mergeability
+    that matters operationally) must both land within 5% of exact
+    (lgk=12 standard error is ~1.6%, so the flag is robustly stable).
+    One grouped pass builds both sketch shapes; per-group state is the
+    sketch (<= 2^12 registers)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select("event_type", "user_id", (F.col("event_id") % 2).alias("half"))
+    direct = base.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias("est"),
+    )
+    halves = base.groupBy("event_type", "half").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    merged = halves.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_m")
+    )
+    tol = lambda est: (
+        F.abs(est - F.col("n_exact").cast("double"))
+        <= F.lit(0.05) * F.col("n_exact").cast("double") + F.lit(2.0)
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            tol(F.col("est")).alias("est_ok"),
+            tol(F.col("est_m")).alias("merged_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HLL_NATIVE_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS est_ok,
+       TRUE AS merged_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["agg_hll_native"] = agg_hll_native
+ORACLE_SQL["agg_hll_native"] = _HLL_NATIVE_SQL
