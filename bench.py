@@ -143,6 +143,7 @@ HEADLINE = [
     "multimodal_phash",
     "multimodal_audio_fp",
     "agg_hll_native",
+    "sample_kcenter",
 ]
 
 
@@ -188,6 +189,7 @@ def main() -> None:
         "sim_ivf_topk",  # k-means fit collects at construction (r4)
         "sim_pq_adc",  # PQ codebook fit collects at construction (r4)
         "embed_quantize_sq8",  # range stats collect at construction (r4)
+        "sample_kcenter",  # k greedy farthest-point rounds at construction (r5)
     }
 
     # The parse plane's generated projection is enormous; HotSpot's C2

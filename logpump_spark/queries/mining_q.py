@@ -711,3 +711,76 @@ ORDER BY status
 
 SPARK_QUERIES["join_scd2_pointintime"] = join_scd2_pointintime
 ORACLE_SQL["join_scd2_pointintime"] = _PIT_SQL
+
+
+# --------------------------------------------------------------------
+# sample_kcenter — farthest-point diverse coreset selection
+# --------------------------------------------------------------------
+
+_KC_K = 4
+
+
+def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse coreset selection by farthest-point traversal (the
+    greedy 2-approximation to k-center): seed = smallest vec_id, then
+    repeatedly take the vector FARTHEST from the selected set (exact
+    integer squared L2 over floor(x*1e6)-quantized components, ties to
+    the smallest id) — the diversity-sampling pass a training pipeline
+    runs to avoid redundant examples.
+
+    Scale shape: k bounded rounds, each ONE distributed max-reduction
+    over a running min-distance column (the same driver-held-selection
+    loop as the k-means fit, `similarity.py fit_ivf` — selected set is
+    k rows on the driver, never the corpus).  The oracle unrolls the
+    identical k rounds as nested CTEs."""
+    from ..llmdata.similarity import quantize, _sqdist
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id"), quantize(F.col("embedding")).alias("v"))
+    q = q.persist()
+    try:
+        first = q.orderBy("vec_id").first()
+        selected = [(1, int(first["vec_id"]), 0)]
+        sel_vecs = [first["v"]]
+        for rank in range(2, _KC_K + 1):
+            dmin = F.least(
+                *[_sqdist(F.col("v"), F.lit(sv).cast("array<long>")) for sv in sel_vecs]
+            ) if len(sel_vecs) > 1 else _sqdist(F.col("v"), F.lit(sel_vecs[0]).cast("array<long>"))
+            far = (
+                q.select("vec_id", "v", dmin.alias("d"))
+                .orderBy(F.col("d").desc(), F.col("vec_id").asc())
+                .first()
+            )
+            selected.append((rank, int(far["vec_id"]), int(far["d"])))
+            sel_vecs.append(far["v"])
+    finally:
+        q.unpersist()
+    return spark.createDataFrame(
+        selected, "center_rank int, vec_id long, dist_to_set long"
+    ).orderBy("center_rank")
+
+
+def _kcenter_sql() -> str:
+    qv = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    d = lambda a, b: (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qv} AS v FROM embeddings),
+c1 AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 1),
+d1 AS (SELECT q.vec_id, q.v, {d('q.v', 'c1.v')} AS d FROM q, c1),
+c2 AS (SELECT vec_id, v, d FROM d1 ORDER BY d DESC, vec_id ASC LIMIT 1),
+d2 AS (SELECT d1.vec_id, d1.v, LEAST(d1.d, {d('d1.v', 'c2.v')}) AS d FROM d1, c2),
+c3 AS (SELECT vec_id, v, d FROM d2 ORDER BY d DESC, vec_id ASC LIMIT 1),
+d3 AS (SELECT d2.vec_id, d2.v, LEAST(d2.d, {d('d2.v', 'c3.v')}) AS d FROM d2, c3),
+c4 AS (SELECT vec_id, v, d FROM d3 ORDER BY d DESC, vec_id ASC LIMIT 1)
+SELECT 1 AS center_rank, vec_id, CAST(0 AS BIGINT) AS dist_to_set FROM c1
+UNION ALL SELECT 2, vec_id, CAST(d AS BIGINT) FROM c2
+UNION ALL SELECT 3, vec_id, CAST(d AS BIGINT) FROM c3
+UNION ALL SELECT 4, vec_id, CAST(d AS BIGINT) FROM c4
+ORDER BY center_rank
+"""
+
+
+SPARK_QUERIES["sample_kcenter"] = sample_kcenter
+ORACLE_SQL["sample_kcenter"] = _kcenter_sql()
