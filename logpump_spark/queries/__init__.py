@@ -80,15 +80,20 @@ _MODULES = (
 # The remaining round-4-window ids (parse plane, windows, similarity)
 # rotate back in round 6 if r04 artifacts never materialize.
 #
-# Round-6 rotation candidates (local-parity green, never driver-
-# verified): the 20 round-5 additions (tpch_q3_shipping,
-# tpch_q5_nation_volume, tpch_q6_revenue_delta, tpch_q10_returns,
-# tpch_q18_big_orders, agg_hll_distinct, agg_argmax, pivot_wide,
-# fn_ip_suite, chat_assemble, pref_pairs, rollup_incremental,
-# agg_cond_suite, graph_triangles, text_pmi_pairs, sketch_kmv_overlap,
-# cdc_scd2, attribution_last_touch, dedup_bloom_probe,
-# agg_quantile_weighted) plus whatever the r05 CORRECTNESS artifact
-# shows as still unverified from the r4 window.
+# Round-6 rotation candidates (local-parity green at sf0.01 AND sf0.1,
+# never driver-verified): the 29 round-5 additions —
+#   tpch_q3_shipping, tpch_q4_priority, tpch_q5_nation_volume,
+#   tpch_q6_revenue_delta, tpch_q10_returns, tpch_q14_promo,
+#   tpch_q17_small_qty, tpch_q18_big_orders, tpch_q22_global_sales,
+#   agg_hll_distinct, agg_hll_sliding, agg_hll_native, agg_argmax,
+#   pivot_wide, fn_ip_suite, chat_assemble, pref_pairs,
+#   rollup_incremental, agg_cond_suite, agg_quantile_weighted,
+#   graph_triangles, text_pmi_pairs, sketch_kmv_overlap,
+#   dedup_bloom_probe, cdc_scd2, join_scd2_pointintime,
+#   attribution_last_touch, timeseries_mad, timeseries_islands,
+#   multimodal_phash, multimodal_audio_fp, sample_kcenter
+# — plus whatever the r05 CORRECTNESS artifact shows as still
+# unverified from the r4 window.
 _WINDOW_PRIORITY = [
     # scans / sources
     "scan_csv", "scan_jsonl", "scan_orc",
