@@ -144,6 +144,7 @@ HEADLINE = [
     "multimodal_audio_fp",
     "agg_hll_native",
     "sample_kcenter",
+    "quality_benford",
 ]
 
 

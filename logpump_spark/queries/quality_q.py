@@ -267,3 +267,79 @@ GROUP BY p.doc_id ORDER BY p.doc_id
 
 SPARK_QUERIES["text_lm_score"] = text_lm_score
 ORACLE_SQL["text_lm_score"] = _TEXT_LM_SQL
+
+
+_BENFORD_PM = (301, 176, 125, 97, 79, 67, 58, 51, 46)  # P(d) * 1000, d=1..9
+
+
+def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit per event type — the classic
+    fabricated-data / instrumentation-bug detector: observed per-mille
+    frequency of each first significant digit vs the Benford
+    expectation, folded to a max-deviation and an integer chi-square
+    statistic per group.  The first digit comes from the DECIMAL STRING
+    of the quantized value (no float log10 — engines disagree in the
+    last ulp at decade boundaries), so every step is engine-exact.  One
+    grouped pass + a 9-row-per-group fold."""
+    ev = load(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 100).cast("long")
+    digit = F.substring(qv.cast("string"), 1, 1).cast("int")
+    base = ev.filter(F.col("value") > 0).select("event_type", digit.alias("d"))
+    counts = base.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
+    tot = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    exp_pm = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_PM]), F.col("d")
+    )
+    per_digit = (
+        counts.join(tot, "event_type")
+        .withColumn("obs_pm", F.col("c") * 1000 / F.col("n"))
+        .withColumn("obs_pm", F.floor(F.col("obs_pm")).cast("long"))
+        .withColumn("dev", F.abs(F.col("obs_pm") - exp_pm))
+    )
+    return (
+        per_digit.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_values"),
+            F.max("dev").alias("max_dev_permille"),
+            F.sum(
+                F.floor(
+                    (F.col("obs_pm") - exp_pm) * (F.col("obs_pm") - exp_pm)
+                    * 1000 / exp_pm
+                ).cast("long")
+            ).alias("chi2_scaled"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BENFORD_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+  FROM events WHERE value > 0
+),
+counts AS (SELECT event_type, d, COUNT(*) AS c FROM base GROUP BY 1, 2),
+tot AS (SELECT event_type, COUNT(*) AS n FROM base GROUP BY 1),
+exp_t AS (
+  SELECT * FROM (VALUES {", ".join(f"({i+1}, {p})" for i, p in enumerate(_BENFORD_PM))}) AS t(d, pm)
+),
+per_digit AS (
+  SELECT c.event_type,
+         t.n,
+         CAST(FLOOR(c.c * 1000 / t.n) AS BIGINT) AS obs_pm,
+         e.pm AS exp_pm
+  FROM counts c
+  JOIN tot t ON t.event_type = c.event_type
+  JOIN exp_t e ON e.d = c.d
+)
+SELECT event_type,
+       MAX(n) AS n_values,
+       MAX(ABS(obs_pm - exp_pm)) AS max_dev_permille,
+       CAST(SUM(CAST(FLOOR((obs_pm - exp_pm) * (obs_pm - exp_pm) * 1000 / exp_pm) AS BIGINT)) AS BIGINT) AS chi2_scaled
+FROM per_digit
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["quality_benford"] = quality_benford
+ORACLE_SQL["quality_benford"] = _BENFORD_SQL
