@@ -145,6 +145,7 @@ HEADLINE = [
     "agg_hll_native",
     "sample_kcenter",
     "quality_benford",
+    "fn_array2_suite",
 ]
 
 

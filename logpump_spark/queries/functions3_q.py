@@ -336,3 +336,72 @@ FROM documents ORDER BY doc_id
 
 SPARK_QUERIES["fn_hash_suite"] = fn_hash_suite
 ORACLE_SQL["fn_hash_suite"] = _FN_HASH_SQL
+
+
+def fn_array2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface round 2 (ClickHouse arrayDifference / arrayCumSum /
+    arrayIntersect family): consecutive differences and cumulative sums
+    over the token-length array via zip_with/slice/aggregate, and
+    set-algebra (intersect/except/union/overlap) between the raw and
+    uppercased token arrays — all codegen'd higher-order expressions,
+    no UDFs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    toks_u = F.split(F.upper(F.col("text")), " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    n = F.size(lens)
+    diffs = F.zip_with(
+        F.slice(lens, 2, n - 1), F.slice(lens, 1, n - 1), lambda a, b: a - b
+    )
+    cumsum = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.aggregate(F.slice(lens, 1, i), F.lit(0), lambda a, x: a + x),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.aggregate(diffs, F.lit(0), lambda a, x: a + x).alias("diff_sum"),
+            F.element_at(cumsum, -1).alias("cumsum_last"),
+            F.aggregate(cumsum, F.lit(0), lambda a, x: a + x).alias("cumsum_total"),
+            F.size(F.array_intersect(toks, toks_u)).alias("n_case_invariant"),
+            F.size(F.array_except(toks, toks_u)).alias("n_cased"),
+            F.size(F.array_union(toks, toks_u)).alias("n_union"),
+            F.arrays_overlap(toks, toks_u).alias("overlaps"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FN_ARRAY2_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), x -> length(x)) AS lens,
+         string_split(text, ' ') AS toks,
+         string_split(upper(text), ' ') AS toks_u
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+ext AS (
+  SELECT doc_id, lens, toks, toks_u, len(lens) AS n,
+         list_transform(range(1, len(lens) + 1),
+                        i -> list_sum(list_slice(lens, 1, i))) AS cumsum
+  FROM base
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(2, n + 1),
+            i -> lens[i] - lens[i-1])) AS INT) AS diff_sum,
+       CAST(cumsum[n] AS INT) AS cumsum_last,
+       CAST(list_sum(cumsum) AS INT) AS cumsum_total,
+       CAST(len(list_filter(list_distinct(toks),
+            x -> list_contains(toks_u, x))) AS INT) AS n_case_invariant,
+       CAST(len(list_filter(list_distinct(toks),
+            x -> NOT list_contains(toks_u, x))) AS INT) AS n_cased,
+       CAST(len(list_distinct(list_concat(toks, toks_u))) AS INT) AS n_union,
+       len(list_filter(toks, x -> list_contains(toks_u, x))) > 0 AS overlaps
+FROM ext
+ORDER BY doc_id
+"""
+
+SPARK_QUERIES["fn_array2_suite"] = fn_array2_suite
+ORACLE_SQL["fn_array2_suite"] = _FN_ARRAY2_SQL
