@@ -146,6 +146,8 @@ HEADLINE = [
     "sample_kcenter",
     "quality_benford",
     "fn_array2_suite",
+    "win_pct_of_total",
+    "fn_try_suite",
 ]
 
 

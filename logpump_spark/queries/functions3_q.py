@@ -405,3 +405,49 @@ ORDER BY doc_id
 
 SPARK_QUERIES["fn_array2_suite"] = fn_array2_suite
 ORACLE_SQL["fn_array2_suite"] = _FN_ARRAY2_SQL
+
+
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRY error-safe function family (Spark 4 ANSI-mode
+    companions): try_divide by a sometimes-zero denominator,
+    try_cast of a sometimes-non-numeric string, try_add at int64
+    boundaries, try_element_at past the end — NULL instead of error,
+    the behavior a long-running pipeline needs under ANSI SQL.  The
+    techlog parse plane's silent-zero casts (techlog/parser.py P7) are
+    the strict reference semantics; this suite is the ANSI-safe
+    engine surface."""
+    ev = load(spark, sf_dir, "events")
+    denom = F.col("user_id") % 7  # 0 for every 7th user
+    mixed = F.when(
+        F.col("event_id") % 3 == 0, F.concat(F.lit("x"), F.col("event_id"))
+    ).otherwise(F.col("event_id").cast("string"))
+    big = F.lit(9_223_372_036_854_775_807)
+    toks = F.split(F.col("event_type"), "")
+    return (
+        ev.filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            F.try_divide(F.floor(F.col("value") * 100), denom).alias("safe_div"),
+            mixed.try_cast("long").alias("safe_cast"),
+            F.try_add(big, F.col("event_id") + 1).alias("safe_add"),
+            F.try_element_at(toks, F.lit(100)).alias("safe_elem"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_FN_TRY_SQL = """
+SELECT event_id,
+       CAST(FLOOR(value * 100) AS DOUBLE) / NULLIF(user_id % 7, 0) AS safe_div,
+       TRY_CAST(CASE WHEN event_id % 3 = 0
+                     THEN 'x' || CAST(event_id AS VARCHAR)
+                     ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS safe_cast,
+       CAST(NULL AS BIGINT) AS safe_add,
+       CAST(NULL AS VARCHAR) AS safe_elem
+FROM events
+WHERE event_id < 1000
+ORDER BY event_id
+"""
+
+SPARK_QUERIES["fn_try_suite"] = fn_try_suite
+ORACLE_SQL["fn_try_suite"] = _FN_TRY_SQL

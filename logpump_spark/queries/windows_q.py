@@ -234,3 +234,45 @@ ORACLE_SQL = {
     "win_range_frame": _WIN_RANGE_FRAME_SQL,
     "win_ntile": _WIN_NTILE_SQL,
 }
+
+
+def win_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (day, event_type) cell's share of its DAY
+    total and of its TYPE total — two window denominators over one
+    aggregated cell table (the share-of-segment report every dashboard
+    runs).  Shares are per-mille floor divisions of exact counts, so
+    values are engine-exact; the cell table is tiny (days x types), so
+    both windows run after one grouped pass of the raw events."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_day = W.partitionBy("day")
+    w_type = W.partitionBy("event_type")
+    return cells.select(
+        "day",
+        "event_type",
+        "n",
+        F.floor(F.col("n") * 1000 / F.sum("n").over(w_day)).cast("long").alias(
+            "pm_of_day"
+        ),
+        F.floor(F.col("n") * 1000 / F.sum("n").over(w_type)).cast("long").alias(
+            "pm_of_type"
+        ),
+    ).orderBy("day", "event_type")
+
+
+_WIN_PCT_SQL = """
+WITH cells AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n,
+       CAST(FLOOR(n * 1000 / SUM(n) OVER (PARTITION BY day)) AS BIGINT) AS pm_of_day,
+       CAST(FLOOR(n * 1000 / SUM(n) OVER (PARTITION BY event_type)) AS BIGINT) AS pm_of_type
+FROM cells
+ORDER BY day, event_type
+"""
+
+SPARK_QUERIES["win_pct_of_total"] = win_pct_of_total
+ORACLE_SQL["win_pct_of_total"] = _WIN_PCT_SQL
