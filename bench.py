@@ -148,6 +148,7 @@ HEADLINE = [
     "fn_array2_suite",
     "win_pct_of_total",
     "fn_try_suite",
+    "join_interval_bucketed",
 ]
 
 

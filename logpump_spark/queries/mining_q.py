@@ -784,3 +784,93 @@ ORDER BY center_rank
 
 SPARK_QUERIES["sample_kcenter"] = sample_kcenter
 ORACLE_SQL["sample_kcenter"] = _kcenter_sql()
+
+
+# --------------------------------------------------------------------
+# join_interval_bucketed — fact-to-fact interval join via bucket rewrite
+# --------------------------------------------------------------------
+
+_IVB_LEN_US = 2 * 3600 * 1_000_000  # 2h windows; bucket width = window length
+
+
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact INTERVAL containment join where neither side
+    broadcasts — the shape that degenerates to a nested-loop at scale
+    unless rewritten.  The rewrite: bucket time by the window length,
+    explode each interval to the (at most 2) buckets it touches, EQUI
+    join on the bucket, then apply the containment as a residual
+    filter — a hash/sort-merge join whose per-bucket cost is bounded by
+    local density, never |clicks| x |windows| (plan-pinned: no
+    BroadcastNestedLoopJoin).  join_range (relational_q) is the
+    broadcast-dimension case; this is the big-big case.
+
+    Here: every purchase opens a 2 h window; every click joins to ALL
+    windows containing it (cross-user by construction, so the user key
+    can't shortcut the join); output folds to daily containment
+    counts."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("win_id"),
+        us.alias("lo"),
+        (us + _IVB_LEN_US).alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), us.alias("cus")
+    )
+    # a window of length == bucket width touches exactly buckets
+    # floor(lo/W) and floor(hi/W) (dedupped when equal)
+    wins_b = purchases.select(
+        "win_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("lo") / _IVB_LEN_US),
+                    F.floor(F.col("hi") / _IVB_LEN_US),
+                )
+            )
+        ).alias("b"),
+    )
+    clicks_b = clicks.withColumn("b", F.floor(F.col("cus") / _IVB_LEN_US))
+    joined = clicks_b.join(wins_b, "b").filter(
+        (F.col("cus") >= F.col("lo")) & (F.col("cus") < F.col("hi"))
+    )
+    day = F.to_date(F.timestamp_micros(F.col("cus"))).cast("string")
+    return (
+        joined.select("click_id", "win_id", day.alias("day"))
+        .distinct()  # a window touching 2 buckets must not double-count
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_containments"),
+            F.countDistinct("click_id").alias("n_clicks_covered"),
+        )
+        .orderBy("day")
+    )
+
+
+_IVB_SQL = f"""
+WITH purchases AS (
+  SELECT event_id AS win_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + {_IVB_LEN_US} AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+),
+joined AS (
+  SELECT c.click_id, p.win_id, c.cus
+  FROM clicks c JOIN purchases p ON c.cus >= p.lo AND c.cus < p.hi
+)
+SELECT CAST(CAST(make_timestamp(cus) AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_containments,
+       COUNT(DISTINCT click_id) AS n_clicks_covered
+FROM joined
+GROUP BY 1
+ORDER BY 1
+"""
+
+SPARK_QUERIES["join_interval_bucketed"] = join_interval_bucketed
+ORACLE_SQL["join_interval_bucketed"] = _IVB_SQL

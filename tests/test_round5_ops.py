@@ -91,6 +91,21 @@ def test_q18_takeordered(spark):
 # ----- HLL sketch --------------------------------------------------------
 
 
+def test_interval_bucketed_join_is_equi_not_nlj(spark):
+    # the bucket rewrite must produce a hash/sort-merge EQUI join — a
+    # BroadcastNestedLoopJoin here means the rewrite regressed and the
+    # plan would go quadratic on two fact-sized sides
+    from logpump_spark.queries.mining_q import join_interval_bucketed
+
+    df = join_interval_bucketed(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
 def test_hll_estimate_within_error_bound(spark):
     # The checked result carries the RAW estimate plus m_used (registers
     # hit) so the standard small-range correction stays applicable by
