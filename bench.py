@@ -149,6 +149,8 @@ HEADLINE = [
     "win_pct_of_total",
     "fn_try_suite",
     "join_interval_bucketed",
+    "setop_bag_ops",
+    "win_running_distinct",
 ]
 
 

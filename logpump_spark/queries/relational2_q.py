@@ -668,3 +668,51 @@ FROM s ORDER BY event_type
 
 SPARK_QUERIES["agg_skew_kurt"] = agg_skew_kurt
 ORACLE_SQL["agg_skew_kurt"] = _AGG_SKEW_SQL
+
+
+def setop_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the bag-semantics set operations
+    (multiplicity-aware, unlike the DISTINCT-semantics setop_except /
+    setop_intersect).  Two overlapping event projections with repeated
+    rows; the fold to counts makes multiplicities part of the checked
+    result."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 3 != 0).select(
+        "user_id", "event_type"
+    )
+    b = ev.filter(F.col("event_id") % 2 != 0).select(
+        "user_id", "event_type"
+    )
+    ex = a.exceptAll(b).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    inter = a.intersectAll(b).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    return ex.join(inter, "event_type", "full").select(
+        "event_type",
+        F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+    ).orderBy("event_type")
+
+
+_BAG_SQL = """
+WITH a AS (SELECT user_id, event_type FROM events WHERE event_id % 3 <> 0),
+b AS (SELECT user_id, event_type FROM events WHERE event_id % 2 <> 0),
+ex AS (
+  SELECT event_type, COUNT(*) AS n_except_all
+  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1
+),
+inter AS (
+  SELECT event_type, COUNT(*) AS n_intersect_all
+  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1
+)
+SELECT COALESCE(ex.event_type, inter.event_type) AS event_type,
+       COALESCE(n_except_all, 0) AS n_except_all,
+       COALESCE(n_intersect_all, 0) AS n_intersect_all
+FROM ex FULL JOIN inter ON inter.event_type = ex.event_type
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["setop_bag_ops"] = setop_bag_ops
+ORACLE_SQL["setop_bag_ops"] = _BAG_SQL

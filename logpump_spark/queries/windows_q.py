@@ -276,3 +276,69 @@ ORDER BY day, event_type
 
 SPARK_QUERIES["win_pct_of_total"] = win_pct_of_total
 ORACLE_SQL["win_pct_of_total"] = _WIN_PCT_SQL
+
+
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user over event time — the classic
+    hard-in-SQL analytic, expressed scalably: mark each (user, type)'s
+    FIRST occurrence with one row_number window, then a running sum of
+    first-occurrence flags gives the distinct-so-far — two windows on
+    the same user partitioning, state O(1) per row (never a
+    collect_set that grows with history).  Sampled to every user's
+    last event per day to keep the checked result bounded."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select("user_id", "event_type", us.alias("us"), "event_id")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_day = W.partitionBy("user_id", F.to_date(F.timestamp_micros(F.col("us"))))
+    flagged = base.withColumn(
+        "is_first", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    running = flagged.withColumn("n_distinct_types", F.sum("is_first").over(w_run))
+    last_of_day = running.withColumn(
+        "mx", F.max(F.struct(F.col("us"), F.col("event_id"))).over(w_day)
+    ).filter((F.col("us") == F.col("mx.us")) & (F.col("event_id") == F.col("mx.event_id")))
+    return last_of_day.select(
+        "user_id",
+        F.to_date(F.timestamp_micros(F.col("us"))).cast("string").alias("day"),
+        "n_distinct_types",
+    ).orderBy("user_id", "day")
+
+
+_WIN_RUNDIST_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, us, event_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY us, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM base
+),
+running AS (
+  SELECT user_id, us, event_id,
+         SUM(is_first) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_distinct_types,
+         CAST(CAST(make_timestamp(us) AS DATE) AS VARCHAR) AS day
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, day, n_distinct_types,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY us DESC, event_id DESC)
+           AS rn
+  FROM running
+)
+SELECT user_id, day, CAST(n_distinct_types AS BIGINT) AS n_distinct_types
+FROM ranked WHERE rn = 1
+ORDER BY user_id, day
+"""
+
+SPARK_QUERIES["win_running_distinct"] = win_running_distinct
+ORACLE_SQL["win_running_distinct"] = _WIN_RUNDIST_SQL
