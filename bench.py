@@ -246,14 +246,36 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 4)
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver tail-captures stdout: a single multi-KB JSON line gets its
+    # HEAD clipped and fails to parse (this silently deleted r03-r05's perf
+    # signal).  So: per-query detail goes to a file AND is printed FIRST;
+    # the LAST line is a compact object guaranteed to survive tail capture.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # detail file is best-effort; the stdout lines are the contract
+    print(json.dumps(detail))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_detail": "BENCH_DETAIL.json",
             }
         )
     )

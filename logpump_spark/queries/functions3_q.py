@@ -119,7 +119,9 @@ def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``sumMap`` analog: map-valued aggregation.  Each event
     carries a metrics map (synthesized in-plan from its columns); the
     aggregate sums the maps KEY-WISE per event_type and returns the
-    CH shape — parallel sorted-keys / summed-values arrays.
+    CH shape — parallel sorted-keys / summed-values arrays, serialized
+    to CSV strings (the driver canonicalizer hashes scalar cells; the
+    ``fn_array`` suite set this serialization precedent).
 
     Spark has no map-sum aggregate; the scale-honest expression is
     explode -> (group, key) sum (map-side partials on the flat rows) ->
@@ -140,8 +142,12 @@ def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.transform("kv", lambda s: s["mk"]).alias("map_keys"),
-            F.transform("kv", lambda s: s["total"]).alias("map_sums"),
+            F.array_join(
+                F.transform("kv", lambda s: s["mk"]), ","
+            ).alias("map_keys"),
+            F.array_join(
+                F.transform("kv", lambda s: s["total"].cast("string")), ","
+            ).alias("map_sums"),
         )
         .orderBy("event_type")
     )
@@ -161,8 +167,8 @@ per_key AS (
   SELECT event_type, mk, SUM(mv) AS total FROM flat GROUP BY event_type, mk
 )
 SELECT event_type,
-       list(mk ORDER BY mk) AS map_keys,
-       list(CAST(total AS BIGINT) ORDER BY mk) AS map_sums
+       string_agg(mk, ',' ORDER BY mk) AS map_keys,
+       string_agg(CAST(CAST(total AS BIGINT) AS VARCHAR), ',' ORDER BY mk) AS map_sums
 FROM per_key GROUP BY event_type ORDER BY event_type
 """
 
@@ -353,17 +359,24 @@ def fn_array2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     diffs = F.zip_with(
         F.slice(lens, 2, n - 1), F.slice(lens, 1, n - 1), lambda a, b: a - b
     )
-    cumsum = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.aggregate(F.slice(lens, 1, i), F.lit(0), lambda a, x: a + x),
+    # O(n) closed forms, value-identical to the naive prefix-sum array
+    # (the per-i slice+fold construction is O(n^2) per row — a 10^5-token
+    # doc would cost 10^10 ops; scale-killer, so it is banned here):
+    #   cumsum[n]   = sum(lens)
+    #   sum(cumsum) = sum_i lens[i] * (n - i + 1)
+    cumsum_last = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    weighted = F.zip_with(
+        lens, F.sequence(F.lit(1), n), lambda l, i: l * (n - i + 1)
     )
     return (
         docs.filter(F.size(toks) >= 2)
         .select(
             "doc_id",
             F.aggregate(diffs, F.lit(0), lambda a, x: a + x).alias("diff_sum"),
-            F.element_at(cumsum, -1).alias("cumsum_last"),
-            F.aggregate(cumsum, F.lit(0), lambda a, x: a + x).alias("cumsum_total"),
+            cumsum_last.alias("cumsum_last"),
+            F.aggregate(
+                weighted, F.lit(0), lambda a, x: a + x
+            ).alias("cumsum_total"),
             F.size(F.array_intersect(toks, toks_u)).alias("n_case_invariant"),
             F.size(F.array_except(toks, toks_u)).alias("n_cased"),
             F.size(F.array_union(toks, toks_u)).alias("n_union"),
@@ -383,16 +396,14 @@ WITH base AS (
   WHERE len(string_split(text, ' ')) >= 2
 ),
 ext AS (
-  SELECT doc_id, lens, toks, toks_u, len(lens) AS n,
-         list_transform(range(1, len(lens) + 1),
-                        i -> list_sum(list_slice(lens, 1, i))) AS cumsum
-  FROM base
+  SELECT doc_id, lens, toks, toks_u, len(lens) AS n FROM base
 )
 SELECT doc_id,
        CAST(list_sum(list_transform(range(2, n + 1),
             i -> lens[i] - lens[i-1])) AS INT) AS diff_sum,
-       CAST(cumsum[n] AS INT) AS cumsum_last,
-       CAST(list_sum(cumsum) AS INT) AS cumsum_total,
+       CAST(list_sum(lens) AS INT) AS cumsum_last,
+       CAST(list_sum(list_transform(range(1, n + 1),
+            i -> lens[i] * (n - i + 1))) AS INT) AS cumsum_total,
        CAST(len(list_filter(list_distinct(toks),
             x -> list_contains(toks_u, x))) AS INT) AS n_case_invariant,
        CAST(len(list_filter(list_distinct(toks),
