@@ -516,7 +516,9 @@ def agg_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside (the expensive recomputation the sketch replaces)."""
     ev = load(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts"))
-    epoch_day = (F.unix_micros(day) / F.lit(86_400_000_000)).cast("long")
+    # floor(), not cast-truncation, to match the oracle's integer floor
+    # division for pre-1970 timestamps (cast truncates toward zero).
+    epoch_day = F.floor(F.unix_micros(day) / F.lit(86_400_000_000)).cast("long")
     h = md5_hash60(F.col("user_id").cast("string"))
     base = ev.select(
         epoch_day.alias("d"),

@@ -284,7 +284,12 @@ def quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     qv = F.floor(F.col("value") * 100).cast("long")
     digit = F.substring(qv.cast("string"), 1, 1).cast("int")
-    base = ev.filter(F.col("value") > 0).select("event_type", digit.alias("d"))
+    # value >= 0.01 keeps floor(value*100) >= 1, so the digit domain is
+    # provably 1-9: a (0, 0.01) value would yield d=0, which element_at
+    # rejects (1-based) while the oracle's exp_t join silently drops it.
+    base = ev.filter(F.col("value") >= 0.01).select(
+        "event_type", digit.alias("d")
+    )
     counts = base.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("c"))
     tot = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     exp_pm = F.element_at(
@@ -316,7 +321,7 @@ _BENFORD_SQL = f"""
 WITH base AS (
   SELECT event_type,
          CAST(substr(CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
-  FROM events WHERE value > 0
+  FROM events WHERE value >= 0.01
 ),
 counts AS (SELECT event_type, d, COUNT(*) AS c FROM base GROUP BY 1, 2),
 tot AS (SELECT event_type, COUNT(*) AS n FROM base GROUP BY 1),

@@ -374,9 +374,12 @@ def timeseries_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     streak/retention reports.  One user shuffle carries the distinct,
     the window, and the island aggregation."""
     ev = load(spark, sf_dir, "events")
-    epoch_day = (F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(
-        86_400_000_000
-    )).cast("long")
+    # floor(), not cast-truncation: double-divide + cast('long') truncates
+    # toward zero, diverging from the oracle's integer floor division for
+    # pre-1970 timestamps.
+    epoch_day = F.floor(
+        F.unix_micros(F.date_trunc("day", F.col("ts"))) / F.lit(86_400_000_000)
+    ).cast("long")
     days = ev.select("user_id", epoch_day.alias("d")).distinct()
     w = W.partitionBy("user_id").orderBy("d")
     islands = (
