@@ -454,3 +454,139 @@ ORACLE_SQL.update(
         "tpch_q22_global_sales": _Q22_SQL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the remaining decorrelation shapes — Q2 (correlated scalar MIN
+# per group), Q11 (group-filtered fraction-of-global), Q15 (scalar MAX
+# against a view-style aggregate).  The synthetic schema has no partsupp
+# table, so lineitem's (l_partkey, l_suppkey) pairs act as the supply
+# relation with an exact quantized unit cost; everything else keeps the
+# canonical TPC-H shape.  All three run through spark.sql so Catalyst's
+# subquery decorrelation is the surface under test.
+#
+# Scale notes (100 TB): the supply CTE is one (part, supp) shuffle with
+# map-side partial MIN; Q2's correlated MIN decorrelates to a per-part
+# aggregate joined back on the part key (equi, never BNLJ); Q11/Q15's
+# scalar subqueries are 1-row aggregates Spark injects as literals after
+# an independent subquery execution — no join multiplies fact rows.
+
+_Q2_TEMPLATE = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(FLOOR((l_extendedprice / l_quantity) * 10000) AS BIGINT)) AS qcost
+  FROM {lineitem} GROUP BY 1, 2
+),
+esupp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM {supplier}
+  JOIN {nation} ON s_nationkey = n_nationkey
+  JOIN {region} ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_type,
+       CAST(sp.qcost AS DOUBLE) / 10000 AS unit_cost
+FROM {part} p
+JOIN supply sp ON sp.partkey = p.p_partkey
+JOIN esupp s ON s.s_suppkey = sp.suppkey
+WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+  AND sp.qcost = (
+    SELECT MIN(sp2.qcost)
+    FROM supply sp2 JOIN esupp s2 ON s2.s_suppkey = sp2.suppkey
+    WHERE sp2.partkey = p.p_partkey
+  )
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+_Q11_TEMPLATE = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         CAST(FLOOR(l_extendedprice * 10000) AS BIGINT) AS v
+  FROM {lineitem}
+  JOIN {supplier} ON l_suppkey = s_suppkey
+  JOIN {nation} ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT partkey, CAST(SUM(v) AS DOUBLE) / 10000 AS stock_value
+FROM val
+GROUP BY partkey
+HAVING SUM(v) * 1000 > (SELECT SUM(v) FROM val)
+ORDER BY stock_value DESC, partkey
+"""
+
+_Q15_TEMPLATE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS total_q
+  FROM {lineitem}
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(total_q AS DOUBLE) / 10000 AS total_revenue
+FROM {supplier} JOIN revenue ON s_suppkey = supplier_no
+WHERE total_q = (SELECT MAX(total_q) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+_TPCH_TABLES = ("lineitem", "supplier", "nation", "region", "part")
+
+
+def _run_tpch_sql(spark: SparkSession, sf_dir: str, template: str) -> DataFrame:
+    names = {}
+    for t in _TPCH_TABLES:
+        if "{" + t + "}" in template:
+            view = f"t_tpch_{t}"
+            load(spark, sf_dir, t).createOrReplaceTempView(view)
+            names[t] = view
+        else:
+            names[t] = t
+    return spark.sql(template.format(**names))
+
+
+def tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    EUROPE suppliers offering exactly the minimum unit cost — the
+    correlated-scalar-MIN shape.  Catalyst decorrelates the per-part MIN
+    into an aggregate joined back on the part key (equi join, no BNLJ);
+    unit cost is floor-quantized so the MIN and the equality are
+    engine-exact."""
+    return _run_tpch_sql(spark, sf_dir, _Q2_TEMPLATE)
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part supply value among one
+    nation's suppliers, keeping parts above 1/1000 of that nation's
+    global value — the group-filtered fraction-of-global shape.  The
+    global total is a 1-row scalar subquery (independent execution,
+    injected as a literal); the comparison stays in exact int64
+    (sum*1000 vs total, no double fraction)."""
+    return _run_tpch_sql(spark, sf_dir, _Q11_TEMPLATE)
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): suppliers whose quarterly revenue
+    equals the maximum — the scalar-MAX-against-a-view shape (the
+    reference DDL's delegated warehouse runs exactly this report).  The
+    revenue CTE aggregates once; the MAX is a 1-row scalar subquery;
+    ties all surface (engine-exact quantized equality)."""
+    return _run_tpch_sql(spark, sf_dir, _Q15_TEMPLATE)
+
+
+_IDENT = {t: t for t in _TPCH_TABLES}
+
+SPARK_QUERIES.update(
+    {
+        "tpch_q2_min_cost": tpch_q2_min_cost,
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "tpch_q2_min_cost": _Q2_TEMPLATE.format(**_IDENT),
+        "tpch_q11_important_stock": _Q11_TEMPLATE.format(**_IDENT),
+        "tpch_q15_top_supplier": _Q15_TEMPLATE.format(**_IDENT),
+    }
+)

@@ -335,3 +335,22 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_decorrelation_no_bnlj_on_facts(spark):
+    """Q2/Q11/Q15: Catalyst must decorrelate the scalar subqueries into
+    equi aggregates/joins — a BroadcastNestedLoopJoin or CartesianProduct
+    anywhere means a fact-side row-multiplying plan that dies at 100 TB
+    (the 1-row scalar subqueries inject as literals, not joins)."""
+    from logpump_spark.queries.tpch_q import (
+        tpch_q2_min_cost,
+        tpch_q11_important_stock,
+        tpch_q15_top_supplier,
+    )
+
+    for q in (tpch_q2_min_cost, tpch_q11_important_stock, tpch_q15_top_supplier):
+        df = q(spark, SF_SMALL)
+        df.collect()  # AQE finalizes the plan on execution
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
