@@ -90,3 +90,52 @@ def retention_summary(
     return r.agg(
         *[F.sum(f"r{i}").alias(f"n_r{i}") for i in range(1, len(conds) + 1)]
     )
+
+
+def window_funnel_strict(
+    events: DataFrame,
+    steps: list[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(... , 'strict_order')`` analog: the
+    step chain must be CONSECUTIVE in the user's full event stream — any
+    interleaved event (matching a step or not) breaks it.  Anchored at
+    the user's earliest step-1 event (deterministic, so the oracle can
+    replay it; ClickHouse scans every candidate start).
+
+    Shape: label each event with its step number, then ``lead`` over one
+    user-partitioned sort answers "are the next k-1 events exactly steps
+    2..k" without ever materializing a per-user history — one shuffle on
+    the user key, two window passes over the same sort, per-row state
+    bounded by len(steps).  Returns (user_col, ts of the anchor, level).
+    """
+    from pyspark.sql import Window as W
+
+    lbl = None
+    for i, s in enumerate(steps, 1):
+        lbl = F.when(s, i) if lbl is None else lbl.when(s, i)
+    lbl = lbl.otherwise(0)
+
+    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    df = events.withColumn("lbl", lbl.cast("int"))
+    for j in range(1, len(steps)):
+        df = df.withColumn(f"nxt{j}", F.lead("lbl", j).over(w))
+    # level at an anchor row: longest prefix with nxt_j == j+1
+    level = F.lit(1)
+    cond = F.lit(True)
+    for j in range(1, len(steps)):
+        cond = cond & (F.col(f"nxt{j}") == j + 1)
+        level = F.when(cond, j + 1).otherwise(level)
+    anchors = df.filter(F.col("lbl") == 1)
+    w_first = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    return (
+        anchors.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            user_col,
+            F.col(ts_col).alias("anchor_ts"),
+            level.cast("int").alias("level"),
+        )
+    )

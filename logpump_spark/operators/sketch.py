@@ -41,9 +41,18 @@ def cms_bucket_cols(key: Column, depth: int, width: int) -> list[Column]:
 
 
 def cms_build(
-    df: DataFrame, key: Column, depth: int = 4, width: int = 256
+    df: DataFrame,
+    key: Column,
+    depth: int = 4,
+    width: int = 256,
+    weight: Column | None = None,
 ) -> DataFrame:
-    """One-pass sketch build: (r, b, c) counts, at most depth*width rows."""
+    """One-pass sketch build: (r, b, c) counts, at most depth*width rows.
+
+    ``weight`` (an exact-integer Column) switches the cells from row
+    counts to weight sums — the ClickHouse ``topKWeighted`` base: same
+    bounded depth*width state, same mergeability, estimates bound the
+    key's TOTAL weight instead of its frequency."""
     buckets = cms_bucket_cols(key, depth, width)
     cells = F.explode(
         F.array(
@@ -53,10 +62,11 @@ def cms_build(
             ]
         )
     )
+    w = F.lit(1).cast("long") if weight is None else weight
     return (
-        df.select(cells.alias("cell"))
+        df.select(cells.alias("cell"), w.alias("w"))
         .groupBy(F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("w").alias("c"))
     )
 
 

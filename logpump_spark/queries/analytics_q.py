@@ -239,3 +239,49 @@ ORDER BY purchase_id
 
 SPARK_QUERIES["attribution_last_touch"] = attribution_last_touch
 ORACLE_SQL["attribution_last_touch"] = _ATTRIB_SQL
+
+
+def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel in ClickHouse 'strict_order'
+    mode (operators/funnel.py:window_funnel_strict): the chain counts
+    only while the user's IMMEDIATELY NEXT events continue it — any
+    interleaved event breaks the run.  Anchored at the earliest view.
+    Complements funnel_steps (greedy-earliest windowed mode)."""
+    ev = load(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    from ..operators.funnel import window_funnel_strict
+
+    return window_funnel_strict(ev, steps).orderBy("user_id")
+
+
+_FUNNEL_STRICT_SQL = """
+WITH labeled AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END AS lbl
+  FROM events
+),
+led AS (
+  SELECT user_id, ts, lbl,
+         LEAD(lbl, 1) OVER w AS nxt1,
+         LEAD(lbl, 2) OVER w AS nxt2,
+         ROW_NUMBER() OVER (PARTITION BY user_id, (lbl = 1)
+                            ORDER BY ts, event_id) AS rn1
+  FROM labeled
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, ts AS anchor_ts,
+       CAST(CASE WHEN nxt1 = 2 AND nxt2 = 3 THEN 3
+                 WHEN nxt1 = 2 THEN 2
+                 ELSE 1 END AS INT) AS level
+FROM led
+WHERE lbl = 1 AND rn1 = 1
+ORDER BY user_id
+"""
+
+SPARK_QUERIES["funnel_strict_order"] = funnel_strict_order
+ORACLE_SQL["funnel_strict_order"] = _FUNNEL_STRICT_SQL

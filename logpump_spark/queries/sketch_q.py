@@ -4,7 +4,7 @@ heavy hitters with the exact count alongside, so the CMS invariant
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..llmdata.dedup import _MH_P, _MH_PARAMS
@@ -207,3 +207,211 @@ FROM rng g ORDER BY g.event_type
 
 SPARK_QUERIES["agg_quantile_hist"] = agg_quantile_hist
 ORACLE_SQL["agg_quantile_hist"] = _quantile_hist_oracle_sql()
+
+
+def topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted`` analog: top-20 (event_type, user)
+    keys by total WEIGHT (quantized event value), each with the
+    weighted count-min estimate from the same 4x256 sketch base as
+    freq_heavy_hitters — cells sum weights instead of counting rows
+    (operators/sketch.py cms_build(weight=...)).  Same bounded
+    depth*width state, same mergeability; est >= exact holds for
+    weights exactly as for counts."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat_ws(
+            ":", F.col("event_type"), F.col("user_id").cast("string")
+        ).alias("key"),
+        F.floor(F.col("value") * 100).cast("long").alias("w"),
+    )
+    sketch = cms_build(
+        keyed, F.col("key"), _CMS_DEPTH, _CMS_WIDTH, weight=F.col("w")
+    )
+    exact = (
+        keyed.groupBy("key")
+        .agg(F.sum("w").alias("exact_w"))
+        .orderBy(F.col("exact_w").desc(), F.col("key").asc())
+        .limit(_TOPN)
+    )
+    est = cms_estimate(
+        exact, "key", sketch, _CMS_DEPTH, _CMS_WIDTH, carry_cols=("exact_w",)
+    )
+    return est.select("key", "exact_w", "est").orderBy(
+        F.col("exact_w").desc(), F.col("key").asc()
+    )
+
+
+def _topk_weighted_oracle_sql() -> str:
+    hm = f"({_MD5I.format(s='key')} % {_MH_P})"
+    cell_selects = "\n    UNION ALL\n".join(
+        f"    SELECT key, w, {r} AS r, "
+        f"((({a} * hm + {b}) % {_MH_P}) % {_CMS_WIDTH}) AS b FROM hashed"
+        for r, (a, b) in enumerate(_MH_PARAMS[:_CMS_DEPTH])
+    )
+    return f"""
+WITH keyed AS (
+  SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS key,
+         CAST(FLOOR(value * 100) AS BIGINT) AS w
+  FROM events
+),
+hashed AS (SELECT key, w, {hm} AS hm FROM keyed),
+cells AS (
+{cell_selects}
+),
+sketch AS (SELECT r, b, SUM(w) AS c FROM cells GROUP BY r, b),
+exact AS (
+  SELECT key, SUM(w) AS exact_w FROM keyed GROUP BY key
+  ORDER BY exact_w DESC, key ASC LIMIT {_TOPN}
+),
+ehash AS (SELECT key, exact_w, {hm} AS hm FROM exact),
+ecells AS (
+{cell_selects.replace('FROM hashed', 'FROM ehash').replace('SELECT key, w,', 'SELECT key, exact_w,')}
+),
+est AS (
+  SELECT e.key, MIN(s.c) AS est
+  FROM ecells e JOIN sketch s ON s.r = e.r AND s.b = e.b
+  GROUP BY e.key
+)
+SELECT x.key AS key, CAST(x.exact_w AS BIGINT) AS exact_w,
+       CAST(est.est AS BIGINT) AS est
+FROM exact x JOIN est ON est.key = x.key
+ORDER BY x.exact_w DESC, x.key ASC
+"""
+
+
+SPARK_QUERIES["topk_weighted"] = topk_weighted
+ORACLE_SQL["topk_weighted"] = _topk_weighted_oracle_sql()
+
+
+_UUT_CAPS = (10, 100)
+
+
+def agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)`` analog: exact distinct users per
+    (event_type, weekday) while the count is <= N, saturating at N+1 —
+    the "is this group small or not" primitive that replaces a full
+    uniq when only a threshold matters.
+
+    Scale shape: ONE distinct shuffle on the (group, user) pair with
+    map-side partial dedup, then a scalar count per group — per-group
+    state after the distinct is one counter, never a user set (CH keeps
+    <= N+1 elements per group; the two-phase distinct is how the same
+    bound falls out of Spark's execution model)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.dayofweek("ts").alias("dow"), "user_id"
+    ).distinct()
+    n = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    out = n.select(
+        "event_type",
+        "dow",
+        *[
+            F.least(F.col("n_distinct"), F.lit(c + 1)).alias(f"uniq_upto_{c}")
+            for c in _UUT_CAPS
+        ],
+    )
+    return out.orderBy("event_type", "dow")
+
+
+_UNIQ_UPTO_SQL = f"""
+SELECT event_type,
+       CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       {", ".join(f"LEAST(COUNT(DISTINCT user_id), {c + 1}) AS uniq_upto_{c}" for c in _UUT_CAPS)}
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+SPARK_QUERIES["agg_uniq_upto"] = agg_uniq_upto
+ORACLE_SQL["agg_uniq_upto"] = _UNIQ_UPTO_SQL
+
+
+# quantileTiming layout: 1 ms bins below 1024 ms, 16 ms bins to 30720 ms,
+# clamped above — the CH request-latency sketch (fixed GLOBAL bin layout,
+# so unlike agg_quantile_hist no min/max pre-pass is needed and sketches
+# from different partitions/days merge by plain cell addition).
+_QT_FINE = 1024
+_QT_COARSE_STEP = 16
+_QT_CAP = 30720
+_QT_QS = (50, 90, 99)
+
+
+def quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileTiming`` analog over synthetic latencies
+    (value*10 -> ms): per event_type, each requested percentile reports
+    the LOWER BOUND of the first layout bin whose cumulative count
+    reaches ceil(p*n/100).  Integer-exact end to end.
+
+    Scale shape: one (group, bin) aggregation with map-side partials
+    (state <= ~2900 bins per group regardless of row count), a
+    group-partitioned cumulative window over those bins, and one final
+    per-group fold — the timing sketch a 100 TB request log serves its
+    p99 dashboards from."""
+    ev = load(spark, sf_dir, "events")
+    ms = F.floor(F.col("value") * 10).cast("long")
+    b = (
+        F.when(ms < _QT_FINE, ms)
+        .when(
+            ms < _QT_CAP,
+            (F.floor(ms / _QT_COARSE_STEP) * _QT_COARSE_STEP).cast("long"),
+        )
+        .otherwise(F.lit(_QT_CAP).cast("long"))
+    )
+    binned = (
+        ev.select("event_type", b.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = W.partitionBy("event_type")
+    cum = binned.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.col("n") * p / 100),
+                        F.col("b"),
+                    )
+                ).alias(f"p{p}_ms")
+                for p in _QT_QS
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+_QUANTILE_TIMING_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN ms < {_QT_FINE} THEN ms
+              WHEN ms < {_QT_CAP}
+                THEN CAST(FLOOR(ms / {_QT_COARSE_STEP}) * {_QT_COARSE_STEP} AS BIGINT)
+              ELSE {_QT_CAP} END AS b
+  FROM (SELECT event_type, CAST(FLOOR(value * 10) AS BIGINT) AS ms FROM events)
+),
+binned AS (SELECT event_type, b, COUNT(*) AS c FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, b, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM binned
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       {", ".join(f"MIN(CASE WHEN cum >= CEIL(n * {p} / 100.0) THEN b END) AS p{p}_ms" for p in _QT_QS)}
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+SPARK_QUERIES["quantile_timing"] = quantile_timing
+ORACLE_SQL["quantile_timing"] = _QUANTILE_TIMING_SQL
