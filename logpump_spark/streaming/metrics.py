@@ -20,6 +20,8 @@ from __future__ import annotations
 import json
 import logging
 import threading
+from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
@@ -27,14 +29,61 @@ from pyspark.sql.streaming import StreamingQueryListener
 log = logging.getLogger("logpump_spark.metrics")
 
 
+@dataclass
+class AlertConfig:
+    """Error-alerting thresholds — the analog of the reference's Sentry
+    zap hook (internal/logger/logger.go:100-136), which tees every
+    error-level event to an alerting backend.  Here the trigger is
+    operational: a micro-batch whose dead-letter count or reject RATIO
+    crosses a threshold, or a query dying with an exception, invokes
+    ``on_alert`` exactly once per offending batch/termination with a
+    structured record (route it to PagerDuty/Sentry/log from there)."""
+
+    max_rejects_per_batch: int | None = None
+    max_reject_ratio: float | None = None  # rejects / input_rows, batch > 0
+    on_alert: Callable[[dict], None] | None = None  # default: log.error
+
+
 class TechLogMetricsListener(StreamingQueryListener):
     """Per-micro-batch metrics: append one record per progress event to
     ``self.batches`` and emit it as a JSON log line."""
 
-    def __init__(self) -> None:
+    def __init__(self, alerts: AlertConfig | None = None) -> None:
         self._lock = threading.Lock()
         self._pending_rejects: dict[int, int] = {}
         self.batches: list[dict] = []
+        self.alert_config = alerts
+        self.alerts: list[dict] = []
+
+    def _fire_alert(self, rec: dict) -> None:
+        with self._lock:
+            self.alerts.append(rec)
+        cb = self.alert_config.on_alert if self.alert_config else None
+        if cb is not None:
+            cb(rec)
+        else:
+            log.error(json.dumps(rec))
+
+    def _check_alerts(self, rec: dict) -> None:
+        cfg = self.alert_config
+        if cfg is None:
+            return
+        reasons = []
+        if (
+            cfg.max_rejects_per_batch is not None
+            and rec["rejects"] > cfg.max_rejects_per_batch
+        ):
+            reasons.append("rejects_per_batch")
+        if (
+            cfg.max_reject_ratio is not None
+            and rec["input_rows"] > 0
+            and rec["rejects"] / rec["input_rows"] > cfg.max_reject_ratio
+        ):
+            reasons.append("reject_ratio")
+        if reasons:
+            self._fire_alert(
+                {"event": "alert", "reasons": reasons, "batch": rec}
+            )
 
     # -- wiring -----------------------------------------------------
     def attach(self, spark: SparkSession) -> "TechLogMetricsListener":
@@ -72,13 +121,24 @@ class TechLogMetricsListener(StreamingQueryListener):
         with self._lock:
             self.batches.append(rec)
         log.info(json.dumps(rec))
+        self._check_alerts(rec)
 
     def onQueryIdle(self, event) -> None:
         pass
 
     def onQueryTerminated(self, event) -> None:
+        err = str(event.exception) if event.exception else None
         log.info(
             json.dumps(
-                {"event": "query_terminated", "id": str(event.id), "error": str(event.exception) if event.exception else None}
+                {"event": "query_terminated", "id": str(event.id), "error": err}
             )
         )
+        if err is not None and self.alert_config is not None:
+            self._fire_alert(
+                {
+                    "event": "alert",
+                    "reasons": ["query_failed"],
+                    "id": str(event.id),
+                    "error": err,
+                }
+            )

@@ -1,0 +1,127 @@
+"""Byte-level assertion of the ClickHouse INSERT path against a stdlib
+HTTP mock — the closest an offline sandbox gets to the reference's live
+bulk INSERT (internal/clickhouseclient/clickhouse.go:63-128).  Fails if
+the 16-column INSERT list, the TSV row encoding, or the auth/database
+headers ever drift."""
+
+from __future__ import annotations
+
+import datetime as dt
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from logpump_spark.config import ClickHouseConfig
+from logpump_spark.sources.clickhouse import (
+    TECHLOG_INSERT_COLUMNS,
+    insert_statement,
+    techlog_tsv_lines,
+    write_techlog_http,
+)
+
+_RECEIVED: list[dict] = []
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_POST(self):  # noqa: N802 — stdlib handler contract
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        _RECEIVED.append(
+            {
+                "query": urllib.parse.parse_qs(
+                    urllib.parse.urlparse(self.path).query
+                ),
+                "body": body,
+                "user": self.headers.get("X-ClickHouse-User"),
+                "key": self.headers.get("X-ClickHouse-Key"),
+            }
+        )
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(b"Ok.\n")
+
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture()
+def mock_server():
+    _RECEIVED.clear()
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _techlog_rows(spark):
+    rows = [
+        (
+            dt.date(2025, 5, 26), dt.datetime(2025, 5, 26, 7, 52, 11, 123456),
+            "DBMSSQL", 4521, "Admin", "prod_base", 77, 12, 3456,
+            None, None, 'SELECT 1 WHERE x = "a\tb"', "10", "0",
+            "Ctx\nline2", "rphost",
+        ),
+        (
+            dt.date(2025, 5, 27), dt.datetime(2025, 5, 27, 8, 0, 0, 1),
+            "EXCP", 0, None, "dev", 0, 0, 0,
+            None, None, None, None, None, "back\\slash", "ragent",
+        ),
+    ]
+    schema = (
+        "EventDate date, EventTime timestamp, EventType string, Duration long, "
+        "User string, InfoBase string, SessionID long, ClientID long, "
+        "ConnectionID long, ExceptionType string, ErrorText string, "
+        "SQLText string, Rows string, RowsAffected string, Context string, "
+        "ProcessName string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_insert_statement_pins_16_column_order():
+    assert len(TECHLOG_INSERT_COLUMNS) == 16
+    stmt = insert_statement("tech_logs")
+    assert stmt == (
+        "INSERT INTO tech_logs (EventDate, EventTime, EventType, Duration, "
+        "User, InfoBase, SessionID, ClientID, ConnectionID, ExceptionType, "
+        "ErrorText, SQLText, Rows, RowsAffected, Context, ProcessName) "
+        "FORMAT TabSeparated"
+    )
+
+
+def test_tsv_serialization_is_byte_exact(spark):
+    lines = sorted(
+        r["line"] for r in techlog_tsv_lines(_techlog_rows(spark)).collect()
+    )
+    assert lines == [
+        "2025-05-26\t2025-05-26 07:52:11.123456\tDBMSSQL\t4521\tAdmin\t"
+        "prod_base\t77\t12\t3456\t\\N\t\\N\t"
+        'SELECT 1 WHERE x = "a\\tb"\t10\t0\tCtx\\nline2\trphost',
+        "2025-05-27\t2025-05-27 08:00:00.000001\tEXCP\t0\t\\N\tdev\t0\t0\t0\t"
+        "\\N\t\\N\t\\N\t\\N\t\\N\tback\\\\slash\tragent",
+    ]
+
+
+def test_http_insert_round_trip(spark, mock_server):
+    cfg = ClickHouseConfig(
+        address=mock_server, username="u1", password="s3cret",
+        database="logs_db", protocol="http",
+    )
+    df = _techlog_rows(spark).repartition(2)
+    write_techlog_http(df, cfg, "tech_logs")
+
+    assert _RECEIVED, "mock server saw no INSERT"
+    got_lines = []
+    for r in _RECEIVED:
+        assert r["query"]["query"] == [insert_statement("tech_logs")]
+        assert r["query"]["database"] == ["logs_db"]
+        assert r["user"] == "u1" and r["key"] == "s3cret"
+        body = r["body"].decode("utf-8")
+        assert body.endswith("\n")
+        got_lines += body.rstrip("\n").split("\n")
+    expected = sorted(
+        r["line"] for r in techlog_tsv_lines(_techlog_rows(spark)).collect()
+    )
+    assert sorted(got_lines) == expected

@@ -513,3 +513,48 @@ def test_llm_quality_gate_streaming_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert seen == batch
+
+
+def test_alert_hook_fires_once_on_bad_batch(spark, tmp_path):
+    # the Sentry-hook analog (logger.go:100-136): a micro-batch whose
+    # dead-letter count crosses the threshold invokes the callback
+    # exactly once; healthy batches never do
+    import time as _time
+
+    from logpump_spark.streaming.metrics import (
+        AlertConfig,
+        TechLogMetricsListener,
+    )
+
+    d = _dirs(tmp_path)
+    with open(f"{d['in']}/25052607.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_A + RECORD_B)  # healthy batch
+    with open(f"{d['in']}/bad.log", "w", encoding="utf-8") as f:
+        f.write(RECORD_C)  # filename too short for a date -> dead letter
+
+    fired: list[dict] = []
+    listener = TechLogMetricsListener(
+        alerts=AlertConfig(max_rejects_per_batch=0, on_alert=fired.append)
+    ).attach(spark)
+    try:
+        writer = build_techlog_stream(
+            spark,
+            d["in"],
+            d["out"],
+            d["ckpt"],
+            table_map=TABLE_MAP,
+            available_now=True,
+            max_files_per_trigger=1,  # one file per micro-batch -> 2 batches
+            metrics=listener,
+        )
+        run_stream(writer, timeout_seconds=120)
+        deadline = _time.time() + 30
+        while _time.time() < deadline and len(listener.batches) < 2:
+            _time.sleep(0.2)
+    finally:
+        listener.detach(spark)
+
+    assert len(fired) == 1, fired
+    assert fired[0]["reasons"] == ["rejects_per_batch"]
+    assert fired[0]["batch"]["rejects"] == 1
+    assert listener.alerts == fired
