@@ -151,6 +151,18 @@ HEADLINE = [
     "join_interval_bucketed",
     "setop_bag_ops",
     "win_running_distinct",
+    # r6 additions
+    "tpch_q2_min_cost",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "funnel_strict_order",
+    "topk_weighted",
+    "agg_uniq_upto",
+    "quantile_timing",
+    "shuffle_epoch",
+    "curation_domain_stats",
+    "seq_count",
+    "agg_minmax_map",
 ]
 
 

@@ -66,62 +66,56 @@ _MODULES = (
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
-# registry entries per round.  Round-5 window, in priority order:
-#   1-45   the 45 round-4-tail ids that have never had a driver
-#          CORRECTNESS row (local-parity green at sf0.001/0.01/0.1 via
-#          tests/test_oracle_parity.py, but never externally checked) —
-#          scans, aggregates, dedup variants, graph, timeseries, CDC,
-#          training assembly, VARIANT/hash/URL scalar suites
-#   46-47  q1_pricing_summary + join_inner long-green canaries
-#   48-50  sim_pq_adc / embed_quantize_sq8 / sessionize_events — in the
-#          round-4 window, but no CORRECTNESS_r04.json was produced, so
-#          re-listed as a hedge (code changed in r4: PQ wiring, SQ8
-#          numpy encode, NTZ-safe sessionize).
-# The remaining round-4-window ids (parse plane, windows, similarity)
-# rotate back in round 6 if r04 artifacts never materialize.
-#
-# Round-6 rotation candidates (local-parity green at sf0.01 AND sf0.1,
-# never driver-verified): the 29 round-5 additions —
-#   tpch_q3_shipping, tpch_q4_priority, tpch_q5_nation_volume,
-#   tpch_q6_revenue_delta, tpch_q10_returns, tpch_q14_promo,
-#   tpch_q17_small_qty, tpch_q18_big_orders, tpch_q22_global_sales,
-#   agg_hll_distinct, agg_hll_sliding, agg_hll_native, agg_argmax,
-#   pivot_wide, fn_ip_suite, chat_assemble, pref_pairs,
-#   rollup_incremental, agg_cond_suite, agg_quantile_weighted,
-#   graph_triangles, text_pmi_pairs, sketch_kmv_overlap,
-#   dedup_bloom_probe, cdc_scd2, join_scd2_pointintime,
-#   attribution_last_touch, timeseries_mad, timeseries_islands,
-#   multimodal_phash, multimodal_audio_fp, sample_kcenter
-# — plus whatever the r05 CORRECTNESS artifact shows as still
-# unverified from the r4 window.
+# registry entries per round.  Round-6 window, in priority order:
+#   1      agg_sum_map — the only red r05 row (driver-canonicalizer
+#          crash on array cells), now serialized via array_join; must
+#          re-verify green.
+#   2-40   the 39 round-5 additions (SURVEY §2.J) — never driver-checked
+#          (added after the r05 window rotated); all local-parity green
+#          at sf0.01 + sf0.1.  Includes fn_array2_suite, whose cumsum
+#          was rewritten O(n) this round, and quality_benford /
+#          timeseries_islands / agg_hll_sliding, which took advisor
+#          fixes this round.
+#   41-48  the r03-broken-then-fixed parse plane — never driver-green
+#          since the Spark-4.1 NTZ incident.
+#   49-50  dedup_minhash_lsh / dedup_simhash — full value oracles never
+#          driver-checked (r02 rows-only check predates them).
+# Still unverified after this window (rotate in r7): the ~24 §2.H/§2.I
+# P-status ids (dedup_components, sim_srp_lsh, text_tfidf,
+# sample_stratified, topk_per_group, funnel_steps, retention_cohort,
+# timeseries_fill, timeseries_anomaly, unpivot_stack,
+# text_quality_gopher, text_repetition, text_pii_scrub,
+# text_decontaminate, corpus_vocab, quality_decile_by_lang,
+# dedup_canonical, sample_topp, join_skew_salted, pack_sequences,
+# split_assign, sample_temperature, seq_match, multimodal_resize)
+# plus the seven round-6 additions (TPC-H Q2/Q11/Q15, strict-order
+# funnel, weighted top-k, uniqUpTo, quantileTiming — tpch_q2_min_cost
+# sits at position 51 as the first r7 candidate).
 _WINDOW_PRIORITY = [
-    # scans / sources
-    "scan_csv", "scan_jsonl", "scan_orc",
-    # relational / SQL surface
-    "sql_recursive_cte", "join_null_safe", "win_ntile", "win_cume_dist",
-    "trending_topk",
-    # aggregate suites
-    "agg_bool", "agg_mode", "agg_sum_map", "agg_entropy", "agg_ttest",
-    "agg_regr", "agg_skew_kurt", "agg_bitmap_distinct",
-    "agg_quantile_hist", "freq_heavy_hitters",
-    # scalar suites
-    "fn_url_suite", "fn_variant", "fn_hash_suite", "udtf_sentences",
-    # timeseries / CDC
-    "timeseries_ewma", "timeseries_ohlc", "timeseries_gaps",
-    "cdc_latest_wins", "xform_zorder_key", "stream_dedup",
-    # dedup / graph / similarity
-    "dedup_edit_distance", "dedup_semantic", "dedup_substring",
-    "dedup_cluster_stats", "graph_pagerank", "sim_hardneg",
-    "embed_label_purity",
-    # text / corpus curation
-    "text_lm_score", "text_boilerplate", "text_oov_rate",
-    "corpus_merge", "corpus_overlap", "curation_pipeline", "chunk_docs",
-    # training assembly
-    "training_prepare", "split_leakage_check", "multimodal_frames",
-    # canaries (driver-green r1-r3)
-    "q1_pricing_summary", "join_inner",
-    # round-4-window hedges (changed in r4, r04 artifacts missing)
-    "sim_pq_adc", "embed_quantize_sq8", "sessionize_events",
+    # the one red row from r05, fixed this round
+    "agg_sum_map",
+    # round-5 additions (§2.J), never driver-checked
+    "tpch_q3_shipping", "tpch_q5_nation_volume", "tpch_q6_revenue_delta",
+    "tpch_q10_returns", "tpch_q18_big_orders", "tpch_q4_priority",
+    "tpch_q14_promo", "tpch_q17_small_qty", "tpch_q22_global_sales",
+    "agg_hll_distinct", "agg_argmax", "pivot_wide", "fn_ip_suite",
+    "chat_assemble", "pref_pairs", "rollup_incremental", "agg_cond_suite",
+    "agg_quantile_weighted", "agg_hll_native", "graph_triangles",
+    "text_pmi_pairs", "sketch_kmv_overlap", "dedup_bloom_probe",
+    "agg_hll_sliding", "join_scd2_pointintime", "sample_kcenter",
+    "join_interval_bucketed", "cdc_scd2", "attribution_last_touch",
+    "timeseries_mad", "timeseries_islands", "multimodal_phash",
+    "multimodal_audio_fp", "quality_benford", "fn_array2_suite",
+    "win_pct_of_total", "fn_try_suite", "setop_bag_ops",
+    "win_running_distinct",
+    # the r03-broken-then-fixed parse plane
+    "parse_record_split", "parse_header_positional", "parse_kv_map",
+    "parse_sql_quoted", "parse_context", "parse_full_entry",
+    "xform_event_time", "xform_duration",
+    # full-oracle dedup ids whose r02 check was rows-only
+    "dedup_minhash_lsh", "dedup_simhash",
+    # round-6 additions
+    "tpch_q2_min_cost",
 ]
 
 

@@ -285,3 +285,55 @@ ORDER BY user_id
 
 SPARK_QUERIES["funnel_strict_order"] = funnel_strict_order
 ORACLE_SQL["funnel_strict_order"] = _FUNNEL_STRICT_SQL
+
+
+def seq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount`` (strict-order form): how many times
+    per user a view is IMMEDIATELY followed by a click in the full
+    event stream — occurrence counting, where funnel_strict_order stops
+    at the first anchor.  One lead() over one user-partitioned sort
+    then a per-user conditional count; per-row state is one label."""
+    ev = load(spark, sf_dir, "events")
+    lbl = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(0)
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select("user_id", "ts", "event_id", lbl.alias("lbl")).withColumn(
+        "nxt", F.lead("lbl").over(w)
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when((F.col("lbl") == 1) & (F.col("nxt") == 2), 1).otherwise(0)
+            ).alias("n_view_click"),
+        )
+        .filter(F.col("n_view_click") > 0)
+        .orderBy("user_id")
+    )
+
+
+_SEQ_COUNT_SQL = """
+WITH labeled AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              ELSE 0 END AS lbl
+  FROM events
+),
+led AS (
+  SELECT user_id, lbl,
+         LEAD(lbl) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM labeled
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN lbl = 1 AND nxt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click
+FROM led GROUP BY user_id
+HAVING SUM(CASE WHEN lbl = 1 AND nxt = 2 THEN 1 ELSE 0 END) > 0
+ORDER BY user_id
+"""
+
+SPARK_QUERIES["seq_count"] = seq_count
+ORACLE_SQL["seq_count"] = _SEQ_COUNT_SQL

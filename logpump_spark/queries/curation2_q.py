@@ -541,3 +541,48 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 
 SPARK_QUERIES["text_oov_rate"] = text_oov_rate
 ORACLE_SQL["text_oov_rate"] = _TEXT_OOV_SQL
+
+
+def curation_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus accounting (the C4/RefinedWeb-style source
+    audit every crawl curation run starts with): docs, characters,
+    language spread, and each domain's exact per-mille share of the
+    corpus.  One groupBy on the domain key; the corpus total is a
+    1-row aggregate broadcast back, so the share never forces a second
+    corpus scan — at 100 TB this is one shuffle of |domains| rows."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "n_langs",
+            F.floor(F.col("n_docs") * 1000 / F.col("n_total"))
+            .cast("long")
+            .alias("share_permille"),
+        )
+        .orderBy(F.col("total_chars").desc(), F.col("source"))
+    )
+
+
+_DOMAIN_STATS_SQL = """
+WITH tot AS (SELECT COUNT(*) AS n_total FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(FLOOR(COUNT(*) * 1000 / MAX(n_total)) AS BIGINT) AS share_permille
+FROM documents CROSS JOIN tot
+GROUP BY source
+ORDER BY total_chars DESC, source
+"""
+
+SPARK_QUERIES["curation_domain_stats"] = curation_domain_stats
+ORACLE_SQL["curation_domain_stats"] = _DOMAIN_STATS_SQL

@@ -462,3 +462,67 @@ ORDER BY event_id
 
 SPARK_QUERIES["fn_try_suite"] = fn_try_suite
 ORACLE_SQL["fn_try_suite"] = _FN_TRY_SQL
+
+
+def agg_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap``/``maxMap`` analogs completing the *Map
+    aggregate family next to agg_sum_map: key-wise minima and maxima of
+    per-event metric maps per event_type, returned in the CH
+    parallel-arrays shape serialized to CSV scalars.  Same scale shape
+    as agg_sum_map — explode to (group, key) rows, partial-aggregated
+    min/max, re-collect sorted; group state bounded by the metric
+    vocabulary."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("val_milli"), F.floor(F.col("value") * 1000).cast("long"),
+        F.lit("k"), F.get_json_object("props", "$.k").cast("long"),
+        F.lit("uid"), F.col("user_id").cast("long"),
+    )
+    flat = ev.select("event_type", F.explode(m).alias("mk", "mv"))
+    per_key = flat.groupBy("event_type", "mk").agg(
+        F.min("mv").alias("lo"), F.max("mv").alias("hi")
+    )
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("mk", "lo", "hi"))).alias("kv")
+        )
+        .select(
+            "event_type",
+            F.array_join(
+                F.transform("kv", lambda s: s["mk"]), ","
+            ).alias("map_keys"),
+            F.array_join(
+                F.transform("kv", lambda s: s["lo"].cast("string")), ","
+            ).alias("map_mins"),
+            F.array_join(
+                F.transform("kv", lambda s: s["hi"].cast("string")), ","
+            ).alias("map_maxs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AGG_MINMAX_MAP_SQL = """
+WITH flat AS (
+  SELECT event_type, u.mk,
+         CASE u.mk
+           WHEN 'val_milli' THEN CAST(FLOOR(value * 1000) AS BIGINT)
+           WHEN 'k' THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+           ELSE user_id
+         END AS mv
+  FROM events, UNNEST(['val_milli', 'k', 'uid']) AS u(mk)
+),
+per_key AS (
+  SELECT event_type, mk, MIN(mv) AS lo, MAX(mv) AS hi
+  FROM flat GROUP BY event_type, mk
+)
+SELECT event_type,
+       string_agg(mk, ',' ORDER BY mk) AS map_keys,
+       string_agg(CAST(lo AS VARCHAR), ',' ORDER BY mk) AS map_mins,
+       string_agg(CAST(hi AS VARCHAR), ',' ORDER BY mk) AS map_maxs
+FROM per_key GROUP BY event_type ORDER BY event_type
+"""
+
+SPARK_QUERIES["agg_minmax_map"] = agg_minmax_map
+ORACLE_SQL["agg_minmax_map"] = _AGG_MINMAX_MAP_SQL

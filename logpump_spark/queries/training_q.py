@@ -566,3 +566,52 @@ ORDER BY media_id
 
 SPARK_QUERIES["multimodal_audio_fp"] = multimodal_audio_fp
 ORACLE_SQL["multimodal_audio_fp"] = _AUDIO_FP_SQL
+
+
+def shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: each epoch permutes the
+    corpus by an oracle-replayable hash of (doc_id, epoch) and deals
+    docs into 8 reader shards with a per-shard position — the
+    "shuffle 100 TB without shuffling 100 TB" idiom: shard assignment
+    is a pure hash partition (no global sort ever exists), and the
+    position is a per-shard window sort, so each epoch costs one
+    hash-partitioned exchange + independent shard-local sorts.  Two
+    epochs are emitted to pin that different epochs yield different
+    permutations from the same corpus snapshot."""
+    from ..llmdata.dedup import md5_hash60
+
+    docs = load(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    )
+    hk = md5_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string"))
+    )
+    shard = (hk % 8).cast("long")
+    w = W.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
+    return (
+        e.select("doc_id", "epoch", hk.alias("hk"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "epoch", "shard", "pos")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+_SHUFFLE_EPOCH_SQL = """
+WITH e AS (
+  SELECT doc_id, u.epoch FROM documents, UNNEST([0, 1]) AS u(epoch)
+),
+h AS (
+  SELECT doc_id, epoch,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+              CAST(epoch AS VARCHAR)), 2, 15)) AS BIGINT) AS hk
+  FROM e
+)
+SELECT doc_id, epoch, CAST(hk % 8 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, hk % 8
+                               ORDER BY hk, doc_id) AS INT) AS pos
+FROM h ORDER BY doc_id, epoch
+"""
+
+SPARK_QUERIES["shuffle_epoch"] = shuffle_epoch
+ORACLE_SQL["shuffle_epoch"] = _SHUFFLE_EPOCH_SQL
