@@ -163,6 +163,7 @@ HEADLINE = [
     "curation_domain_stats",
     "seq_count",
     "agg_minmax_map",
+    "sample_dsir",
 ]
 
 

@@ -586,3 +586,102 @@ ORDER BY total_chars DESC, source
 
 SPARK_QUERIES["curation_domain_stats"] = curation_domain_stats
 ORACLE_SQL["curation_domain_stats"] = _DOMAIN_STATS_SQL
+
+
+_DSIR_BUCKETS = 1024
+_DSIR_TOPN = 50
+
+
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style targeted data selection (Xie et al. 2023,
+    arXiv:2302.03169): hashed word-bigram features, importance weight
+    per feature bucket = (target count + 1) / (raw count + 1), per-doc
+    score = mean bucket weight over the doc's features, top docs
+    selected.  Here the 'target domain' is the English slice and the
+    raw corpus is everything — the standard domain-upweighting setup.
+
+    Engine-exact: buckets via the replayable md5 hash, weights
+    floor-quantized at 1e6 (one identical IEEE division), score = one
+    more floored division of exact integers — no cross-engine log().
+
+    100 TB shape: the feature table is BOUNDED (1024 buckets), so the
+    count aggregation shuffles at most n_buckets rows per mapper and
+    the weight table broadcasts back onto the exploded features —
+    scoring never shuffles anything wider than (doc_id, bucket), and
+    the final per-doc fold rides one doc-key shuffle."""
+    from ..llmdata.dedup import md5_hash60
+
+    docs = load(spark, sf_dir, "documents")
+    bg = F.when(
+        F.size(F.split(F.col("text"), " ")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "doc_id", "lang", F.explode(bg).alias("f")
+    ).select(
+        "doc_id", "lang", F.pmod(md5_hash60(F.col("f")), F.lit(_DSIR_BUCKETS)).alias("b")
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("raw_c"))
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt_c"))
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            F.floor(
+                (F.coalesce(F.col("tgt_c"), F.lit(0)) + 1) * 1000000
+                / (F.col("raw_c") + 1)
+            ).cast("long").alias("q"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("q").alias("qsum"), F.count(F.lit(1)).alias("n_feats"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.floor(F.col("qsum") / F.col("n_feats")).cast("long").alias("score_mean"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_mean").desc(), F.col("doc_id").asc()
+    ).limit(_DSIR_TOPN)
+
+
+_DSIR_SQL = f"""
+WITH ts AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]), 2, 15)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS b
+  FROM ts, UNNEST(range(1, greatest(len(t), 1))) AS r(i)
+),
+raw AS (SELECT b, COUNT(*) AS raw_c FROM feats GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS tgt_c FROM feats WHERE lang = 'en' GROUP BY b),
+w AS (
+  SELECT raw.b,
+         CAST(FLOOR((COALESCE(tgt_c, 0) + 1) * 1000000 / (raw_c + 1)) AS BIGINT) AS q
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+),
+scored AS (
+  SELECT doc_id, lang, COUNT(*) AS n_feats,
+         CAST(FLOOR(SUM(q) / COUNT(*)) AS BIGINT) AS score_mean
+  FROM feats JOIN w ON feats.b = w.b
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_feats, score_mean
+FROM scored
+ORDER BY score_mean DESC, doc_id ASC
+LIMIT {_DSIR_TOPN}
+"""
+
+SPARK_QUERIES["sample_dsir"] = sample_dsir
+ORACLE_SQL["sample_dsir"] = _DSIR_SQL

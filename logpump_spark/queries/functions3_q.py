@@ -353,7 +353,9 @@ def fn_array2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDFs."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    toks_u = F.split(F.upper(F.col("text")), " ")
+    # upper() commutes with the space split, so uppercase the tokens
+    # instead of regex-splitting the full text a second time
+    toks_u = F.transform(toks, F.upper)
     lens = F.transform(toks, lambda x: F.length(x))
     n = F.size(lens)
     diffs = F.zip_with(
