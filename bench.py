@@ -164,6 +164,7 @@ HEADLINE = [
     "seq_count",
     "agg_minmax_map",
     "sample_dsir",
+    "fn_encoding_suite",
 ]
 
 

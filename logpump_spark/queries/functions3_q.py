@@ -528,3 +528,43 @@ FROM per_key GROUP BY event_type ORDER BY event_type
 
 SPARK_QUERIES["agg_minmax_map"] = agg_minmax_map
 ORACLE_SQL["agg_minmax_map"] = _AGG_MINMAX_MAP_SQL
+
+
+def fn_encoding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/text encoding surface (CH base64Encode/hex/unhex + printf
+    formatting): base64 and hex over the UTF-8 bytes of document
+    prefixes, a decode round-trip check, printf-style formatting, and
+    string reversal — all codegen'd, byte-identical across engines
+    because both sides encode the same UTF-8."""
+    docs = load(spark, sf_dir, "documents")
+    head40 = F.substring(F.col("text"), 1, 40)
+    head16 = F.substring(F.col("text"), 1, 16)
+    b64 = F.base64(F.encode(head40, "utf-8"))
+    return (
+        docs.select(
+            "doc_id",
+            b64.alias("b64"),
+            F.hex(F.encode(head16, "utf-8")).alias("hex16"),
+            (F.decode(F.unbase64(b64), "utf-8") == head40).alias("roundtrip_ok"),
+            F.format_string("%s|%05d", F.col("source"), F.col("doc_id")).alias(
+                "tagged"
+            ),
+            F.reverse(F.col("source")).alias("rev_source"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FN_ENCODING_SQL = """
+SELECT doc_id,
+       base64(encode(substr(text, 1, 40))) AS b64,
+       hex(encode(substr(text, 1, 16))) AS hex16,
+       decode(from_base64(base64(encode(substr(text, 1, 40)))))
+         = substr(text, 1, 40) AS roundtrip_ok,
+       printf('%s|%05d', source, doc_id) AS tagged,
+       reverse(source) AS rev_source
+FROM documents ORDER BY doc_id
+"""
+
+SPARK_QUERIES["fn_encoding_suite"] = fn_encoding_suite
+ORACLE_SQL["fn_encoding_suite"] = _FN_ENCODING_SQL
