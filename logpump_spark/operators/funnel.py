@@ -129,13 +129,42 @@ def window_funnel_strict(
         cond = cond & (F.col(f"nxt{j}") == j + 1)
         level = F.when(cond, j + 1).otherwise(level)
     anchors = df.filter(F.col("lbl") == 1)
-    w_first = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # same window spec as the lead() pass — ONE sort serves both
     return (
-        anchors.withColumn("rn", F.row_number().over(w_first))
+        anchors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             user_col,
             F.col(ts_col).alias("anchor_ts"),
             level.cast("int").alias("level"),
         )
+    )
+
+
+def sequence_count_adjacent(
+    events: DataFrame,
+    first: Column,
+    second: Column,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceCount`` (strict-order form): per-user count
+    of events matching ``first`` IMMEDIATELY followed in the full
+    ordered stream by an event matching ``second`` — occurrence
+    counting, where ``window_funnel_strict`` stops at the first anchor.
+    One lead() over one user-partitioned sort, then a per-user
+    conditional count; per-row state is one label.  Returns
+    (user_col, n_matches) for every user with at least one event."""
+    from pyspark.sql import Window as W
+
+    lbl = F.when(first, 1).when(second, 2).otherwise(0)
+    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    d = events.select(
+        user_col, ts_col, tiebreak_col, lbl.alias("lbl")
+    ).withColumn("nxt", F.lead("lbl").over(w))
+    return d.groupBy(user_col).agg(
+        F.sum(
+            F.when((F.col("lbl") == 1) & (F.col("nxt") == 2), 1).otherwise(0)
+        ).alias("n_matches")
     )

@@ -293,23 +293,14 @@ def seq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream — occurrence counting, where funnel_strict_order stops
     at the first anchor.  One lead() over one user-partitioned sort
     then a per-user conditional count; per-row state is one label."""
+    from ..operators.funnel import sequence_count_adjacent
+
     ev = load(spark, sf_dir, "events")
-    lbl = (
-        F.when(F.col("event_type") == "view", 1)
-        .when(F.col("event_type") == "click", 2)
-        .otherwise(0)
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    d = ev.select("user_id", "ts", "event_id", lbl.alias("lbl")).withColumn(
-        "nxt", F.lead("lbl").over(w)
+    out = sequence_count_adjacent(
+        ev, F.col("event_type") == "view", F.col("event_type") == "click"
     )
     return (
-        d.groupBy("user_id")
-        .agg(
-            F.sum(
-                F.when((F.col("lbl") == 1) & (F.col("nxt") == 2), 1).otherwise(0)
-            ).alias("n_view_click"),
-        )
+        out.select("user_id", F.col("n_matches").alias("n_view_click"))
         .filter(F.col("n_view_click") > 0)
         .orderBy("user_id")
     )

@@ -145,8 +145,17 @@ def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform("kv", lambda s: s["mk"]), ","
             ).alias("map_keys"),
+            # NULL totals serialize as literal 'null' — array_join /
+            # string_agg would otherwise DROP the element and silently
+            # desynchronize values from map_keys
             F.array_join(
-                F.transform("kv", lambda s: s["total"].cast("string")), ","
+                F.transform(
+                    "kv",
+                    lambda s: F.coalesce(
+                        s["total"].cast("string"), F.lit("null")
+                    ),
+                ),
+                ",",
             ).alias("map_sums"),
         )
         .orderBy("event_type")
@@ -168,7 +177,8 @@ per_key AS (
 )
 SELECT event_type,
        string_agg(mk, ',' ORDER BY mk) AS map_keys,
-       string_agg(CAST(CAST(total AS BIGINT) AS VARCHAR), ',' ORDER BY mk) AS map_sums
+       string_agg(COALESCE(CAST(CAST(total AS BIGINT) AS VARCHAR), 'null'),
+                  ',' ORDER BY mk) AS map_sums
 FROM per_key GROUP BY event_type ORDER BY event_type
 """
 
@@ -494,11 +504,21 @@ def agg_minmax_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform("kv", lambda s: s["mk"]), ","
             ).alias("map_keys"),
+            # NULL min/max (an all-NULL key) serializes as 'null' so the
+            # value CSVs can never desynchronize from map_keys
             F.array_join(
-                F.transform("kv", lambda s: s["lo"].cast("string")), ","
+                F.transform(
+                    "kv",
+                    lambda s: F.coalesce(s["lo"].cast("string"), F.lit("null")),
+                ),
+                ",",
             ).alias("map_mins"),
             F.array_join(
-                F.transform("kv", lambda s: s["hi"].cast("string")), ","
+                F.transform(
+                    "kv",
+                    lambda s: F.coalesce(s["hi"].cast("string"), F.lit("null")),
+                ),
+                ",",
             ).alias("map_maxs"),
         )
         .orderBy("event_type")
@@ -521,8 +541,8 @@ per_key AS (
 )
 SELECT event_type,
        string_agg(mk, ',' ORDER BY mk) AS map_keys,
-       string_agg(CAST(lo AS VARCHAR), ',' ORDER BY mk) AS map_mins,
-       string_agg(CAST(hi AS VARCHAR), ',' ORDER BY mk) AS map_maxs
+       string_agg(COALESCE(CAST(lo AS VARCHAR), 'null'), ',' ORDER BY mk) AS map_mins,
+       string_agg(COALESCE(CAST(hi AS VARCHAR), 'null'), ',' ORDER BY mk) AS map_maxs
 FROM per_key GROUP BY event_type ORDER BY event_type
 """
 

@@ -298,9 +298,14 @@ def agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= N+1 elements per group; the two-phase distinct is how the same
     bound falls out of Spark's execution model)."""
     ev = load(spark, sf_dir, "events")
-    d = ev.select(
-        "event_type", F.dayofweek("ts").alias("dow"), "user_id"
-    ).distinct()
+    # NULL users are not distinct members (COUNT(DISTINCT) semantics in
+    # any SQL engine ignores NULLs; the explicit filter makes the Spark
+    # side match even though the fixtures carry no NULL user_id)
+    d = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", F.dayofweek("ts").alias("dow"), "user_id")
+        .distinct()
+    )
     n = d.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).alias("n_distinct")
     )

@@ -139,12 +139,18 @@ def write_techlog_http(
     cfg: ClickHouseConfig,
     table: str,
     insert_timeout_s: int = 60,
+    max_post_bytes: int = 32 * 1024 * 1024,
 ) -> None:
     """Append TechLogRow rows via the ClickHouse HTTP interface: each
-    partition POSTs its serialized TSV batch (reference semantics:
-    60 s insert timeout, clickhouse.go:77; batch-per-send, :79-125).
-    Raises on any non-200 so Spark's task retry handles transient
-    failures (strictly stronger than the reference's drop-on-error)."""
+    partition streams its serialized TSV in POSTs of at most
+    ``max_post_bytes`` (reference semantics: 60 s insert timeout,
+    clickhouse.go:77; batch-per-send, :79-125).  The cap bounds
+    executor-Python memory to one batch regardless of partition size —
+    a 500 MB partition becomes ~16 sequential 32 MB INSERTs, each an
+    independent ClickHouse insert block.  ``urlopen`` raises
+    ``HTTPError`` on any non-2xx, so a failed INSERT fails the Spark
+    task and task retry re-sends (strictly stronger than the
+    reference's drop-on-error)."""
     import urllib.parse
 
     address = cfg.address
@@ -155,22 +161,33 @@ def write_techlog_http(
     def post_partition(it) -> None:
         import urllib.request
 
-        body = "\n".join(r["line"] for r in it)
-        if not body:
-            return
         q = urllib.parse.urlencode({"query": stmt, "database": database})
-        req = urllib.request.Request(
-            f"http://{address}/?{q}",
-            data=(body + "\n").encode("utf-8"),
-            headers={
-                "X-ClickHouse-User": user,
-                "X-ClickHouse-Key": password,
-                "Content-Type": "text/tab-separated-values",
-            },
-            method="POST",
-        )
-        with urllib.request.urlopen(req, timeout=insert_timeout_s) as resp:
-            if resp.status != 200:
-                raise RuntimeError(f"ClickHouse INSERT failed: HTTP {resp.status}")
+
+        def send(chunks: list[bytes]) -> None:
+            req = urllib.request.Request(
+                f"http://{address}/?{q}",
+                data=b"".join(chunks),
+                headers={
+                    "X-ClickHouse-User": user,
+                    "X-ClickHouse-Key": password,
+                    "Content-Type": "text/tab-separated-values",
+                },
+                method="POST",
+            )
+            # raises urllib.error.HTTPError on non-2xx -> task retry
+            with urllib.request.urlopen(req, timeout=insert_timeout_s):
+                pass
+
+        buf: list[bytes] = []
+        size = 0
+        for r in it:
+            b = (r["line"] + "\n").encode("utf-8")
+            buf.append(b)
+            size += len(b)
+            if size >= max_post_bytes:
+                send(buf)
+                buf, size = [], 0
+        if buf:
+            send(buf)
 
     techlog_tsv_lines(rows).foreachPartition(post_partition)

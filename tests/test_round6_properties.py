@@ -78,30 +78,16 @@ def test_strict_funnel_matches_scan_model(spark, events):
 @settings(**_SETTINGS)
 @given(_EVENTS)
 def test_seq_count_matches_scan_model(spark, events):
-    from logpump_spark.queries.analytics_q import seq_count as _  # noqa: F401
+    # drives the PRODUCTION operator (the same one seq_count registers)
+    from logpump_spark.operators.funnel import sequence_count_adjacent
 
-    lbl = (
-        F.when(F.col("event_type") == "view", 1)
-        .when(F.col("event_type") == "click", 2)
-        .otherwise(0)
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    d = (
-        _frame(spark, events)
-        .select("user_id", "ts", "event_id", lbl.alias("lbl"))
-        .withColumn("nxt", F.lead("lbl").over(w))
-    )
     got = {
-        r["user_id"]: r["n"]
-        for r in d.groupBy("user_id")
-        .agg(
-            F.sum(
-                F.when((F.col("lbl") == 1) & (F.col("nxt") == 2), 1).otherwise(0)
-            ).alias("n")
-        )
-        .collect()
+        r["user_id"]: r["n_matches"]
+        for r in sequence_count_adjacent(
+            _frame(spark, events),
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+        ).collect()
     }
 
     for u, stream in _ordered_streams(events).items():
