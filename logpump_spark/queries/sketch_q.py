@@ -343,6 +343,20 @@ _QT_CAP = 30720
 _QT_QS = (50, 90, 99)
 
 
+def timing_bin(ms) -> F.Column:
+    """The quantileTiming layout bin of an integer-ms column: identity
+    below 1024 ms, 16 ms buckets to 30720 ms, capped above.  Cells keyed
+    on this merge by plain addition across shards/days/micro-batches."""
+    return (
+        F.when(ms < _QT_FINE, ms)
+        .when(
+            ms < _QT_CAP,
+            (F.floor(ms / _QT_COARSE_STEP) * _QT_COARSE_STEP).cast("long"),
+        )
+        .otherwise(F.lit(_QT_CAP).cast("long"))
+    )
+
+
 def quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``quantileTiming`` analog over synthetic latencies
     (value*10 -> ms): per event_type, each requested percentile reports
@@ -356,14 +370,7 @@ def quantile_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     p99 dashboards from."""
     ev = load(spark, sf_dir, "events")
     ms = F.floor(F.col("value") * 10).cast("long")
-    b = (
-        F.when(ms < _QT_FINE, ms)
-        .when(
-            ms < _QT_CAP,
-            (F.floor(ms / _QT_COARSE_STEP) * _QT_COARSE_STEP).cast("long"),
-        )
-        .otherwise(F.lit(_QT_CAP).cast("long"))
-    )
+    b = timing_bin(ms)
     binned = (
         ev.select("event_type", b.alias("b"))
         .groupBy("event_type", "b")

@@ -558,3 +558,57 @@ def test_alert_hook_fires_once_on_bad_batch(spark, tmp_path):
     assert fired[0]["reasons"] == ["rejects_per_batch"]
     assert fired[0]["batch"]["rejects"] == 1
     assert listener.alerts == fired
+
+
+def test_timing_sketch_cells_merge_across_micro_batches(spark, tmp_path):
+    # the quantileTiming mergeability claim: per-micro-batch (group, bin)
+    # cells ADD up to exactly the batch cells — split the events over two
+    # files, stream one file per trigger, accumulate by addition
+    from collections import Counter
+
+    from logpump_spark.queries.sketch_q import timing_bin
+    from logpump_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
+
+    def cells(df):
+        ms = F.floor(F.col("value") * 10).cast("long")
+        return (
+            df.select("event_type", timing_bin(ms).alias("b"))
+            .groupBy("event_type", "b")
+            .count()
+        )
+
+    union = spark.read.parquet(f"{src}/a", f"{src}/b")
+    batch = Counter(
+        {(r["event_type"], r["b"]): r["count"] for r in cells(union).collect()}
+    )
+
+    merged: Counter = Counter()
+    n_batches = []
+
+    def sink(df, epoch_id):
+        rows = cells(df).collect()
+        if rows:
+            n_batches.append(epoch_id)
+        for r in rows:
+            merged[(r["event_type"], r["b"])] += r["count"]
+
+    stream = (
+        spark.readStream.schema(union.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(n_batches) >= 2, "expected at least two micro-batches"
+    assert merged == batch
