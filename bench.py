@@ -165,6 +165,7 @@ HEADLINE = [
     "agg_minmax_map",
     "sample_dsir",
     "fn_encoding_suite",
+    "cdc_upsert_apply",
 ]
 
 

@@ -328,3 +328,84 @@ ORDER BY user_id
 
 SPARK_QUERIES["seq_count"] = seq_count
 ORACLE_SQL["seq_count"] = _SEQ_COUNT_SQL
+
+
+def cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change batch to a base snapshot — the MERGE INTO
+    pattern without a table format: deletes drop the base row, upserts
+    replace it, untouched keys pass through.  The change batch is
+    derived deterministically from events (a user whose LAST event is an
+    error is deleted; otherwise upserted with an accumulated balance),
+    so both engines replay it exactly.
+
+    100 TB shape: the change batch aggregates once on its key (one
+    shuffle bounded by |changed keys|), then ONE full-outer equi join
+    against the snapshot on the same key applies everything — no
+    per-operation loop, no second pass; this is how a daily CDC batch
+    folds into a parquet snapshot when MERGE isn't available."""
+    cust = load(spark, sf_dir, "customer")
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    changes = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("last_ty"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("qbal"),
+        )
+        .select(
+            F.col("user_id").alias("key"),
+            F.when(F.col("last_ty") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            (F.col("qbal").cast("double") / 100).alias("new_bal"),
+        )
+    )
+    snap = cust.select(
+        F.col("c_custkey").alias("key"), "c_name", "c_acctbal"
+    )
+    applied = snap.join(changes, "key", "full_outer")
+    return (
+        applied.filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            "key",
+            F.coalesce(F.col("c_name"), F.concat(F.lit("NEW_"), F.col("key"))).alias(
+                "c_name"
+            ),
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("balance"),
+            F.coalesce(F.col("op"), F.lit("K")).alias("applied_op"),
+        )
+        .orderBy("key")
+    )
+
+
+_CDC_UPSERT_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(FLOOR(value * 100) AS BIGINT) AS qv,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+changes AS (
+  SELECT user_id AS key,
+         CASE WHEN MAX(CASE WHEN rn = 1 THEN event_type END) = 'error'
+              THEN 'D' ELSE 'U' END AS op,
+         CAST(SUM(qv) AS DOUBLE) / 100 AS new_bal
+  FROM ranked GROUP BY user_id
+),
+snap AS (SELECT c_custkey AS key, c_name, c_acctbal FROM customer)
+SELECT COALESCE(snap.key, changes.key) AS key,
+       COALESCE(c_name, 'NEW_' || CAST(COALESCE(snap.key, changes.key) AS VARCHAR)) AS c_name,
+       CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS balance,
+       COALESCE(op, 'K') AS applied_op
+FROM snap FULL OUTER JOIN changes ON snap.key = changes.key
+WHERE COALESCE(op, '') <> 'D'
+ORDER BY key
+"""
+
+SPARK_QUERIES["cdc_upsert_apply"] = cdc_upsert_apply
+ORACLE_SQL["cdc_upsert_apply"] = _CDC_UPSERT_SQL
