@@ -166,6 +166,7 @@ HEADLINE = [
     "sample_dsir",
     "fn_encoding_suite",
     "cdc_upsert_apply",
+    "sim_ivf_recall",
 ]
 
 
@@ -212,6 +213,7 @@ def main() -> None:
         "sim_pq_adc",  # PQ codebook fit collects at construction (r4)
         "embed_quantize_sq8",  # range stats collect at construction (r4)
         "sample_kcenter",  # k greedy farthest-point rounds at construction (r5)
+        "sim_ivf_recall",  # k-means fit collects at construction (r6)
     }
 
     # The parse plane's generated projection is enormous; HotSpot's C2

@@ -980,3 +980,54 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 SPARK_QUERIES["sim_hardneg"] = sim_hardneg
 ORACLE_SQL["sim_hardneg"] = _SIM_HARDNEG_SQL
+
+
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF ANN index against the brute-force ground
+    truth — the eval every ANN deployment runs before trusting its
+    index (nprobe/cells tuning reads directly off this number).  Both
+    sides are the registered, oracle-checked operators; recall is the
+    per-query overlap of their top-5 sets.
+
+    100 TB shape: ground truth on the FULL corpus is the expensive
+    side (one corpus pass per query batch, broadcast queries); in
+    production it runs on a sampled query set exactly like this
+    10-query panel, while the IVF side only ever scans nprobe cells."""
+    emb = load(spark, sf_dir, "embeddings")
+    brute = brute_force_topk(emb, _QUERY_IDS, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(
+        emb, _QUERY_IDS, k=5, n_cells=_IVF_CELLS, iters=_IVF_ITERS,
+        nprobe=_IVF_NPROBE,
+    ).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    joined = brute.join(
+        ivf,
+        (F.col("query_id") == F.col("i_qid"))
+        & (F.col("neighbor_id") == F.col("i_nid")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("i_nid").alias("n_overlap"),
+            (F.count("i_nid").cast("double") / 5).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_SIM_IVF_RECALL_SQL = f"""
+SELECT b.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+FROM ({_SIM_TOPK_SQL}) b
+LEFT JOIN ({_SIM_IVF_SQL}) i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+SPARK_QUERIES["sim_ivf_recall"] = sim_ivf_recall
+ORACLE_SQL["sim_ivf_recall"] = _SIM_IVF_RECALL_SQL
