@@ -167,6 +167,8 @@ HEADLINE = [
     "fn_encoding_suite",
     "cdc_upsert_apply",
     "sim_ivf_recall",
+    "win_moving_avg",
+    "join_asof_tolerance",
 ]
 
 

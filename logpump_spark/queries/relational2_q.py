@@ -716,3 +716,58 @@ ORDER BY event_type
 
 SPARK_QUERIES["setop_bag_ops"] = setop_bag_ops
 ORACLE_SQL["setop_bag_ops"] = _BAG_SQL
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-gap tolerance (pandas merge_asof
+    ``tolerance`` semantics on the union+window shape): each purchase
+    gets the same-user's latest click at-or-before it, but only if that
+    click is within 30 minutes — older matches NULL out.  Same ONE
+    user-key shuffle as join_asof (operators/asof.py); the tolerance is
+    a post-filter on the carried timestamp, costing nothing extra."""
+    from ..operators.asof import asof_join
+
+    tol_us = 30 * 60 * 1_000_000
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(purchases, clicks, ["user_id"], "ts", "cts", suffix="")
+    in_tol = F.unix_micros(F.col("click_ts")) >= (
+        F.unix_micros(F.col("ts")) - tol_us
+    )
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(in_tol, F.col("click_ts")).alias("click_ts"),
+            F.coalesce(in_tol, F.lit(False)).alias("matched"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_JOIN_ASOF_TOL_SQL = """
+WITH raw AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT MAX(c.ts) FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND c.ts <= p.ts) AS click_ts
+  FROM events p WHERE p.event_type = 'purchase'
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(click_ts) >= epoch_us(ts) - 1800000000
+            THEN click_ts END AS click_ts,
+       COALESCE(epoch_us(click_ts) >= epoch_us(ts) - 1800000000, FALSE)
+         AS matched
+FROM raw ORDER BY event_id
+"""
+
+SPARK_QUERIES["join_asof_tolerance"] = join_asof_tolerance
+ORACLE_SQL["join_asof_tolerance"] = _JOIN_ASOF_TOL_SQL

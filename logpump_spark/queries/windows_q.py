@@ -342,3 +342,53 @@ ORDER BY user_id, day
 
 SPARK_QUERIES["win_running_distinct"] = win_running_distinct
 ORACLE_SQL["win_running_distinct"] = _WIN_RUNDIST_SQL
+
+
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame moving average (the groupArrayMovingAvg analog):
+    trailing-7-event mean value per user — the count-based sibling of
+    win_range_frame's time-based lookback.  ROWS frames depend on the
+    physical order, so the ORDER BY carries the unique event_id
+    tiebreak; the mean is one division of a quantized integer sum by
+    the frame row count, engine-exact."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    qv = F.floor(F.col("value") * 10000).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            qv.alias("qv"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.sum("qv").over(w).cast("double")
+                / (F.count(F.lit(1)).over(w) * 10000)
+            ).alias("mov_avg7"),
+            F.count(F.lit(1)).over(w).alias("frame_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_WIN_MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) OVER w AS DOUBLE)
+         / (COUNT(*) OVER w * 10000) AS mov_avg7,
+       COUNT(*) OVER w AS frame_n
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+SPARK_QUERIES["win_moving_avg"] = win_moving_avg
+ORACLE_SQL["win_moving_avg"] = _WIN_MOVING_AVG_SQL
