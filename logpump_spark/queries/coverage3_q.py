@@ -55,7 +55,7 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB — and it's mergeable: re-aggregating register tables from
     shards ORs the same maxima.  (Raw estimate, no small/large-range
     correction; the exact column alongside shows the bias.)"""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     key = F.floor(F.col("value") * 100).cast("long").cast("string")
     h = md5_hash60(key)
     base = ev.select(
@@ -101,7 +101,7 @@ WITH base AS (
   SELECT event_type,
          ({_HLL_H}) % {_HLL_M} AS bucket,
          ({_HLL_H}) // {_HLL_M} AS h2
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 rhos AS (
   SELECT event_type, bucket,
@@ -129,7 +129,7 @@ est AS (
 ),
 exact AS (
   SELECT event_type, COUNT(DISTINCT CAST(FLOOR(value * 100) AS BIGINT)) AS n_exact
-  FROM events GROUP BY 1
+  FROM events WHERE value IS NOT NULL GROUP BY 1
 )
 SELECT e.event_type AS event_type, exact.n_exact AS n_exact,
        e.n_hll AS n_hll, e.m_used AS m_used
@@ -148,7 +148,12 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a composite (value, id) ordering struct — the id tiebreak makes
     the picked row engine-deterministic even on duplicate values.  One
     partial-aggregated shuffle on the group key."""
-    ev = load(spark, sf_dir, "events")
+    # argMax over a NULL ordering value or NULL group is undefined
+    # cross-engine (struct-NULL ordering vs join-dropped groups) — pin
+    # the domain to non-null dimension + value
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
     qv = F.floor(F.col("value") * 10000).cast("long")
     base = ev.select("event_type", "user_id", "event_id", qv.alias("qv"))
     return (
@@ -167,7 +172,7 @@ _ARGMAX_SQL = """
 WITH base AS (
   SELECT event_type, user_id, event_id,
          CAST(FLOOR(value * 10000) AS BIGINT) AS qv
-  FROM events
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
 ),
 hi AS (
   SELECT event_type, user_id,
@@ -376,7 +381,14 @@ def pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     id tiebreaks for engine determinism.  Groups of one can't form a
     pair and are dropped.  One partial-aggregated shuffle — max/min of
     a (score, id) struct — never a self-join."""
-    docs = load(spark, sf_dir, "documents")
+    # pairs need a non-null prompt group and score: the oracle's hi/lo
+    # window joins drop NULL (source, lang) groups while Spark's groupBy
+    # keeps them, and max(struct(NULL,...)) ordering is engine-undefined
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("n_chars").isNotNull()
+    )
     sd = F.struct(F.col("n_chars").alias("s"), F.col("doc_id").alias("d"))
     g = (
         docs.groupBy("source", "lang")
@@ -398,17 +410,21 @@ def pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PREF_SQL = """
-WITH hi AS (
+WITH base AS (
+  SELECT * FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL AND n_chars IS NOT NULL
+),
+hi AS (
   SELECT source, lang, doc_id, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY n_chars DESC, doc_id DESC) AS rn
-  FROM documents
+  FROM base
 ),
 lo AS (
   SELECT source, lang, doc_id, n_chars,
          ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY n_chars ASC, doc_id ASC) AS rn
-  FROM documents
+  FROM base
 ),
-n AS (SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2)
+n AS (SELECT source, lang, COUNT(*) AS n_docs FROM base GROUP BY 1, 2)
 SELECT n.source AS source, n.lang AS lang,
        hi.doc_id AS chosen_id, lo.doc_id AS rejected_id,
        hi.n_chars - lo.n_chars AS margin,
@@ -552,7 +568,9 @@ def agg_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact with no interpolation arithmetic.  One group shuffle
     feeds the per-group total (broadcast back), the cumulative window,
     and the conditional-min fold."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
     qv = F.floor(F.col("value") * 10000).cast("long")
     w_int = (F.col("user_id") % 5 + 1).cast("long")
     base = ev.select("event_type", qv.alias("qv"), w_int.alias("w"), "event_id")
@@ -595,7 +613,7 @@ WITH base AS (
          CAST(FLOOR(value * 10000) AS BIGINT) AS qv,
          CAST(user_id % 5 + 1 AS BIGINT) AS w,
          event_id
-  FROM events
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
 ),
 tot AS (SELECT event_type, SUM(w) AS tw FROM base GROUP BY 1),
 flagged AS (
@@ -667,8 +685,11 @@ def agg_hll_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(est - F.col("n_exact").cast("double"))
         <= F.lit(0.05) * F.col("n_exact").cast("double") + F.lit(2.0)
     )
+    merged = merged.withColumnRenamed("event_type", "et2")
     return (
-        direct.join(merged, "event_type")
+        direct.join(
+            merged, direct["event_type"].eqNullSafe(F.col("et2"))
+        )
         .select(
             "event_type",
             "n_exact",

@@ -105,7 +105,7 @@ def fn_sql_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < _N)
     sql = F.format_string(
         "SELECT * FROM T%d WHERE a >= 2024-01-15 10:30:00 AND b < 2025-12-31 23:59:59 ",
-        F.col("user_id"),
+        F.coalesce(F.col("user_id"), F.lit(0)),  # NULL-safe: DuckDB printf NULLs the row
     )
     scrubbed = F.trim(
         F.regexp_replace(sql, r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", "")
@@ -119,7 +119,7 @@ _FN_SQL_SCRUB_SQL = f"""
 WITH s AS (
   SELECT event_id,
     trim(regexp_replace(
-      printf('SELECT * FROM T%d WHERE a >= 2024-01-15 10:30:00 AND b < 2025-12-31 23:59:59 ', user_id),
+      printf('SELECT * FROM T%d WHERE a >= 2024-01-15 10:30:00 AND b < 2025-12-31 23:59:59 ', COALESCE(user_id, 0)),
       '\\d{{4}}-\\d{{2}}-\\d{{2}} \\d{{2}}:\\d{{2}}:\\d{{2}}', '', 'g')) AS sql_scrubbed
   FROM events WHERE event_id < {_N}
 )
@@ -192,7 +192,9 @@ def xform_project_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.col("event_type").alias("EventType"),  # Component -> EventType
-        F.format_string("db%d", F.col("user_id") % 5).alias("InfoBase"),
+        F.format_string(
+            "db%d", F.coalesce(F.col("user_id"), F.lit(0)) % 5
+        ).alias("InfoBase"),
         big_session.alias("session_u64"),
         F.pmod(big_session, F.lit(1 << 32)).cast("long").alias("SessionID"),
         F.col("user_id").cast("long").alias("ClientID"),
@@ -202,7 +204,7 @@ def xform_project_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XFORM_PROJECT_SQL = f"""
 SELECT event_id,
   event_type AS EventType,
-  printf('db%d', user_id % 5) AS InfoBase,
+  printf('db%d', COALESCE(user_id, 0) % 5) AS InfoBase,
   event_id + (event_id % 3) * 4294967296 AS session_u64,
   (event_id + (event_id % 3) * 4294967296) % 4294967296 AS SessionID,
   user_id AS ClientID
@@ -242,8 +244,12 @@ def sink_insert_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("EventTime"),
         F.col("event_type").alias("EventType"),
         F.floor(F.col("value") * 1000).cast("long").alias("Duration"),
-        F.format_string("user%d", F.col("user_id") % 4).alias("User"),
-        F.format_string("db%d", F.col("user_id") % 5).alias("InfoBase"),
+        F.format_string(
+            "user%d", F.coalesce(F.col("user_id"), F.lit(0)) % 4
+        ).alias("User"),
+        F.format_string(
+            "db%d", F.coalesce(F.col("user_id"), F.lit(0)) % 5
+        ).alias("InfoBase"),
         F.col("event_id").alias("SessionID"),
         (F.col("user_id") % 100).cast("long").alias("ClientID"),
         (F.col("user_id") % 50).cast("long").alias("ConnectionID"),
@@ -263,8 +269,8 @@ SELECT
   ts AS EventTime,
   event_type AS EventType,
   CAST(FLOOR(value * 1000) AS BIGINT) AS Duration,
-  printf('user%d', user_id % 4) AS User,
-  printf('db%d', user_id % 5) AS InfoBase,
+  printf('user%d', COALESCE(user_id, 0) % 4) AS User,
+  printf('db%d', COALESCE(user_id, 0) % 5) AS InfoBase,
   event_id AS SessionID,
   user_id % 100 AS ClientID,
   user_id % 50 AS ConnectionID,

@@ -73,7 +73,9 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FN_MATH_SQL = """
 SELECT event_id,
   abs(value - 50) AS abs_c,
-  CASE WHEN value - 50 > 0 THEN 1.0 WHEN value - 50 < 0 THEN -1.0 ELSE 0.0 END AS sign_c,
+  CASE WHEN value IS NULL THEN NULL
+       WHEN value - 50 > 0 THEN 1.0 WHEN value - 50 < 0 THEN -1.0
+       ELSE 0.0 END AS sign_c,
   CAST(ceil(value) AS BIGINT) AS ceil_v,
   CAST(floor(value) AS BIGINT) AS floor_v,
   sqrt(value) AS sqrt_v,

@@ -43,12 +43,15 @@ def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     int/string fields."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     parsed = F.from_json(F.col("props"), "k INT")
+    # ignoreNullFields=false: Spark's default OMITS null fields while
+    # DuckDB's to_json renders "k2":null — align on the explicit form
     rebuilt = F.to_json(
         F.struct(
             F.col("event_id").alias("id"),
             F.col("event_type").alias("t"),
             (parsed["k"] * 2).alias("k2"),
-        )
+        ),
+        {"ignoreNullFields": "false"},
     )
     return ev.select(
         "event_id",
@@ -231,9 +234,14 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks values, not just shape — ``F.parse_url`` exists for
     users and returns the same components for these URLs."""
     docs = load(spark, sf_dir, "documents")
+    # NULL-safe URL build: Spark concat() NULLs the whole URL on any
+    # NULL part while DuckDB || does too — but downstream regexp_extract
+    # then diverges (Spark NULL vs DuckDB '') — so pin empty strings
     url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
-        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("https://"), F.coalesce(F.col("source"), F.lit("")),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="),
+        F.coalesce(F.col("lang"), F.lit("")),
         F.lit("&v=2"),
     )
     d = docs.select("doc_id", url.alias("url"))
@@ -251,8 +259,8 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FN_URL_SQL = """
 WITH d AS (
   SELECT doc_id,
-         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
-         || '?lang=' || lang || '&v=2' AS url
+         'https://' || COALESCE(source, '') || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+         || '?lang=' || COALESCE(lang, '') || '&v=2' AS url
   FROM documents
 )
 SELECT doc_id, url,
@@ -566,9 +574,9 @@ def fn_encoding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             b64.alias("b64"),
             F.hex(F.encode(head16, "utf-8")).alias("hex16"),
             (F.decode(F.unbase64(b64), "utf-8") == head40).alias("roundtrip_ok"),
-            F.format_string("%s|%05d", F.col("source"), F.col("doc_id")).alias(
-                "tagged"
-            ),
+            F.format_string(
+                "%s|%05d", F.coalesce(F.col("source"), F.lit("")), F.col("doc_id")
+            ).alias("tagged"),
             F.reverse(F.col("source")).alias("rev_source"),
         )
         .orderBy("doc_id")
@@ -581,7 +589,7 @@ SELECT doc_id,
        hex(encode(substr(text, 1, 16))) AS hex16,
        decode(from_base64(base64(encode(substr(text, 1, 40)))))
          = substr(text, 1, 40) AS roundtrip_ok,
-       printf('%s|%05d', source, doc_id) AS tagged,
+       printf('%s|%05d', COALESCE(source, ''), doc_id) AS tagged,
        reverse(source) AS rev_source
 FROM documents ORDER BY doc_id
 """

@@ -31,7 +31,13 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.instr(F.col("text"), "data").alias("pos_data"),
             F.col("text").contains("join").cast("int").alias("has_join"),
             F.replace(F.col("text"), F.lit("data"), F.lit("DATA")).alias("replaced"),
-            F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("trimmed"),
+            # coalesce: Spark concat() NULLs the padded string on NULL
+            # lang while DuckDB CONCAT() skips the NULL part
+            F.trim(
+                F.concat(
+                    F.lit("  "), F.coalesce(F.col("lang"), F.lit("")), F.lit("  ")
+                )
+            ).alias("trimmed"),
             F.concat_ws("|", "lang", "source").alias("lang_source"),
             F.md5(F.col("text")).alias("text_md5"),
             F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("no_digits"),
@@ -252,14 +258,14 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parser.go:51); here a map column is built, key-projected, and sized.
     map_from_entries/str_to_map mirror parseSimpleHeader (parser.go:80-86)."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    kv = F.concat(
-        F.lit("type="),
-        F.col("event_type"),
-        F.lit(",user="),
-        F.col("user_id").cast("string"),
-    )
+    # NULL-safe parts: Spark concat() NULLs the whole string on any
+    # NULL arg while DuckDB CONCAT() skips NULLs — coalesce to '' so
+    # both engines build the identical header text
+    ety = F.coalesce(F.col("event_type"), F.lit(""))
+    uid = F.coalesce(F.col("user_id").cast("string"), F.lit(""))
+    kv = F.concat(F.lit("type="), ety, F.lit(",user="), uid)
     m = F.expr(
-        "map_from_entries(transform(split(concat('type=', event_type, ',user=', CAST(user_id AS STRING)), ','), p -> struct(split(p, '=')[0] AS key, split(p, '=')[1] AS value)))"
+        "map_from_entries(transform(split(concat('type=', coalesce(event_type, ''), ',user=', coalesce(CAST(user_id AS STRING), '')), ','), p -> struct(split(p, '=')[0] AS key, split(p, '=')[1] AS value)))"
     )
     return (
         ev.select(
@@ -277,8 +283,8 @@ _FN_MAP_SQL = """
 SELECT
   event_id,
   CONCAT('type=', event_type, ',user=', CAST(user_id AS VARCHAR)) AS kv_raw,
-  event_type AS m_type,
-  CAST(user_id AS VARCHAR) AS m_user,
+  COALESCE(event_type, '') AS m_type,
+  COALESCE(CAST(user_id AS VARCHAR), '') AS m_user,
   2 AS m_size
 FROM events
 WHERE event_id < 2000

@@ -654,7 +654,7 @@ def embed_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustering-evaluation pass (llmdata/similarity.label_purity)."""
     from ..llmdata.similarity import label_purity
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
     return label_purity(emb).orderBy("label")
 
 
@@ -662,6 +662,7 @@ _LABEL_PURITY_SQL = f"""
 WITH px AS (
   SELECT label, u.i AS pos, ROUND(AVG(CAST(embedding[u.i] AS DOUBLE)), 6) AS c
   FROM embeddings, UNNEST(range(1, 65)) u(i)
+  WHERE label IS NOT NULL
   GROUP BY label, u.i
 ),
 cent AS (
@@ -670,7 +671,7 @@ cent AS (
 scored AS (
   SELECT e.vec_id, e.label, cent.clabel,
          ROUND({_COS.format(a="e.embedding", b="cent.cv")}, 6) AS cos
-  FROM embeddings e CROSS JOIN cent
+  FROM embeddings e CROSS JOIN cent WHERE e.label IS NOT NULL
 ),
 assigned AS (
   SELECT vec_id, label, clabel AS assigned FROM (

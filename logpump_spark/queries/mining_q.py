@@ -514,7 +514,7 @@ def agg_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     x 512) regardless of corpus size — this is how a 100 TB events
     table serves rolling uniques.  Exact trailing distinct rides
     alongside (the expensive recomputation the sketch replaces)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     day = F.date_trunc("day", F.col("ts"))
     # floor(), not cast-truncation, to match the oracle's integer floor
     # division for pre-1970 timestamps (cast truncates toward zero).
@@ -580,7 +580,7 @@ WITH base AS (
          ({_HLLS_H}) % {_HLLS_M} AS bucket,
          ({_HLLS_H}) // {_HLLS_M} AS h2,
          user_id
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 rhos AS (
   SELECT d, bucket,

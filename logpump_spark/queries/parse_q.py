@@ -34,6 +34,11 @@ _FMT = (
 
 
 def _record_col():
+    # NULL-input policy (a real corpus has NULLs; the fixtures don't):
+    # every synthesized field coalesces to a fixed default BEFORE
+    # formatting, identically in the oracle — Spark's format_string
+    # renders Java's "null" for NULL args while DuckDB printf() NULLs
+    # the whole string, so un-coalesced NULLs silently diverge.
     mm = F.minute("ts")
     sub_us = F.unix_micros(F.col("ts")) % 60_000_000
     ss = (sub_us / F.lit(1_000_000)).cast("long")
@@ -44,34 +49,41 @@ def _record_col():
     dur = (
         F.when(F.col("event_id") % 5 == 0, F.lit("notnum"))
         .when(F.col("event_id") % 19 == 0, F.lit("5000000000"))
-        .otherwise(F.floor(F.col("value") * 1000).cast("long").cast("string"))
+        .otherwise(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+            .cast("long").cast("string")
+        )
     )
     sev = (
         F.when(F.col("event_id") % 3 == 0, F.lit("xx"))
         .when(F.col("event_id") % 13 == 0, F.lit("300"))
-        .otherwise((F.col("user_id") % 4).cast("string"))
+        .otherwise((F.coalesce(F.col("user_id"), F.lit(0)) % 4).cast("string"))
     )
     sess = (
         F.when(F.col("event_id") % 11 == 0, F.lit("notanumber"))
         .when(F.col("event_id") % 17 == 0, F.lit("99999999999999999999"))
         .otherwise(F.col("event_id").cast("string"))
     )
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    )
+    uid = F.coalesce(F.col("user_id"), F.lit(0))
+    ety = F.coalesce(F.col("event_type"), F.lit("NONE"))
     return F.format_string(
         _FMT,
         mm,
         ss,
         us,
         dur,
-        F.col("event_type"),
+        ety,
         sev,
-        F.col("user_id") % 4,
-        F.col("user_id") % 5,
+        uid % 4,
+        uid % 5,
         sess,
         k,
         F.col("event_id"),
-        F.col("user_id"),
-        F.col("event_type"),
+        uid,
+        ety,
     )
 
 
@@ -87,20 +99,20 @@ _RECORD_SQL = f"""printf(
   epoch_us(ts) % 1000000,
   CASE WHEN event_id % 5 = 0 THEN 'notnum'
        WHEN event_id % 19 = 0 THEN '5000000000'
-       ELSE CAST(CAST(FLOOR(value * 1000) AS BIGINT) AS VARCHAR) END,
-  event_type,
+       ELSE CAST(CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS VARCHAR) END,
+  COALESCE(event_type, 'NONE'),
   CASE WHEN event_id % 3 = 0 THEN 'xx'
        WHEN event_id % 13 = 0 THEN '300'
-       ELSE CAST(user_id % 4 AS VARCHAR) END,
-  user_id % 4,
-  user_id % 5,
+       ELSE CAST(COALESCE(user_id, 0) % 4 AS VARCHAR) END,
+  COALESCE(user_id, 0) % 4,
+  COALESCE(user_id, 0) % 5,
   CASE WHEN event_id % 11 = 0 THEN 'notanumber'
        WHEN event_id % 17 = 0 THEN '99999999999999999999'
        ELSE CAST(event_id AS VARCHAR) END,
-  CAST(json_extract_string(props, '$.k') AS BIGINT),
+  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0),
   event_id,
-  user_id,
-  event_type
+  COALESCE(user_id, 0),
+  COALESCE(event_type, 'NONE')
 )"""
 
 

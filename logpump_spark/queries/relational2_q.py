@@ -323,7 +323,10 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    w = W.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    # explicit NULLS LAST (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_last(), F.col("event_id").asc()
+    )
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
         ev.select(
@@ -341,11 +344,11 @@ _WIN_PERCENT_RANK_SQL = """
 SELECT user_id, event_id,
   PERCENT_RANK() OVER w AS pct_rank,
   CUME_DIST() OVER w AS cume,
-  NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC
+  NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id ASC
                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     AS second_event
 FROM events WHERE user_id < 20
-WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)
+WINDOW w AS (PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id ASC)
 ORDER BY user_id, event_id
 """
 
@@ -359,7 +362,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is exactly what the oracle states."""
     from ..operators.skew import salted_join
 
-    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # equi-join semantics: NULL keys match nothing — filter them so the
+    # oracle's GROUP BY (which would keep a NULL group) states the same set
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    ).select("event_id", "event_type", "value")
     dim = (
         ev.select("event_type")
         .distinct()
@@ -386,7 +393,8 @@ SELECT event_type,
        CAST(concat('0x', substr(md5(event_type), 2, 15)) AS BIGINT) % 1000
          AS type_code,
        COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
-FROM events GROUP BY 1, 2 ORDER BY event_type
+FROM events WHERE event_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY event_type
 """
 
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,7 +740,9 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         F.col("ts").alias("cts"),
         F.col("ts").alias("click_ts"),

@@ -297,7 +297,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    # NULL-user clicks match nothing (the oracle's correlated equi
+    # predicate never equates NULLs; Spark's window partitioning WOULD
+    # group NULL with NULL) — drop them so both engines agree
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         F.col("ts").alias("cts"),
         F.col("ts").alias("last_click_ts"),

@@ -22,10 +22,15 @@ def freq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The estimate column makes the sketch itself the thing under test:
     both engines must land identical bucket collisions."""
     ev = load(spark, sf_dir, "events")
+    # NULL-safe key: concat_ws SKIPS null parts in Spark while DuckDB's
+    # || NULLs the whole key — coalesce each part so both engines build
+    # the identical key for NULL-bearing rows
     keyed = ev.select(
-        F.concat_ws(":", F.col("event_type"), F.col("user_id").cast("string")).alias(
-            "key"
-        )
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("event_type"), F.lit("~")),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("~")),
+        ).alias("key")
     )
     sketch = cms_build(keyed, F.col("key"), _CMS_DEPTH, _CMS_WIDTH)
     exact = (
@@ -57,7 +62,8 @@ def _cms_oracle_sql() -> str:
     )
     return f"""
 WITH keyed AS (
-  SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS key FROM events
+  SELECT COALESCE(event_type, '~') || ':' ||
+         COALESCE(CAST(user_id AS VARCHAR), '~') AS key FROM events
 ),
 hashed AS (SELECT key, {hm} AS hm FROM keyed),
 cells AS (
@@ -108,7 +114,11 @@ def agg_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg for bin counts, and a per-group sorted fold over <= 64 bins via
     collect_list — per-group state is bounded by the bin count, never by
     row count (the reason to sketch at 100 TB instead of sorting)."""
-    ev = load(spark, sf_dir, "events")
+    # quantiles are over NON-NULL values in any engine; un-filtered, a
+    # NULL bucket crashes the element_at fold and shifts oracle bins
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     qv = F.floor(F.col("value") * 10000).cast("long")
     base = ev.select("event_type", qv.alias("qv"))
     rng = base.groupBy("event_type").agg(
@@ -180,7 +190,8 @@ def _quantile_hist_oracle_sql() -> str:
     est_cols = ",\n  ".join(ests)
     return f"""
 WITH base AS (
-  SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS qv FROM events
+  SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS qv
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
 ),
 rng AS (
   SELECT event_type, MIN(qv) AS lo, MAX(qv) AS hi, COUNT(*) AS n
@@ -220,9 +231,12 @@ def topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     keyed = ev.select(
         F.concat_ws(
-            ":", F.col("event_type"), F.col("user_id").cast("string")
+            ":",
+            F.coalesce(F.col("event_type"), F.lit("~")),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("~")),
         ).alias("key"),
-        F.floor(F.col("value") * 100).cast("long").alias("w"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("long").alias("w"),
     )
     sketch = cms_build(
         keyed, F.col("key"), _CMS_DEPTH, _CMS_WIDTH, weight=F.col("w")
@@ -250,8 +264,9 @@ def _topk_weighted_oracle_sql() -> str:
     )
     return f"""
 WITH keyed AS (
-  SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS key,
-         CAST(FLOOR(value * 100) AS BIGINT) AS w
+  SELECT COALESCE(event_type, '~') || ':' ||
+         COALESCE(CAST(user_id AS VARCHAR), '~') AS key,
+         CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT) AS w
   FROM events
 ),
 hashed AS (SELECT key, w, {hm} AS hm FROM keyed),

@@ -19,7 +19,9 @@ def timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user daily event series with calendar gaps filled and the
     quantized value sum forward-filled (users < 30 keep the result and
     oracle cost bounded)."""
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 30) & F.col("value").isNotNull()
+    )
     out = gap_fill_daily(ev, "user_id", "ts", "value")
     return out.select(
         "user_id",
@@ -34,7 +36,7 @@ WITH daily AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          COUNT(*) AS n_events,
          CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS qsum
-  FROM events WHERE user_id < 30
+  FROM events WHERE user_id < 30 AND value IS NOT NULL
   GROUP BY 1, 2
 ),
 spine AS (
@@ -122,7 +124,9 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (alpha=1/2, 8-lag truncation) of the daily quantized
     value sum — integer weights make the smoothing engine-exact (users
     < 30 keep the result and oracle cost bounded)."""
-    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 30) & F.col("value").isNotNull()
+    )
     out = ewma_daily(ev, "user_id", "ts", "value")
     return out.select(
         "user_id", F.col("day").cast("string").alias("day"), "qsum", "ewma_q"
@@ -134,7 +138,7 @@ _TS_EWMA_SQL = """
 WITH daily AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS qsum
-  FROM events WHERE user_id < 30
+  FROM events WHERE user_id < 30 AND value IS NOT NULL
   GROUP BY 1, 2
 ),
 lagged AS (
@@ -286,7 +290,7 @@ def timeseries_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two window passes and one broadcast join, all on the
     event_type partitioning; no per-group sort escapes its partition."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     qv = F.floor(F.col("value") * 10000).cast("long")
     base = ev.select("event_type", qv.alias("qv"), "event_id")
     w1 = W.partitionBy("event_type").orderBy("qv", "event_id")
@@ -329,7 +333,7 @@ def timeseries_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TS_MAD_SQL = """
 WITH base AS (
   SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS qv, event_id
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 med AS (
   SELECT event_type, qv AS med FROM (

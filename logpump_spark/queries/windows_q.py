@@ -130,7 +130,14 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.first("event_type").over(w_full).alias("first_type"),
             F.last("event_type").over(w_full).alias("last_type"),
-            F.ntile(4).over(W.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())).alias("quartile"),
+            # explicit NULLS LAST: Spark ASC defaults NULLS FIRST,
+            # DuckDB NULLS LAST — unpinned, NULL values silently shift
+            # every ntile boundary between engines
+            F.ntile(4).over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("value").asc_nulls_last(), F.col("event_id").asc()
+                )
+            ).alias("quartile"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -140,7 +147,7 @@ _WIN_FIRST_LAST_SQL = """
 SELECT user_id, event_id,
        FIRST_VALUE(event_type) OVER w2 AS first_type,
        LAST_VALUE(event_type)  OVER w2 AS last_type,
-       NTILE(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS quartile
+       NTILE(4) OVER (PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id ASC) AS quartile
 FROM events
 WHERE user_id < 50
 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

@@ -54,7 +54,10 @@ def _canon_cell(v) -> str:
     if isinstance(v, dt.datetime):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, dt.date):
-        return v.isoformat()
+        # render as midnight ISO so DATE == midnight TIMESTAMP — the
+        # driver's pandas bridge converts both to Timestamp, so this is
+        # the comparison the external gate actually performs
+        return dt.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, (list, np.ndarray)):
@@ -84,18 +87,38 @@ def duckdb_connect(sf_dir: str):
     return con
 
 
+def canon_rows_native(cols: list[str], rows) -> list[tuple[str, ...]]:
+    """Canonicalize native-typed rows (Spark collect() / DuckDB
+    fetchall()) — unlike the pandas path, an int column with NULLs stays
+    int instead of widening to float64, so NULL-bearing results compare
+    on their true values."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
 def compare_one(name: str, spark, con, sf_dir: str, queries, oracles) -> tuple[bool, str]:
     sdf = queries[name](spark, sf_dir)
-    spdf = sdf.toPandas()
+    srows_raw = sdf.collect()
+    s_cols = list(sdf.columns)
     if name not in oracles:
-        return True, f"rows-only ({len(spdf)} rows)"
-    opdf = con.execute(oracles[name]).df()
-    s_cols, o_cols = sorted(spdf.columns), sorted(opdf.columns)
-    if s_cols != o_cols:
-        return False, f"column mismatch: spark={s_cols} oracle={o_cols}"
-    if len(spdf) != len(opdf):
-        return False, f"row count mismatch: spark={len(spdf)} oracle={len(opdf)}"
-    srows, orows = canon_rows(spdf), canon_rows(opdf)
+        return True, f"rows-only ({len(srows_raw)} rows)"
+    cur = con.execute(oracles[name])
+    o_cols = [d[0] for d in cur.description]
+    orows_raw = cur.fetchall()
+    if sorted(s_cols) != sorted(o_cols):
+        return False, (
+            f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+        )
+    if len(srows_raw) != len(orows_raw):
+        return False, (
+            f"row count mismatch: spark={len(srows_raw)} oracle={len(orows_raw)}"
+        )
+    s_cols_sorted = sorted(s_cols)
+    srows = canon_rows_native(s_cols, srows_raw)
+    orows = canon_rows_native(o_cols, orows_raw)
+    s_cols = s_cols_sorted
     if srows == orows:
         return True, f"OK ({len(srows)} rows)"
     ndiff = sum(1 for a, b in zip(srows, orows) if a != b)
