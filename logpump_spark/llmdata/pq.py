@@ -76,11 +76,15 @@ def fit_pq(
         .limit(k)
         .collect()
     )
-    if len(init_rows) < k:
-        raise ValueError(
-            f"fit_pq: need >= {k} vectors to seed {k} centroids per subspace, "
-            f"got {len(init_rows)}"
-        )
+    # graceful degradation (matches the oracle's rank-limited seed CTE):
+    # a corpus smaller than k seeds one centroid per vector; an EMPTY
+    # corpus yields empty codes/codebooks so downstream ADC searches
+    # return empty instead of crashing on a data-less partition
+    if not init_rows:
+        empty_codes = spark.createDataFrame([], "_id long, m long, cell long")
+        empty_cent = spark.createDataFrame([], "m long, cid long, c array<long>")
+        return empty_codes, empty_cent
+    k = min(k, len(init_rows))
     # driver-side quantization of k tiny init vectors — same floor(x*1e6)
     # int64 math as the executor path
     Q0 = np.vstack(

@@ -193,14 +193,17 @@ def fit_ivf(
         .limit(n_cells)
         .collect()
     )
-    if len(init) < n_cells:
-        raise ValueError(
-            f"fit_ivf: need >= {n_cells} vectors to seed {n_cells} cells, "
-            f"got {len(init)}"
-        )
-
     def _cent_df(rows: list[tuple[int, list[int]]]) -> DataFrame:
         return spark.createDataFrame(rows, "cid long, c array<long>")
+
+    # graceful degradation (faiss-like, and what the SQL oracle's
+    # rank-limited seed CTE already does): a corpus smaller than n_cells
+    # seeds one cell per vector; an EMPTY corpus yields empty cells and
+    # centroids so downstream searches return empty instead of crashing
+    # on a day/partition with no data
+    if not init:
+        empty = spark.createDataFrame([], f"{id_col} long, cell long")
+        return empty, _cent_df([])
 
     cent_rows = [(cid, list(r.q)) for cid, r in enumerate(init)]
     vec_only = emb.select(F.col(vec_col))

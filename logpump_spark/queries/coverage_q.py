@@ -37,7 +37,13 @@ def scan_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCAN_GLOB_SQL = "SELECT COUNT(*) AS n_rows, 1::BIGINT AS n_files FROM lineitem"
+# n_files counts files TOUCHED (distinct input_file_name over rows), so
+# an empty table touches zero files — the CASE keeps the oracle honest
+# on empty input
+_SCAN_GLOB_SQL = (
+    "SELECT COUNT(*) AS n_rows, "
+    "CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END::BIGINT AS n_files FROM lineitem"
+)
 
 
 def fn_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:

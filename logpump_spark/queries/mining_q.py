@@ -742,6 +742,10 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = q.persist()
     try:
         first = q.orderBy("vec_id").first()
+        if first is None:  # empty corpus: empty coreset, not a crash
+            return spark.createDataFrame(
+                [], "center_rank int, vec_id long, dist_to_set long"
+            )
         selected = [(1, int(first["vec_id"]), 0)]
         sel_vecs = [first["v"]]
         for rank in range(2, _KC_K + 1):

