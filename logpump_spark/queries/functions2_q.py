@@ -90,27 +90,37 @@ FROM events WHERE event_id < 2000 ORDER BY event_id
 
 
 def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """\b/\w are engine-divergent OUTSIDE ASCII (Java's \b is
+    Unicode-aware, RE2's is ASCII — 'straße' matches differently), so
+    the word-boundary surface is pinned to an explicitly ASCII-sanitized
+    projection (identity on ASCII text; non-ASCII maps to space in both
+    engines)."""
     docs = load(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", " ")
     return docs.select(
         "doc_id",
-        F.regexp_count(F.col("text"), F.lit(r"\bdata\b")).alias("n_data"),
-        F.regexp_extract(F.col("text"), r"(\w+) (\w+)", 2).alias("second_tok"),
-        F.col("text").rlike("join.*table").cast("int").alias("has_join_table"),
-        F.regexp_replace(F.col("text"), r"\b(\w)(\w*)\b", "$1").alias("initials_only"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\b\w{5}\b"), 0)).alias(
+        F.regexp_count(t, F.lit(r"\bdata\b")).alias("n_data"),
+        F.regexp_extract(t, r"(\w+) (\w+)", 2).alias("second_tok"),
+        t.rlike("join.*table").cast("int").alias("has_join_table"),
+        F.regexp_replace(t, r"\b(\w)(\w*)\b", "$1").alias("initials_only"),
+        F.size(F.regexp_extract_all(t, F.lit(r"\b\w{5}\b"), 0)).alias(
             "n_5letter"
         ),
     ).orderBy("doc_id")
 
 
 _FN_REGEXP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', ' ', 'g') AS text
+  FROM documents
+)
 SELECT doc_id,
   len(regexp_extract_all(text, '\bdata\b', 0)) AS n_data,
   regexp_extract(text, '(\w+) (\w+)', 2) AS second_tok,
   CAST(regexp_matches(text, 'join.*table') AS INT) AS has_join_table,
   regexp_replace(text, '\b(\w)(\w*)\b', '\1', 'g') AS initials_only,
   len(regexp_extract_all(text, '\b\w{5}\b', 0)) AS n_5letter
-FROM documents ORDER BY doc_id
+FROM t ORDER BY doc_id
 """
 
 
