@@ -172,11 +172,16 @@ def test_fit_ivf_non_contiguous_ids(emb):
     assert bf == ivf
 
 
-def test_fit_ivf_too_few_vectors_raises(emb):
+def test_fit_ivf_degrades_gracefully_on_small_corpus(emb):
+    # round 6: a corpus smaller than n_cells seeds one cell per vector
+    # (faiss-style) instead of raising; empty corpus -> empty index
     from logpump_spark.llmdata.similarity import fit_ivf
 
-    with pytest.raises(ValueError, match="need >= 50"):
-        fit_ivf(emb.limit(10), n_cells=50)
+    cells, cent = fit_ivf(emb.limit(10), n_cells=50)
+    assert cells.count() == 10
+    assert cent.count() <= 10
+    e_cells, e_cent = fit_ivf(emb.limit(0), n_cells=8)
+    assert e_cells.count() == 0 and e_cent.count() == 0
 
 
 def test_fit_pq_deterministic_and_complete(emb):
@@ -206,8 +211,13 @@ def test_fit_pq_non_contiguous_ids(emb):
     assert seeded <= {0, 1, 2, 3} and len(seeded) >= 1
     assert {r._id for r in codes.collect()} == {i * 10 + 5 for i in range(40)}
 
-    with pytest.raises(ValueError, match="need >= 50"):
-        fit_pq(shifted.limit(10), n_sub=2, k=50, dim=4)
+    # round 6: a corpus smaller than k seeds min(n, k) codebook entries
+    # per subspace instead of raising; empty corpus -> empty codebooks
+    codes_s, cent_s = fit_pq(shifted.limit(10), n_sub=2, k=50, dim=4)
+    assert codes_s.count() == 10 * 2
+    assert cent_s.count() <= 10 * 2
+    codes_e, cent_e = fit_pq(shifted.limit(0), n_sub=2, k=4, dim=4)
+    assert codes_e.count() == 0 and cent_e.count() == 0
 
 
 def test_pq_adc_recall_vs_brute_force(emb):
