@@ -624,19 +624,25 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", F.pmod(md5_hash60(F.col("f")), F.lit(_DSIR_BUCKETS)).alias("b")
     )
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("raw_c"))
-    tgt = (
-        feats.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tgt_c"))
-    )
+    # two consumers (bucket counts, then scoring) — materialize the
+    # explode+md5 pass once instead of re-hashing every bigram per
+    # branch; at 100 TB this is the standard featurize-once checkpoint
+    feats = feats.localCheckpoint(eager=False)
+    # ONE aggregation carries both corpus counts (conditional sum for
+    # the target slice) — a separate target pass would re-explode and
+    # re-hash every bigram a second time
     w = (
-        raw.join(tgt, "b", "left")
+        feats.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("raw_c"),
+            F.sum(
+                F.when(F.col("lang") == "en", 1).otherwise(0)
+            ).alias("tgt_c"),
+        )
         .select(
             "b",
             F.floor(
-                (F.coalesce(F.col("tgt_c"), F.lit(0)) + 1) * 1000000
-                / (F.col("raw_c") + 1)
+                (F.col("tgt_c") + 1) * 1000000 / (F.col("raw_c") + 1)
             ).cast("long").alias("q"),
         )
     )
@@ -664,12 +670,11 @@ feats AS (
            % {_DSIR_BUCKETS} AS b
   FROM ts, UNNEST(range(1, greatest(len(t), 1))) AS r(i)
 ),
-raw AS (SELECT b, COUNT(*) AS raw_c FROM feats GROUP BY b),
-tgt AS (SELECT b, COUNT(*) AS tgt_c FROM feats WHERE lang = 'en' GROUP BY b),
 w AS (
-  SELECT raw.b,
-         CAST(FLOOR((COALESCE(tgt_c, 0) + 1) * 1000000 / (raw_c + 1)) AS BIGINT) AS q
-  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+  SELECT b,
+         CAST(FLOOR((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * 1000000
+                    / (COUNT(*) + 1)) AS BIGINT) AS q
+  FROM feats GROUP BY b
 ),
 scored AS (
   SELECT doc_id, lang, COUNT(*) AS n_feats,
