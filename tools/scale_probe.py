@@ -43,6 +43,14 @@ PROBES = [
     "text_pmi_pairs",         # documents bigram explode + vocab-bounded joins
     "sketch_kmv_overlap",     # documents scan; per-source K-sample bounded
     "cdc_scd2",               # events per-user window (group sizes constant)
+    # r6 probes
+    "quantile_timing",        # events scan; <= ~2900 bins/group regardless of rows
+    "topk_weighted",          # weighted CMS build (bounded shuffle)
+    "funnel_strict_order",    # one user-key sort, two window passes
+    "shuffle_epoch",          # pure hash partition + per-shard sort
+    "sample_dsir",            # bounded 1024-bucket feature table, 2 corpus passes
+    "curation_domain_stats",  # one |domains| shuffle + broadcast total
+    "cdc_upsert_apply",       # change agg + one full-outer key join
 ]
 
 _OFFSETS = {
