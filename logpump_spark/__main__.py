@@ -53,6 +53,14 @@ def main() -> int:
         trigger_seconds=cfg.batch_interval,
         available_now=args.drain,
         metrics=metrics,
+        # protocol: http + an address turns on the live ClickHouse
+        # bulk-INSERT path (sources/clickhouse.py HTTP interface)
+        # alongside the parquet sink — the reference's data path
+        clickhouse_http=(
+            cfg.clickhouse
+            if cfg.clickhouse.protocol == "http" and cfg.clickhouse.address
+            else None
+        ),
     )
     query = writer.start()
 

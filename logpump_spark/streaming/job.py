@@ -276,6 +276,7 @@ def build_techlog_stream(
     max_files_per_trigger: int | None = None,
     config_path: str | None = None,
     metrics=None,
+    clickhouse_http=None,
 ):
     """Assemble (not start) the streaming query.
 
@@ -296,6 +297,14 @@ def build_techlog_stream(
       of the reference's inotify immediacy; a config that fails to parse
       or validate keeps the previous routing (reload-on-change must never
       take the pipeline down mid-stream).
+    - ``clickhouse_http``: a ``ClickHouseConfig`` — in addition to the
+      parquet sink, each micro-batch bulk-INSERTs its rows over the
+      ClickHouse HTTP interface (sources/clickhouse.py
+      write_techlog_http), one INSERT per routed table — the
+      reference's stream -> ClickHouse data path end-to-end (batch
+      sends, clickhouse.go:79-125).  A failed INSERT fails the batch,
+      which Spark replays (checkpoint + per-epoch idempotent parquet
+      keeps the local sink consistent).
     - ``metrics``: a ``TechLogMetricsListener`` (streaming/metrics.py) —
       the sink reports each epoch's dead-letter count to it so the
       per-batch progress record carries rejects alongside rows/sec and
@@ -364,6 +373,23 @@ def build_techlog_stream(
             route_and_write(
                 rows, sink_dir, routing["tmap"], routing["default"], epoch_id=epoch_id
             )
+            if clickhouse_http is not None:
+                from ..sources.clickhouse import write_techlog_http
+
+                routed = rows.withColumn(
+                    "_table",
+                    table_routing_column(routing["tmap"], routing["default"]),
+                )
+                tables = [
+                    r["_table"]
+                    for r in routed.select("_table").distinct().collect()
+                ]  # bounded by the routing map, not by rows
+                for t in sorted(tables):
+                    write_techlog_http(
+                        routed.filter(F.col("_table") == t).drop("_table"),
+                        clickhouse_http,
+                        t,
+                    )
             # dead-letter branch (improvement over the silent drop,
             # clickhouse.go:92-95): keep rejects auditable next to the sink
             write_rejects(rejects, sink_dir, epoch_id)

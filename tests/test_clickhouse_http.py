@@ -125,3 +125,55 @@ def test_http_insert_round_trip(spark, mock_server):
         r["line"] for r in techlog_tsv_lines(_techlog_rows(spark)).collect()
     )
     assert sorted(got_lines) == expected
+
+
+def test_streaming_job_inserts_over_http(spark, mock_server, tmp_path):
+    """The reference's full data path, end-to-end: log file -> stream ->
+    parse -> route -> per-table bulk INSERT over the ClickHouse wire
+    format — against the mock server, with the routed table names and
+    row payloads asserted."""
+    import os
+
+    from logpump_spark.streaming import build_techlog_stream
+    from logpump_spark.streaming.job import run_stream
+
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    os.makedirs(d["in"], exist_ok=True)
+    with open(f"{d['in']}/25052607.log", "w", encoding="utf-8") as f:
+        f.write(
+            "07:15.123456-2500,DBMSSQL,0,Usr=ivanov,DataBase=erp,"
+            "SessionID=7,Sql='SELECT 1'\n"
+            "08:02.000001-10,EXCP,3,Usr=petrov,Event=Boom\n"
+        )
+
+    cfg = ClickHouseConfig(
+        address=mock_server, username="u", password="p",
+        database="logs", protocol="http",
+    )
+    writer = build_techlog_stream(
+        spark,
+        d["in"],
+        d["out"],
+        d["ckpt"],
+        table_map={"EXCP": "errors", "DBMSSQL": "sql_log"},
+        available_now=True,
+        clickhouse_http=cfg,
+    )
+    run_stream(writer, timeout_seconds=120)
+
+    assert _RECEIVED, "no INSERT reached the mock ClickHouse"
+    by_table: dict[str, list[str]] = {}
+    for r in _RECEIVED:
+        stmt = r["query"]["query"][0]
+        table = stmt.split("INSERT INTO ", 1)[1].split(" ", 1)[0]
+        by_table.setdefault(table, []).extend(
+            r["body"].decode("utf-8").rstrip("\n").split("\n")
+        )
+    assert set(by_table) == {"errors", "sql_log"}
+    (sql_row,) = by_table["sql_log"]
+    cells = sql_row.split("\t")
+    assert cells[0] == "2025-05-26"            # EventDate from filename
+    assert cells[2] == "DBMSSQL"               # EventType routed
+    assert cells[4] == "ivanov" and cells[11] == "SELECT 1"
+    (err_row,) = by_table["errors"]
+    assert err_row.split("\t")[2] == "EXCP"
