@@ -40,7 +40,11 @@ def _record_col():
     # renders Java's "null" for NULL args while DuckDB printf() NULLs
     # the whole string, so un-coalesced NULLs silently diverge.
     mm = F.minute("ts")
-    sub_us = F.unix_micros(F.col("ts")) % 60_000_000
+    # pmod, not %: negative epochs (pre-1970 logs) make % negative with
+    # the dividend's sign in BOTH engines, then truncation vs floor
+    # divergence scrambles the synthesized mm:ss — pin the nonnegative
+    # within-minute offset
+    sub_us = F.pmod(F.unix_micros(F.col("ts")), F.lit(60_000_000))
     ss = (sub_us / F.lit(1_000_000)).cast("long")
     us = sub_us % 1_000_000
     # overflow variants exercise the Go strconv ErrRange saturation:
@@ -95,8 +99,8 @@ _FMT_SQL_LIT = _FMT.replace("'", "''")
 _RECORD_SQL = f"""printf(
   '{_FMT_SQL_LIT}',
   CAST(minute(ts) AS BIGINT),
-  (epoch_us(ts) % 60000000) // 1000000,
-  epoch_us(ts) % 1000000,
+  (((epoch_us(ts) % 60000000) + 60000000) % 60000000) // 1000000,
+  ((epoch_us(ts) % 60000000) + 60000000) % 60000000 % 1000000,
   CASE WHEN event_id % 5 = 0 THEN 'notnum'
        WHEN event_id % 19 = 0 THEN '5000000000'
        ELSE CAST(CAST(FLOOR(COALESCE(value, 0.0) * 1000) AS BIGINT) AS VARCHAR) END,

@@ -146,12 +146,13 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra pass to discover values (required form at scale)."""
     ev = load(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
     types = ["click", "error", "purchase", "signup", "view"]
-    return (
-        ev.groupBy("day")
-        .pivot("event_type", types)
-        .agg(F.count(F.lit(1)))
-        .orderBy("day")
-    )
+    pv = ev.groupBy("day").pivot("event_type", types).agg(F.count(F.lit(1)))
+    # empty pivot cells are NULL in Spark but 0 under the oracle's
+    # COUNT FILTER — invisible on dense fixtures, divergent on any day
+    # missing a type; pin the count semantics with coalesce
+    return pv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("day")
 
 
 _AGG_PIVOT_SQL = """
