@@ -169,6 +169,10 @@ HEADLINE = [
     "sim_ivf_recall",
     "win_moving_avg",
     "join_asof_tolerance",
+    # r7 additions
+    "tpch_q13_cust_distribution",
+    "tpch_q16_supplier_cnt",
+    "tpch_q21_waiting_supplier",
 ]
 
 

@@ -66,56 +66,44 @@ _MODULES = (
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
-# registry entries per round.  Round-6 window, in priority order:
-#   1      agg_sum_map — the only red r05 row (driver-canonicalizer
-#          crash on array cells), now serialized via array_join; must
-#          re-verify green.
-#   2-40   the 39 round-5 additions (SURVEY §2.J) — never driver-checked
-#          (added after the r05 window rotated); all local-parity green
-#          at sf0.01 + sf0.1.  Includes fn_array2_suite, whose cumsum
-#          was rewritten O(n) this round, and quality_benford /
-#          timeseries_islands / agg_hll_sliding, which took advisor
-#          fixes this round.
-#   41-48  the r03-broken-then-fixed parse plane — never driver-green
-#          since the Spark-4.1 NTZ incident.
-#   49-50  dedup_minhash_lsh / dedup_simhash — full value oracles never
-#          driver-checked (r02 rows-only check predates them).
-# Still unverified after this window (rotate in r7): the ~24 §2.H/§2.I
-# P-status ids (dedup_components, sim_srp_lsh, text_tfidf,
-# sample_stratified, topk_per_group, funnel_steps, retention_cohort,
-# timeseries_fill, timeseries_anomaly, unpivot_stack,
-# text_quality_gopher, text_repetition, text_pii_scrub,
-# text_decontaminate, corpus_vocab, quality_decile_by_lang,
-# dedup_canonical, sample_topp, join_skew_salted, pack_sequences,
-# split_assign, sample_temperature, seq_match, multimodal_resize)
-# plus the seven round-6 additions (TPC-H Q2/Q11/Q15, strict-order
-# funnel, weighted top-k, uniqUpTo, quantileTiming — tpch_q2_min_cost
-# sits at position 51 as the first r7 candidate).
+# registry entries per round.  Round-7 window — the closing rotation:
+# after round 6 went 50/50 green, exactly 43 ids lack a current
+# driver-green row (41 never checked + records_explode / parse_scaled,
+# whose latest driver rows are the stale r03 TIMESTAMP_NTZ errors —
+# both parity-green locally since r03, and their 8 sibling parse ids
+# went driver-green in r06).  All 43 are in this window, plus the 3
+# round-7 TPC-H additions (Q13/Q16/Q21) and 4 core-query regression
+# re-checks to fill the 50.  After this round every registry id has a
+# driver-green row at least once.
 _WINDOW_PRIORITY = [
-    # the one red row from r05, fixed this round
-    "agg_sum_map",
-    # round-5 additions (§2.J), never driver-checked
-    "tpch_q3_shipping", "tpch_q5_nation_volume", "tpch_q6_revenue_delta",
-    "tpch_q10_returns", "tpch_q18_big_orders", "tpch_q4_priority",
-    "tpch_q14_promo", "tpch_q17_small_qty", "tpch_q22_global_sales",
-    "agg_hll_distinct", "agg_argmax", "pivot_wide", "fn_ip_suite",
-    "chat_assemble", "pref_pairs", "rollup_incremental", "agg_cond_suite",
-    "agg_quantile_weighted", "agg_hll_native", "graph_triangles",
-    "text_pmi_pairs", "sketch_kmv_overlap", "dedup_bloom_probe",
-    "agg_hll_sliding", "join_scd2_pointintime", "sample_kcenter",
-    "join_interval_bucketed", "cdc_scd2", "attribution_last_touch",
-    "timeseries_mad", "timeseries_islands", "multimodal_phash",
-    "multimodal_audio_fp", "quality_benford", "fn_array2_suite",
-    "win_pct_of_total", "fn_try_suite", "setop_bag_ops",
-    "win_running_distinct",
-    # the r03-broken-then-fixed parse plane
-    "parse_record_split", "parse_header_positional", "parse_kv_map",
-    "parse_sql_quoted", "parse_context", "parse_full_entry",
-    "xform_event_time", "xform_duration",
-    # full-oracle dedup ids whose r02 check was rows-only
-    "dedup_minhash_lsh", "dedup_simhash",
-    # round-6 additions
-    "tpch_q2_min_cost",
+    # stale-red since the r03 NTZ incident — highest priority
+    "records_explode", "parse_scaled",
+    # round-6 additions (§2.K), never driver-checked
+    "tpch_q2_min_cost", "tpch_q11_important_stock", "tpch_q15_top_supplier",
+    "funnel_strict_order", "seq_count", "topk_weighted", "agg_uniq_upto",
+    "quantile_timing", "shuffle_epoch", "curation_domain_stats",
+    "agg_minmax_map", "sample_dsir", "fn_encoding_suite",
+    "cdc_upsert_apply", "sim_ivf_recall", "win_moving_avg",
+    "join_asof_tolerance",
+    # §2.H round-2 additions, never driver-checked
+    "dedup_components", "sim_srp_lsh", "text_tfidf", "sample_stratified",
+    "topk_per_group", "funnel_steps", "retention_cohort",
+    "timeseries_fill", "timeseries_anomaly", "unpivot_stack",
+    "text_quality_gopher", "text_repetition", "text_pii_scrub",
+    # §2.I round-4 additions, never driver-checked
+    "text_decontaminate", "corpus_vocab", "quality_decile_by_lang",
+    "dedup_canonical", "sample_topp", "join_skew_salted",
+    "pack_sequences", "split_assign", "sample_temperature", "seq_match",
+    "multimodal_resize",
+    # round-7 additions: the remaining canonical warehouse shapes
+    "tpch_q13_cust_distribution", "tpch_q16_supplier_cnt",
+    "tpch_q21_waiting_supplier",
+    # agg_approx_percentile's rows-only row (no oracle by design —
+    # different sketch families) is 4 rounds old; refresh it
+    "agg_approx_percentile",
+    # core-query regression re-checks (driver-green r01/r05; re-pin the
+    # backbone while the window has room)
+    "q1_pricing_summary", "join_inner", "dedup_exact",
 ]
 
 

@@ -530,7 +530,15 @@ WHERE total_q = (SELECT MAX(total_q) FROM revenue)
 ORDER BY s_suppkey
 """
 
-_TPCH_TABLES = ("lineitem", "supplier", "nation", "region", "part")
+_TPCH_TABLES = (
+    "lineitem",
+    "supplier",
+    "nation",
+    "region",
+    "part",
+    "customer",
+    "orders",
+)
 
 
 def _run_tpch_sql(spark: SparkSession, sf_dir: str, template: str) -> DataFrame:
@@ -588,5 +596,121 @@ ORACLE_SQL.update(
         "tpch_q2_min_cost": _Q2_TEMPLATE.format(**_IDENT),
         "tpch_q11_important_stock": _Q11_TEMPLATE.format(**_IDENT),
         "tpch_q15_top_supplier": _Q15_TEMPLATE.format(**_IDENT),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the remaining canonical warehouse shapes — Q13 (left outer
+# join + count distribution), Q16 (NOT IN + countDistinct), Q21
+# (multi-EXISTS/NOT-EXISTS).  Adaptations to the synthetic schema:
+# Q13's comment filter becomes an order-priority filter; Q16's
+# complaining-supplier blacklist becomes the negative-balance suppliers
+# (same NOT IN decorrelation, 6-row excluded set); Q21's receipt-vs-
+# commit lateness becomes ship-more-than-60-days-after-order, computed
+# once in a lineitem⋈orders CTE so the EXISTS correlation stays a pure
+# equi key (l_orderkey) that Spark turns into semi/anti hash joins.
+#
+# Scale notes (100 TB): Q13's outer join shuffles on custkey with the
+# priority filter pushed below the join; both aggregations are partial
+# (the second groups |distinct counts| ≈ tens of rows).  Q16's NOT IN
+# set is dimension-bounded (suppliers) and broadcasts as a null-aware
+# anti join; count(DISTINCT) is Spark's two-phase expand+partial, never
+# a driver collect.  Q21 scans lineitem⋈orders once into the CTE; the
+# EXISTS/NOT EXISTS become left-semi/left-anti shuffles on l_orderkey —
+# no row multiplication, and the final group is |suppliers|-bounded.
+
+_Q13_TEMPLATE = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM {customer} LEFT OUTER JOIN {orders}
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q16_TEMPLATE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 7, 13, 19, 25, 31, 37, 43)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM {supplier} WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_Q21_TEMPLATE = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM {lineitem} JOIN {orders} ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l l1
+JOIN {supplier} ON s_suppkey = l1.l_suppkey
+JOIN {nation} ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND l1.is_late
+  AND EXISTS (
+    SELECT 1 FROM l l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM l l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed k
+    non-urgent orders, for each k — the left-outer-join + two-level
+    aggregation shape (zero-order customers must surface as c_count=0,
+    which only the outer join preserves)."""
+    return _run_tpch_sql(spark, sf_dir, _Q13_TEMPLATE)
+
+
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier count
+    per (brand, type, size) bucket excluding blacklisted suppliers — the
+    NOT IN (null-aware anti join) + COUNT(DISTINCT) shape.  lineitem's
+    (l_partkey, l_suppkey) pairs act as partsupp (the synthetic schema
+    has no partsupp table)."""
+    return _run_tpch_sql(spark, sf_dir, _Q16_TEMPLATE)
+
+
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    multi-supplier orders, count per supplier the times it was the ONLY
+    late supplier in the order — the multi-EXISTS/NOT-EXISTS shape.
+    Lateness (ship > order date + 60d) is computed once in the CTE so
+    both subqueries correlate on the pure equi key l_orderkey."""
+    return _run_tpch_sql(spark, sf_dir, _Q21_TEMPLATE)
+
+
+SPARK_QUERIES.update(
+    {
+        "tpch_q13_cust_distribution": tpch_q13_cust_distribution,
+        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+        "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "tpch_q13_cust_distribution": _Q13_TEMPLATE.format(**_IDENT),
+        "tpch_q16_supplier_cnt": _Q16_TEMPLATE.format(**_IDENT),
+        "tpch_q21_waiting_supplier": _Q21_TEMPLATE.format(**_IDENT),
     }
 )

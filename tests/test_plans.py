@@ -345,10 +345,23 @@ def test_tpch_decorrelation_no_bnlj_on_facts(spark):
     from logpump_spark.queries.tpch_q import (
         tpch_q2_min_cost,
         tpch_q11_important_stock,
+        tpch_q13_cust_distribution,
         tpch_q15_top_supplier,
+        tpch_q16_supplier_cnt,
+        tpch_q21_waiting_supplier,
     )
 
-    for q in (tpch_q2_min_cost, tpch_q11_important_stock, tpch_q15_top_supplier):
+    for q in (
+        tpch_q2_min_cost,
+        tpch_q11_important_stock,
+        tpch_q15_top_supplier,
+        # round 7: Q13's outer join, Q16's NOT IN (must plan as a
+        # null-aware broadcast hash anti join, never BNLJ), Q21's
+        # EXISTS/NOT-EXISTS (left-semi/left-anti on the equi order key)
+        tpch_q13_cust_distribution,
+        tpch_q16_supplier_cnt,
+        tpch_q21_waiting_supplier,
+    ):
         df = q(spark, SF_SMALL)
         df.collect()  # AQE finalizes the plan on execution
         plan = _plan(df)
