@@ -186,6 +186,17 @@ def main() -> None:
     queries = se.queries()
     names = [n for n in HEADLINE if n in queries]
 
+    # Optional subset for A/B drift experiments (tools/bench_ab.py):
+    # comma-separated names, or "@/path/to/file" with one name per line.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        if only.startswith("@"):
+            with open(only[1:]) as f:
+                want = {line.strip() for line in f if line.strip()}
+        else:
+            want = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in want]
+
     # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup costs
     spark.range(1000).selectExpr("sum(id)").collect()
 

@@ -177,3 +177,94 @@ def test_streaming_job_inserts_over_http(spark, mock_server, tmp_path):
     assert cells[4] == "ivanov" and cells[11] == "SELECT 1"
     (err_row,) = by_table["errors"]
     assert err_row.split("\t")[2] == "EXCP"
+
+
+# ---------------------------------------------------------------------------
+# Round 7: decode round-trip.  The byte assertions above pin the encoder
+# output; this proves the escaping is REVERSIBLE — a ClickHouse-side TSV
+# reader recovers exactly the source rows, even when one row carries a
+# tab, newline, carriage return, backslash, NULL, and a microsecond
+# timestamp simultaneously.  The decoder below implements the TabSeparated
+# input rules ClickHouse documents (backslash escapes, \N for NULL) as an
+# independent re-implementation — if encoder and decoder disagreed on any
+# rule, the typed comparison would fail.
+
+
+def _untsv_cell(cell: str):
+    if cell == "\\N":
+        return None
+    out = []
+    i = 0
+    esc = {"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}
+    while i < len(cell):
+        if cell[i] == "\\" and i + 1 < len(cell) and cell[i + 1] in esc:
+            out.append(esc[cell[i + 1]])
+            i += 2
+        else:
+            out.append(cell[i])
+            i += 1
+    return "".join(out)
+
+
+def _decode_tsv_body(body: str) -> list[tuple]:
+    """Parse a TabSeparated INSERT body back into typed TechLogRow
+    tuples.  Splitting on raw \n / \t BEFORE unescaping is the point:
+    if any cell leaked an unescaped separator, the per-line cell count
+    would break and the test would fail on the assert below."""
+    rows = []
+    for line in body.rstrip("\n").split("\n"):
+        cells = line.split("\t")
+        assert len(cells) == len(TECHLOG_INSERT_COLUMNS), cells
+        vals = [_untsv_cell(c) for c in cells]
+        typed = []
+        for name, v in zip(TECHLOG_INSERT_COLUMNS, vals):
+            if v is None:
+                typed.append(None)
+            elif name == "EventDate":
+                typed.append(dt.date.fromisoformat(v))
+            elif name == "EventTime":
+                typed.append(dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S.%f"))
+            elif name in ("Duration", "SessionID", "ClientID", "ConnectionID"):
+                typed.append(int(v))
+            else:
+                typed.append(v)
+        rows.append(tuple(typed))
+    return rows
+
+
+def _everything_at_once_rows(spark):
+    """One row exercising every escape hazard in the same record."""
+    rows = [
+        (
+            dt.date(2025, 12, 31), dt.datetime(2025, 12, 31, 23, 59, 59, 999999),
+            "TLOCK", 1, "tab\there", "nl\nthere", 1, 2, 3,
+            None, "cr\rhere", "mix\t\n\\\rall", None, "7",
+            "trailing backslash\\", "rphost",
+        ),
+        (
+            dt.date(1969, 12, 30), dt.datetime(1969, 12, 30, 0, 0, 0, 1),
+            "EXCP", 0, None, None, 0, 0, 0,
+            "E\\N", None, None, None, None, "\\N literal, not null", "ragent",
+        ),
+    ]
+    return spark.createDataFrame(rows, _techlog_rows(spark).schema)
+
+
+def test_http_insert_decodes_back_to_source_rows(spark, mock_server):
+    cfg = ClickHouseConfig(
+        address=mock_server, username="u", password="p",
+        database="logs", protocol="http",
+    )
+    src = _techlog_rows(spark).union(_everything_at_once_rows(spark))
+    write_techlog_http(src.repartition(3), cfg, "tech_logs")
+
+    decoded = []
+    for r in _RECEIVED:
+        decoded += _decode_tsv_body(r["body"].decode("utf-8"))
+
+    expected = [
+        tuple(row[c] for c in TECHLOG_INSERT_COLUMNS)
+        for row in src.collect()
+    ]
+    assert len(decoded) == len(expected)
+    assert sorted(decoded, key=repr) == sorted(expected, key=repr)

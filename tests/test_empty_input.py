@@ -13,13 +13,11 @@ Spark emits no rows at all — an ENGINE difference, excluded below.
 
 from __future__ import annotations
 
-import os
-
-import duckdb
 import pytest
 
 import __spark_entry__ as se
 from tools.parity import compare_one
+from tools.perturb import build, oracle_views
 
 # engine-level divergence: grand-total row over empty input
 _KNOWN_ENGINE_DIVERGENCE = {"agg_cube", "agg_rollup", "agg_grouping_sets"}
@@ -37,25 +35,9 @@ _PINNED = [
 
 @pytest.fixture(scope="module")
 def empty_env(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("sfempty"))
-    con = duckdb.connect()
-    tables = (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split()
-    for t in tables:
-        src = f"/root/testdata/sf0.001/{t}.parquet"
-        con.sql(
-            f"COPY (SELECT * FROM '{src}' WHERE false) TO "
-            f"'{out}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    oracle = duckdb.connect()
-    for t in tables:
-        oracle.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(out, t)}.parquet')"
-        )
-    return out, oracle
+    out = build("empty", "/root/testdata/sf0.001",
+                str(tmp_path_factory.mktemp("sfempty")))
+    return out, oracle_views(out)
 
 
 @pytest.mark.parametrize("name", _PINNED)

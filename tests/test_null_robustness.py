@@ -1,7 +1,7 @@
 """NULL-robustness regression: the driver fixtures carry no NULLs, so a
 query whose Spark and DuckDB sides disagree about NULL semantics passes
 the oracle gate while silently diverging on real data.  Round 6 swept the
-whole registry against a NULL-injected sf0.001 twin (tools/nullify.py)
+whole registry against a NULL-injected sf0.001 twin (tools/perturb.py)
 and fixed 35 such divergences; this test re-runs the previously-failing
 ids (plus representative always-green ones) against a freshly built twin
 so the classes cannot regress:
@@ -19,8 +19,8 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as se
-from tools.nullify import build
 from tools.parity import compare_one, duckdb_connect
+from tools.perturb import build
 
 # every id that failed the round-6 NULL sweep, now pinned green
 _FORMERLY_FAILING = [
@@ -43,7 +43,7 @@ _FORMERLY_FAILING = [
 @pytest.fixture(scope="module")
 def null_env(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("sfnull"))
-    build("/root/testdata/sf0.001", out)
+    build("null", "/root/testdata/sf0.001", out)
     return out, duckdb_connect(out)
 
 

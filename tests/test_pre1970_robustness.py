@@ -12,14 +12,11 @@ advisor flagged.
 
 from __future__ import annotations
 
-import os
-import shutil
-
-import duckdb
 import pytest
 
 import __spark_entry__ as se
 from tools.parity import compare_one
+from tools.perturb import build, oracle_views
 
 _PINNED = [
     "agg_pivot",        # empty pivot cell: NULL vs 0
@@ -33,38 +30,11 @@ _PINNED = [
     "stream_tumbling", "cdc_scd2", "funnel_strict_order",
 ]
 
-_SHIFT = """
-COPY (
-  SELECT event_id,
-         CASE WHEN event_id % 7 = 3 THEN ts - INTERVAL 59 YEAR
-              ELSE ts END AS ts,
-         user_id, event_type, value, props
-  FROM '{src}'
-) TO '{dst}' (FORMAT PARQUET)
-"""
-
-
 @pytest.fixture(scope="module")
 def pre1970_env(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("sfpre70"))
-    con = duckdb.connect()
-    tables = (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split()
-    for t in tables:
-        src = f"/root/testdata/sf0.001/{t}.parquet"
-        if t == "events":
-            con.sql(_SHIFT.format(src=src, dst=f"{out}/{t}.parquet"))
-        else:
-            shutil.copy(src, f"{out}/{t}.parquet")
-    oracle = duckdb.connect()
-    for t in tables:
-        oracle.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(out, t)}.parquet')"
-        )
-    return out, oracle
+    out = build("pre1970", "/root/testdata/sf0.001",
+                str(tmp_path_factory.mktemp("sfpre70")))
+    return out, oracle_views(out)
 
 
 @pytest.mark.parametrize("name", _PINNED)

@@ -12,14 +12,11 @@ test rebuilds the twin and re-runs the text-plane queries.
 
 from __future__ import annotations
 
-import os
-import shutil
-
-import duckdb
 import pytest
 
 import __spark_entry__ as se
 from tools.parity import compare_one
+from tools.perturb import build, oracle_views
 
 _TEXT_PLANE = [
     "fn_regexp_suite",  # the formerly-diverging id
@@ -31,46 +28,11 @@ _TEXT_PLANE = [
     "sample_dsir",
 ]
 
-_INJECT = """
-COPY (
-  SELECT doc_id,
-         CASE doc_id % 12
-           WHEN 0 THEN '数据 处理 straße ' || text
-           WHEN 5 THEN 'café naïve 🚀 émoji ' || text
-           WHEN 9 THEN 'مرحبا بالعالم ' || text
-           ELSE text END AS text,
-         lang, source,
-         CASE doc_id % 12
-           WHEN 0 THEN length('数据 处理 straße ') + n_chars
-           WHEN 5 THEN length('café naïve 🚀 émoji ') + n_chars
-           WHEN 9 THEN length('مرحبا بالعالم ') + n_chars
-           ELSE n_chars END AS n_chars
-  FROM '{src}'
-) TO '{dst}' (FORMAT PARQUET)
-"""
-
-
 @pytest.fixture(scope="module")
 def unicode_env(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("sfuni"))
-    con = duckdb.connect()
-    tables = (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split()
-    for t in tables:
-        src = f"/root/testdata/sf0.001/{t}.parquet"
-        if t == "documents":
-            con.sql(_INJECT.format(src=src, dst=f"{out}/{t}.parquet"))
-        else:
-            shutil.copy(src, f"{out}/{t}.parquet")
-    oracle = duckdb.connect()
-    for t in tables:
-        oracle.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(out, t)}.parquet')"
-        )
-    return out, oracle
+    out = build("unicode", "/root/testdata/sf0.001",
+                str(tmp_path_factory.mktemp("sfuni")))
+    return out, oracle_views(out)
 
 
 @pytest.mark.parametrize("name", _TEXT_PLANE)

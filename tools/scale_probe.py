@@ -96,16 +96,155 @@ def _time(queries, name, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+# ---------------------------------------------------------------------------
+# Hot-user skew probe (--mode hot).  The user-key window family
+# (strict funnel, sequenceCount, ROWS-frame moving average, running
+# distinct, sessionization) sorts WITHIN user partitions — per-key work
+# is single-task by construction, so one user owning a huge share of
+# events turns into one straggler task however many executors exist.
+# This probe plants exactly that: two k-times twins of events at the
+# SAME total row count — "breadth" (keys stay uniform; the existing
+# build_scaled scheme) and "hot" (every replica's rows reassigned to
+# one user) — and reports t_hot / t_breadth per shape.  SCALING.md §7
+# records the measured penalty and the guard options.
+
+
+def build_hot_events(spark, sf_dir: str, out_dir: str, k: int, hot_user: int = 42):
+    from pyspark.sql import functions as F
+
+    from logpump_spark.tables import TABLE_NAMES, load
+
+    for name in TABLE_NAMES:
+        df = load(spark, sf_dir, name)
+        if name == "events":
+            idc, step = _OFFSETS[name]
+            parts = [df]
+            for i in range(1, k):
+                parts.append(
+                    df.withColumn(idc, F.col(idc) + F.lit(i * step)).withColumn(
+                        "user_id", F.lit(hot_user).cast("long")
+                    )
+                )
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionByName(p)
+            scaled.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        # other tables: omit — the hot probes read only events
+
+
+def _hot_shapes():
+    """The user-key window shapes, over a raw events table (no user_id
+    filter, unlike the registry queries — the probe must HIT the hot
+    key)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from logpump_spark.operators.funnel import (
+        sequence_count_adjacent,
+        window_funnel_strict,
+    )
+
+    types = [
+        F.col("event_type") == "click",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+    ]
+
+    def funnel(ev):
+        return window_funnel_strict(ev, types)
+
+    def seqcount(ev):
+        return sequence_count_adjacent(ev, types[0], types[1])
+
+    def moving_avg(ev):
+        w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+        return ev.select(
+            "user_id", "event_id", F.avg("value").over(w).alias("m7")
+        )
+
+    def running_distinct(ev):
+        w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        w_run = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        flagged = ev.withColumn(
+            "is_first", (F.row_number().over(w_first) == 1).cast("long")
+        )
+        return flagged.withColumn("nd", F.sum("is_first").over(w_run))
+
+    def sessionize(ev):
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        new_s = (gap.isNull() | (gap > 30 * 60 * 1_000_000)).cast("long")
+        d = ev.withColumn("new_s", new_s)
+        return d.withColumn("session_id", F.sum("new_s").over(w))
+
+    return {
+        "funnel_strict": funnel,
+        "sequence_count": seqcount,
+        "moving_avg_rows7": moving_avg,
+        "running_distinct": running_distinct,
+        "sessionize": sessionize,
+    }
+
+
+def run_hot_probe(spark, sf_dir: str, k: int) -> dict:
+    breadth_dir = tempfile.mkdtemp(prefix="scale_breadth_")
+    hot_dir = tempfile.mkdtemp(prefix="scale_hot_")
+    try:
+        build_scaled(spark, sf_dir, breadth_dir, k)
+        build_hot_events(spark, sf_dir, hot_dir, k)
+        ev_b = spark.read.parquet(f"{breadth_dir}/events.parquet")
+        ev_h = spark.read.parquet(f"{hot_dir}/events.parquet")
+        n_total = ev_h.count()
+        from pyspark.sql import functions as F
+
+        n_hot = ev_h.filter(F.col("user_id") == 42).count()
+        results = {}
+        for name, shape in _hot_shapes().items():
+
+            def timed(ev):
+                t0 = time.perf_counter()
+                shape(ev).write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            timed(ev_b)  # warm
+            tb = timed(ev_b)
+            th = timed(ev_h)
+            results[name] = {
+                "t_breadth": round(tb, 3),
+                "t_hot": round(th, 3),
+                "penalty": round(th / tb, 2) if tb > 0 else None,
+            }
+        return {
+            "k": k,
+            "rows": n_total,
+            "hot_user_rows": n_hot,
+            "hot_share": round(n_hot / n_total, 3),
+            "shapes": results,
+        }
+    finally:
+        shutil.rmtree(breadth_dir, ignore_errors=True)
+        shutil.rmtree(hot_dir, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--mode", choices=["breadth", "hot"], default="breadth")
     args = ap.parse_args()
 
     import __spark_entry__ as se
     from logpump_spark.session import get_spark
 
     spark = get_spark("scale_probe")
+
+    if args.mode == "hot":
+        print(json.dumps(run_hot_probe(spark, args.sf, args.k)))
+        return
     queries = se.queries()
     out_dir = tempfile.mkdtemp(prefix="scale_probe_")
     try:
