@@ -31,3 +31,67 @@ def test_no_query_plans_a_cartesian_product(spark):
         f"CartesianProduct planned by: {offenders} — rewrite with an equi "
         "key, a broadcast bound, or a bucketed candidate generator"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the global-sort smell.  `Exchange SinglePartition` funnels the
+# entire input through ONE task — fine when what flows in is already
+# reduced (an aggregate's output, a LIMIT, a 1-row scalar), fatal when a
+# corpus-cardinality table flows in raw (the classic accidental
+# `Window.orderBy` with no partitionBy, or a global orderBy without a
+# limit).  This sweep statically walks every registered query's plan:
+# any SinglePartition exchange whose subtree scans a FACT table with no
+# aggregate/limit/join in between is an offender.
+
+_FACT_SCAN = ("lineitem.parquet", "orders.parquet", "events.parquet",
+              "documents.parquet", "embeddings.parquet")
+_REDUCERS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+             "GlobalLimit", "LocalLimit", "CollectLimit",
+             "TakeOrderedAndProject", "AggregateInPandas",
+             "FlatMapGroupsInPandas", "Deduplicate")
+
+
+def _tree_lines(plan: str) -> list[tuple[int, str]]:
+    """(depth, text) per node line of a spark plan toString; depth is the
+    column of the `+-`/`:-` marker (root lines get -1)."""
+    out = []
+    for line in plan.splitlines():
+        if "== Initial Plan ==" in line:
+            break  # AQE repeats the pre-adaptive plan after the final one
+        idx_p, idx_c = line.find("+-"), line.find(":-")
+        idx = min(x for x in (idx_p, idx_c) if x >= 0) if max(idx_p, idx_c) >= 0 else -1
+        text = line[idx + 2:].strip() if idx >= 0 else line.strip()
+        if text:
+            out.append((idx, text))
+    return out
+
+
+def _unreduced_single_partition(plan: str) -> bool:
+    lines = _tree_lines(plan)
+    for i, (d, text) in enumerate(lines):
+        if "Exchange SinglePartition" not in text:
+            continue
+        subtree = []
+        for d2, t2 in lines[i + 1:]:
+            if d2 <= d:
+                break
+            subtree.append(t2)
+        scans_fact = any(any(f in t for f in _FACT_SCAN) for t in subtree)
+        reduced = any(any(r in t for r in _REDUCERS) for t in subtree)
+        if scans_fact and not reduced:
+            return True
+    return False
+
+
+def test_no_unreduced_single_partition_exchange(spark):
+    offenders = []
+    for name, fn in se.queries().items():
+        df = fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if _unreduced_single_partition(plan):
+            offenders.append(name)
+    assert not offenders, (
+        f"Exchange SinglePartition over a raw fact table in: {offenders} — "
+        "a global sort/window funnels the corpus through one task; add a "
+        "partition key, a pre-aggregation, or a limit"
+    )
