@@ -95,3 +95,30 @@ def test_no_unreduced_single_partition_exchange(spark):
         "a global sort/window funnels the corpus through one task; add a "
         "partition key, a pre-aggregation, or a limit"
     )
+
+
+def test_single_partition_detector_catches_a_planted_offender(spark):
+    """The sweep above only means something if the detector fires on the
+    smell it exists for: a no-partition window over a raw fact table."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from logpump_spark.tables import load
+
+    li = load(spark, SF_SMALL, "lineitem")
+    bad = li.withColumn(
+        "rn", F.row_number().over(W.orderBy("l_orderkey", "l_linenumber"))
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" in plan  # the smell exists
+    assert _unreduced_single_partition(plan)  # and the detector sees it
+
+    # and the excused shape — the same window AFTER an aggregation —
+    # must NOT be flagged
+    ok = (
+        li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+        .withColumn("rn", F.row_number().over(W.orderBy("q")))
+    )
+    plan_ok = ok._jdf.queryExecution().executedPlan().toString()
+    assert not _unreduced_single_partition(plan_ok)
