@@ -714,3 +714,198 @@ ORACLE_SQL.update(
         "tpch_q21_waiting_supplier": _Q21_TEMPLATE.format(**_IDENT),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (second batch): the remaining canonical shapes the synthetic
+# schema supports — Q7 (nation-pair volume), Q8 (market share), Q9
+# (product profit, supply CTE as in Q2), Q19 (disjunctive predicate
+# pushdown; p_size stands in for the missing p_container), Q20 (nested
+# dominant-supplier selection; "supplied >50% of a part's annual
+# quantity" stands in for the missing partsupp.availqty).  With these,
+# 21 of the 22 canonical TPC-H shapes are covered — only Q12 is out of
+# reach (it is ABOUT l_shipmode/l_commitdate, columns the synthetic
+# schema lacks entirely).
+#
+# Scale notes (100 TB): Q7/Q8/Q9 are star joins — nation/region/
+# supplier/part broadcast, the only big shuffles are orders ⋈ lineitem
+# on the order key and (Q9) the supply CTE's one (part, supp) partial
+# MIN; market share and profit are conditional/arithmetic aggregates in
+# ONE grouped pass (no second scan).  Q19 is scan + broadcast part join
+# with the OR-of-triples evaluated as a residual filter (brand/size
+# conjuncts push into the part scan).  Q20 reduces lineitem to per-
+# (part, supp) partials FIRST, joins two agg outputs part-to-part, and
+# only then touches the supplier dim via semi join — no fact-side row
+# multiplication anywhere.
+
+_Q7_TEMPLATE = """
+WITH shipping AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS vol
+  FROM {supplier}
+  JOIN {lineitem} ON s_suppkey = l_suppkey
+  JOIN {orders} ON o_orderkey = l_orderkey
+  JOIN {customer} ON c_custkey = o_custkey
+  JOIN {nation} n1 ON s_nationkey = n1.n_nationkey
+  JOIN {nation} n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_8')
+      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_5'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol) AS DOUBLE) / 10000 AS revenue
+FROM shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q8_TEMPLATE = """
+WITH all_nations AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS vol,
+         n2.n_name AS supp_nation
+  FROM {part}
+  JOIN {lineitem} ON p_partkey = l_partkey
+  JOIN {supplier} ON s_suppkey = l_suppkey
+  JOIN {orders} ON l_orderkey = o_orderkey
+  JOIN {customer} ON o_custkey = c_custkey
+  JOIN {nation} n1 ON c_nationkey = n1.n_nationkey
+  JOIN {region} ON n1.n_regionkey = r_regionkey
+  JOIN {nation} n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_rows
+FROM all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_Q9_TEMPLATE = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(FLOOR((l_extendedprice / l_quantity) * 10000) AS BIGINT)) AS qcost
+  FROM {lineitem} GROUP BY 1, 2
+)
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           - CAST(sp.qcost * l_quantity AS BIGINT)) AS DOUBLE) / 10000 AS sum_profit
+FROM {part}
+JOIN {lineitem} ON p_partkey = l_partkey
+JOIN supply sp ON sp.partkey = l_partkey AND sp.suppkey = l_suppkey
+JOIN {supplier} ON s_suppkey = l_suppkey
+JOIN {orders} ON o_orderkey = l_orderkey
+JOIN {nation} ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+_Q19_TEMPLATE = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000 AS revenue,
+       COUNT(*) AS n_items
+FROM {lineitem} JOIN {part} ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+_Q20_TEMPLATE = """
+WITH part_year AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR(l_quantity * 10000) AS BIGINT) AS qq
+  FROM {lineitem}
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM {part} WHERE p_name LIKE 'red%')
+),
+per_pair AS (
+  SELECT l_partkey, l_suppkey, SUM(qq) AS pair_qty
+  FROM part_year GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, SUM(pair_qty) AS part_qty FROM per_pair GROUP BY 1
+),
+dominant AS (
+  SELECT DISTINCT pp.l_suppkey
+  FROM per_pair pp JOIN per_part pt ON pp.l_partkey = pt.l_partkey
+  WHERE pp.pair_qty * 2 > pt.part_qty
+)
+SELECT s_name, s_acctbal
+FROM {supplier}
+JOIN {nation} ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+"""
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by ship year — the two-role dimension shape (nation joined
+    twice under different keys, OR'd pair filter)."""
+    return _run_tpch_sql(spark, sf_dir, _Q7_TEMPLATE)
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of a
+    region's yearly volume for one part type — conditional share in a
+    single grouped pass; the division is one IEEE op over two exact
+    int64 sums, engine-identical."""
+    return _run_tpch_sql(spark, sf_dir, _Q8_TEMPLATE)
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit): per-nation yearly profit
+    (revenue minus supply cost) for a part-name family; the supply
+    relation is the same lineitem-derived min-unit-cost CTE Q2 uses
+    (the synthetic schema has no partsupp)."""
+    return _run_tpch_sql(spark, sf_dir, _Q9_TEMPLATE)
+
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue under an OR of three
+    (brand, size-range, quantity-range) triples — the disjunctive-
+    predicate shape; p_size stands in for the schema's missing
+    p_container."""
+    return _run_tpch_sql(spark, sf_dir, _Q19_TEMPLATE)
+
+
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion, adapted): suppliers in one
+    nation who supplied more than half of a red-part's shipped quantity
+    in a year — the nested IN + threshold-vs-group-total shape
+    (partsupp.availqty does not exist; annual shipped share replaces
+    it).  Two stacked aggregations join part-to-part; the supplier dim
+    enters last via semi join."""
+    return _run_tpch_sql(spark, sf_dir, _Q20_TEMPLATE)
+
+
+SPARK_QUERIES.update(
+    {
+        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q9_product_profit": tpch_q9_product_profit,
+        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+        "tpch_q20_dominant_supplier": tpch_q20_dominant_supplier,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "tpch_q7_volume_shipping": _Q7_TEMPLATE.format(**_IDENT),
+        "tpch_q8_market_share": _Q8_TEMPLATE.format(**_IDENT),
+        "tpch_q9_product_profit": _Q9_TEMPLATE.format(**_IDENT),
+        "tpch_q19_discounted_revenue": _Q19_TEMPLATE.format(**_IDENT),
+        "tpch_q20_dominant_supplier": _Q20_TEMPLATE.format(**_IDENT),
+    }
+)

@@ -344,10 +344,15 @@ def test_tpch_decorrelation_no_bnlj_on_facts(spark):
     (the 1-row scalar subqueries inject as literals, not joins)."""
     from logpump_spark.queries.tpch_q import (
         tpch_q2_min_cost,
+        tpch_q7_volume_shipping,
+        tpch_q8_market_share,
+        tpch_q9_product_profit,
         tpch_q11_important_stock,
         tpch_q13_cust_distribution,
         tpch_q15_top_supplier,
         tpch_q16_supplier_cnt,
+        tpch_q19_discounted_revenue,
+        tpch_q20_dominant_supplier,
         tpch_q21_waiting_supplier,
     )
 
@@ -357,10 +362,17 @@ def test_tpch_decorrelation_no_bnlj_on_facts(spark):
         tpch_q15_top_supplier,
         # round 7: Q13's outer join, Q16's NOT IN (must plan as a
         # null-aware broadcast hash anti join, never BNLJ), Q21's
-        # EXISTS/NOT-EXISTS (left-semi/left-anti on the equi order key)
+        # EXISTS/NOT-EXISTS (left-semi/left-anti on the equi order key),
+        # Q7/Q8/Q9's star joins, Q19's disjunctive filter, Q20's nested
+        # IN + stacked aggregations
         tpch_q13_cust_distribution,
         tpch_q16_supplier_cnt,
         tpch_q21_waiting_supplier,
+        tpch_q7_volume_shipping,
+        tpch_q8_market_share,
+        tpch_q9_product_profit,
+        tpch_q19_discounted_revenue,
+        tpch_q20_dominant_supplier,
     ):
         df = q(spark, SF_SMALL)
         df.collect()  # AQE finalizes the plan on execution
