@@ -30,6 +30,11 @@ _PINNED = [
     "q1_pricing_summary", "join_asof", "win_rank", "freq_heavy_hitters",
     "parse_full_entry", "quantile_timing", "dedup_minhash_lsh",
     "curation_pipeline", "pack_sequences",
+    # round-7 TPC-H additions, swept green on this twin when added
+    "tpch_q13_cust_distribution", "tpch_q16_supplier_cnt",
+    "tpch_q21_waiting_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q19_discounted_revenue", "tpch_q20_dominant_supplier",
 ]
 
 

@@ -37,6 +37,11 @@ _FORMERLY_FAILING = [
     # adjacent queries touched by the shared fixes
     "parse_scaled", "timeseries_fill", "join_asof_tolerance",
     "agg_sum_map", "agg_uniq_upto",
+    # round-7 TPC-H additions, swept green on this twin when added
+    "tpch_q13_cust_distribution", "tpch_q16_supplier_cnt",
+    "tpch_q21_waiting_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q19_discounted_revenue", "tpch_q20_dominant_supplier",
 ]
 
 
