@@ -51,6 +51,11 @@ PROBES = [
     "sample_dsir",            # bounded 1024-bucket feature table, 2 corpus passes
     "curation_domain_stats",  # one |domains| shuffle + broadcast total
     "cdc_upsert_apply",       # change agg + one full-outer key join
+    # r7 probes: the heaviest new TPC-H join shapes (per-order group
+    # sizes stay constant under the orderkey-offset replication)
+    "tpch_q13_cust_distribution",  # outer join + two-level agg
+    "tpch_q21_waiting_supplier",   # semi/anti joins on the order key
+    "tpch_q9_product_profit",      # supply CTE + 5-way star join
 ]
 
 _OFFSETS = {
