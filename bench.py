@@ -227,9 +227,12 @@ def main() -> None:
     # actions), so for them the timer must start before construction —
     # everything else keeps the r1-comparable write-only window.
     eager_construction = {
+        # the dedup trio shares one memoized CC fit (r7): whichever
+        # member constructs first pays it, the others read the cache —
+        # all three stay timer-before-construction so the fit is charged
         "dedup_components",
-        "dedup_canonical",  # runs the same CC loop at construction (r4)
-        "dedup_cluster_stats",  # same CC loop at construction (r4 tail)
+        "dedup_canonical",
+        "dedup_cluster_stats",
         "dedup_semantic",  # k-means fit collects at construction (r4 tail)
         "sim_ivf_topk",  # k-means fit collects at construction (r4)
         "sim_pq_adc",  # PQ codebook fit collects at construction (r4)
@@ -250,7 +253,12 @@ def main() -> None:
     # single-run window.
     best_of = {
         "parse_scaled": 3,
-        "dedup_components": 2,
+        # NOTE: dedup_components was best-of-2 while each run repeated
+        # the CC fit; now the trio shares one memoized fit
+        # (queries/curation_q.py _dup_cluster_labels), so a repeat would
+        # hit the cache and min() would hide the one-time fit cost.
+        # Single-run keeps the fit charged exactly once, where the first
+        # trio member pays it — the production fit-once shape.
         # 3-7x run-to-run swings observed across otherwise-identical
         # rounds (2.7-9.9 s at sf0.1) — same JIT/GC noise class as
         # parse_scaled, both are Python-UDF + multi-stage shapes

