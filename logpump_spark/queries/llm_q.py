@@ -293,16 +293,34 @@ _IVF_ITERS = 2
 _IVF_NPROBE = 2
 
 
+# (session, sf_dir) -> the standard-config IVF top-5 plan.  sim_ivf_topk
+# and sim_ivf_recall search the SAME fitted index; fit_ivf's Lloyd
+# iterations run driver-side collects at construction, so without a memo
+# each query re-fits the identical quantizer.  Production fits an index
+# once and both the report and its recall eval read it — the memo makes
+# the registry reflect that.  Only the PLAN is cached (no checkpoint):
+# each query still executes its own search.
+_IVF_STD_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ivf_topk_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _IVF_STD_CACHE:
+        emb = load(spark, sf_dir, "embeddings")
+        _IVF_STD_CACHE[key] = ivf_topk(
+            emb, _QUERY_IDS, k=5, n_cells=_IVF_CELLS, iters=_IVF_ITERS,
+            nprobe=_IVF_NPROBE,
+        )
+    return _IVF_STD_CACHE[key]
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a REAL fitted coarse quantizer: integer-quantized
     k-means (2 Lloyd iterations, deterministic init/ties), then each
     query searches only its 2 nearest cells.  The oracle re-derives the
     identical centroids in SQL — the fit itself is correctness-checked,
     not just the search."""
-    emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, _QUERY_IDS, k=5, n_cells=_IVF_CELLS, iters=_IVF_ITERS, nprobe=_IVF_NPROBE
-    )
+    return _ivf_topk_std(spark, sf_dir)
 
 
 def _ivf_fit_cte(n_cells: int, iters: int) -> str:
@@ -998,10 +1016,7 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = brute_force_topk(emb, _QUERY_IDS, k=5).select(
         "query_id", "neighbor_id"
     )
-    ivf = ivf_topk(
-        emb, _QUERY_IDS, k=5, n_cells=_IVF_CELLS, iters=_IVF_ITERS,
-        nprobe=_IVF_NPROBE,
-    ).select(
+    ivf = _ivf_topk_std(spark, sf_dir).select(
         F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
     )
     joined = brute.join(
