@@ -103,8 +103,8 @@ _WINDOW_PRIORITY = [
     # round-7 additions: the remaining canonical warehouse shapes
     "tpch_q13_cust_distribution", "tpch_q16_supplier_cnt",
     "tpch_q21_waiting_supplier",
-    # agg_approx_percentile's rows-only row (no oracle by design —
-    # different sketch families) is 4 rounds old; refresh it
+    # formerly the registry's one rows-only id; upgraded this round to
+    # exact percentiles + rank-contract flags under a full value oracle
     "agg_approx_percentile",
     # core-query regression re-checks (driver-green r01/r05; re-pin the
     # backbone while the window has room)

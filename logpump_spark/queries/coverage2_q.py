@@ -180,19 +180,78 @@ ORDER BY event_type, bucket
 
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the mergeable-sketch quantile for 100 TB (the
-    exact form in agg_percentile needs a per-group sort).  Rows-only:
-    Spark's KLL-style sketch and DuckDB's approx_quantile give different
-    approximations by design; the exact twin is oracle-checked in
-    agg_percentile."""
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
-        )
-        .orderBy("event_type")
+    exact form in agg_percentile needs a per-group sort).  Spark's
+    GK-style sketch and DuckDB's approx_quantile give different
+    approximations by design, so the sketch value itself cannot be
+    hash-matched; instead (the agg_hll_native pattern) the checked
+    columns are the EXACT percentiles plus flags verifying the sketch's
+    ACTUAL contract — rank error, not value error: the rank interval of
+    the returned value among the group's values must intersect
+    p*n ± max(1.5, 0.02n) (the sketch promises <= n/accuracy = n/10000,
+    far tighter).  Value-relative or interpolated-quantile brackets are
+    both wrong: the sketch returns an order statistic, and on a tiny or
+    heavy-tailed group adjacent order statistics differ by any factor
+    while interpolation lands between them (the NULL-twin sweep caught
+    a 5-row group where approx p90 = max, 47% above the interpolated
+    value — correct sketch behavior).  Verification is a second pass
+    over the same scan with the 5-row approx table broadcast back;
+    null-safe join keys keep the NULL group checked.  This upgrades the
+    registry's last rows-only id to a full value oracle."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+
+    g = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("value", 0.9, 10000).alias("_a90"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
     )
+    j = ev.alias("e").join(
+        F.broadcast(g).alias("g"),
+        F.col("e.event_type").eqNullSafe(F.col("g.event_type")),
+    )
+
+    def _cnt(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    v = F.col("e.value")
+    ranks = j.groupBy("g.event_type").agg(
+        F.first("g.p50_exact").alias("p50_exact"),
+        F.first("g.p90_exact").alias("p90_exact"),
+        F.first("g._a50").alias("_a50"),
+        F.first("g._a90").alias("_a90"),
+        _cnt(v.isNotNull()).alias("_n"),
+        _cnt(v < F.col("g._a50")).alias("_lt50"),
+        _cnt(v <= F.col("g._a50")).alias("_le50"),
+        _cnt(v < F.col("g._a90")).alias("_lt90"),
+        _cnt(v <= F.col("g._a90")).alias("_le90"),
+    )
+
+    def ok(p: float, approx: F.Column, lt: F.Column, le: F.Column) -> F.Column:
+        n = F.col("_n")
+        target = F.lit(p) * n
+        tol = F.greatest(F.lit(1.5), n * 0.02)
+        # the value's feasible rank interval is [lt+1, le]; the sketch
+        # is sound iff it intersects [target - tol, target + tol]
+        in_band = (le >= target - tol) & ((lt + 1) <= target + tol)
+        return F.when(approx.isNull(), n == 0).otherwise(in_band)
+
+    return ranks.select(
+        F.col("event_type"),
+        "p50_exact",
+        "p90_exact",
+        ok(0.5, F.col("_a50"), F.col("_lt50"), F.col("_le50")).alias("p50_ok"),
+        ok(0.9, F.col("_a90"), F.col("_lt90"), F.col("_le90")).alias("p90_ok"),
+    ).orderBy("event_type")
+
+
+_AGG_APPROX_PERCENTILE_SQL = """
+SELECT event_type,
+  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50_exact,
+  ROUND(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90_exact,
+  TRUE AS p50_ok,
+  TRUE AS p90_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 SPARK_QUERIES = {
@@ -207,7 +266,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "agg_histogram": _AGG_HISTOGRAM_SQL,
-    # agg_approx_percentile: rows-only (different sketch families)
+    "agg_approx_percentile": _AGG_APPROX_PERCENTILE_SQL,
     "udf_grouped_map": _UDF_GROUPED_MAP_SQL,
     "agg_collect": _AGG_COLLECT_SQL,
     "agg_min_max_by": _AGG_MIN_MAX_BY_SQL,

@@ -37,6 +37,8 @@ _FORMERLY_FAILING = [
     # adjacent queries touched by the shared fixes
     "parse_scaled", "timeseries_fill", "join_asof_tolerance",
     "agg_sum_map", "agg_uniq_upto",
+    # upgraded to a full oracle in r7; its naive draft failed THIS sweep
+    "agg_approx_percentile",
     # round-7 TPC-H additions, swept green on this twin when added
     "tpch_q13_cust_distribution", "tpch_q16_supplier_cnt",
     "tpch_q21_waiting_supplier", "tpch_q7_volume_shipping",
