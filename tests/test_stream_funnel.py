@@ -158,3 +158,54 @@ def test_sequence_count_stream_equals_batch(spark, tmp_path):
     assert final[2] == 0
     e0 = {r.user_id: r.n_matches for r in epochs[0]}
     assert e0[2] == 1
+
+
+def test_moving_avg_stream_equals_batch(spark, tmp_path):
+    """ROWS-frame windows are order-sensitive: user 2's late-arriving
+    noise event lands INSIDE earlier frames, so per-batch results must
+    be revised by recompute — the same contract as the funnel."""
+    from pyspark.sql import Window as W
+
+    def op(df):
+        w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+        return df.select(
+            "user_id",
+            "event_id",
+            F.avg(F.col("event_id").cast("double")).over(w).alias("m3"),
+        )
+
+    epochs, _store = _run_accumulating_stream(spark, tmp_path, op)
+    assert len(epochs) == len(_FILES)
+    assert epochs[-1] == sorted(op(_batch_df(spark)).collect())
+    # the late event must have changed user 2's frames between epochs
+    e0 = {(r.user_id, r.event_id): r.m3 for r in epochs[0]}
+    efin = {(r.user_id, r.event_id): r.m3 for r in epochs[-1]}
+    assert e0[(2, 12)] != efin[(2, 12)]
+
+
+def test_running_distinct_stream_equals_batch(spark, tmp_path):
+    from pyspark.sql import Window as W
+
+    def op(df):
+        w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        w_run = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        flagged = df.withColumn(
+            "is_first", (F.row_number().over(w_first) == 1).cast("long")
+        )
+        return flagged.select(
+            "user_id",
+            "event_id",
+            F.sum("is_first").over(w_run).alias("nd"),
+        )
+
+    epochs, _store = _run_accumulating_stream(spark, tmp_path, op)
+    assert epochs[-1] == sorted(op(_batch_df(spark)).collect())
+    # user 2's distinct-so-far at the buy event rises from 3 (view,
+    # cart, buy) to 4 once the interleaved noise type arrives
+    efin = {(r.user_id, r.event_id): r.nd for r in epochs[-1]}
+    e0 = {(r.user_id, r.event_id): r.nd for r in epochs[0]}
+    assert e0[(2, 12)] == 3 and efin[(2, 12)] == 4
