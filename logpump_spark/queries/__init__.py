@@ -56,9 +56,9 @@ _MODULES = (
     relational2_q,
     functions2_q,
     functions3_q,
-    curation2_q,  # r4 additions — in the window tail this round
-    training_q,  # late-r4 additions — in the window tail this round
-    sources_q,  # latest-r4 additions — rotate into the window next round
+    curation2_q,  # r4 additions
+    training_q,  # late-r4 additions
+    sources_q,  # latest-r4 additions
     sketch_q,  # r4 tail: count-min heavy hitters
     tpch_q,  # r5: TPC-H Q3/Q5/Q6/Q10/Q18 classic shapes
     coverage3_q,  # r5: HLL sketch, argMax, pivot, IP suite, chat/pref assembly
