@@ -178,6 +178,9 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q19_discounted_revenue",
     "tpch_q20_dominant_supplier",
+    "funnel_strict_dedup",
+    "timeseries_rate",
+    "timeseries_twa",
 ]
 
 

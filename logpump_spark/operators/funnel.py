@@ -168,3 +168,65 @@ def sequence_count_adjacent(
             F.when((F.col("lbl") == 1) & (F.col("nxt") == 2), 1).otherwise(0)
         ).alias("n_matches")
     )
+
+
+def window_funnel_strict_dedup(
+    events: DataFrame,
+    steps: list[Column],
+    window_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(..., 'strict_dedup')`` analog on the
+    greedy-earliest chain: a repeat of an ALREADY-matched condition
+    strictly between two matched steps interrupts the chain at the
+    earlier level (the mode users reach for when "view, view, click"
+    must not count as progress past the first view).
+
+    Shape: the same chained per-key aggregation loop as
+    ``window_funnel`` — each step k adds one min-aggregate join and one
+    violation-scan join, ALL reusing the single hashpartitioning on the
+    user key, so N steps still cost one shuffle of the events.  The
+    violation scan is itself an aggregate (first hit per user), never a
+    per-user history.  Returns (user_col, t1, level)."""
+    window_us = window_hours * 3600 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+
+    lbl = None
+    for i, s in enumerate(steps, 1):
+        lbl = F.when(s, i) if lbl is None else lbl.when(s, i)
+    lab = events.select(
+        user_col, F.col(ts_col), lbl.otherwise(0).alias("lbl")
+    ).filter(F.col("lbl") > 0)
+
+    cur = events.filter(steps[0]).groupBy(user_col).agg(F.min(ts_col).alias("t1"))
+    for k in range(2, len(steps) + 1):
+        nxt = (
+            events.join(cur, user_col)
+            .filter(
+                steps[k - 1]
+                & (us > F.unix_micros(F.col(f"t{k - 1}")))
+                & (us <= F.unix_micros(F.col("t1")) + window_us)
+            )
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{k}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+        viol = (
+            lab.join(cur.select(user_col, f"t{k - 1}", f"t{k}"), user_col)
+            .filter(
+                (F.col("lbl") < k)
+                & (us > F.unix_micros(F.col(f"t{k - 1}")))
+                & (us < F.unix_micros(F.col(f"t{k}")))
+            )
+            .groupBy(user_col)
+            .agg(F.lit(1).alias(f"viol{k}"))
+        )
+        cur = cur.join(viol, user_col, "left")
+
+    level = F.lit(1)
+    ok = F.lit(True)
+    for k in range(2, len(steps) + 1):
+        ok = ok & F.col(f"t{k}").isNotNull() & F.col(f"viol{k}").isNull()
+        level = F.when(ok, k).otherwise(level)
+    return cur.select(user_col, "t1", level.cast("int").alias("level"))

@@ -409,3 +409,68 @@ ORDER BY key
 
 SPARK_QUERIES["cdc_upsert_apply"] = cdc_upsert_apply
 ORACLE_SQL["cdc_upsert_apply"] = _CDC_UPSERT_SQL
+
+
+def funnel_strict_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel in the 'strict_dedup' mode: a
+    repeated already-matched condition strictly between two matched
+    steps caps the level (window_funnel_strict_dedup).  Completes the
+    windowFunnel mode family next to the greedy default (funnel_steps)
+    and 'strict_order' (funnel_strict_order)."""
+    from ..operators.funnel import window_funnel_strict_dedup
+
+    ev = load(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    out = window_funnel_strict_dedup(ev, steps, window_hours=24)
+    return out.select("user_id", "t1", "level").orderBy("user_id")
+
+
+_FUNNEL_DEDUP_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > epoch_us(s1.t1)
+    AND epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000::BIGINT
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > epoch_us(s2.t2)
+    AND epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000::BIGINT
+  GROUP BY e.user_id
+),
+v2 AS (
+  SELECT e.user_id, 1 AS viol
+  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE e.event_type = 'view'
+    AND epoch_us(e.ts) > epoch_us(s1.t1) AND epoch_us(e.ts) < epoch_us(s2.t2)
+  GROUP BY e.user_id
+),
+v3 AS (
+  SELECT e.user_id, 1 AS viol
+  FROM events e JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+  WHERE e.event_type IN ('view', 'click')
+    AND epoch_us(e.ts) > epoch_us(s2.t2) AND epoch_us(e.ts) < epoch_us(s3.t3)
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t1,
+  CAST(CASE WHEN s2.t2 IS NULL OR v2.viol IS NOT NULL THEN 1
+            WHEN s3.t3 IS NULL OR v3.viol IS NOT NULL THEN 2
+            ELSE 3 END AS INT) AS level
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        LEFT JOIN v2 USING (user_id) LEFT JOIN v3 USING (user_id)
+ORDER BY user_id
+"""
+
+SPARK_QUERIES["funnel_strict_dedup"] = funnel_strict_dedup
+ORACLE_SQL["funnel_strict_dedup"] = _FUNNEL_DEDUP_SQL

@@ -434,3 +434,141 @@ ORDER BY user_id
 
 SPARK_QUERIES["timeseries_islands"] = timeseries_islands
 ORACLE_SQL["timeseries_islands"] = _TS_ISLANDS_SQL
+
+
+def timeseries_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware rate (the PromQL increase() / ClickHouse
+    runningDifference idiom): per-user daily increase of a monotone
+    counter that wraps — on a reset (current < previous) the increase
+    restarts from the current reading instead of going negative.  The
+    counter is synthesized deterministically (running quantized-|value|
+    sum mod 5e6) so the oracle replays it; reset handling is the part
+    under test.  One lag() over one user-key sort, then a daily
+    aggregate — per-row state is a single previous reading."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 30) & F.col("value").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    qv = F.abs(F.floor(F.col("value") * 10000)).cast("long")
+    counter = F.sum(qv).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ) % 5_000_000
+    d = ev.select(
+        "user_id", "ts", "event_id", counter.alias("c")
+    ).withColumn("prev", F.lag("c").over(w))
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("c") >= F.col("prev"), F.col("c") - F.col("prev"))
+        .otherwise(F.col("c"))
+    )
+    reset = F.when(
+        F.col("prev").isNotNull() & (F.col("c") < F.col("prev")), 1
+    ).otherwise(0)
+    return (
+        d.withColumn("inc", inc)
+        .withColumn("reset", reset)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            (F.sum("inc").cast("double") / 10000).alias("increase"),
+            F.sum("reset").alias("n_resets"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            "user_id", F.col("day").cast("string").alias("day"),
+            "increase", "n_resets", "n_samples",
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_TS_RATE_SQL = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(ABS(FLOOR(value * 10000)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           % 5000000 AS c
+  FROM events WHERE user_id < 30 AND value IS NOT NULL
+),
+d AS (
+  SELECT user_id, ts, c,
+         LAG(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM c
+)
+SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                     WHEN c >= prev THEN c - prev
+                     ELSE c END) AS DOUBLE) / 10000 AS increase,
+       SUM(CASE WHEN prev IS NOT NULL AND c < prev THEN 1 ELSE 0 END) AS n_resets,
+       COUNT(*) AS n_samples
+FROM d
+GROUP BY user_id, CAST(ts AS DATE)
+ORDER BY user_id, day
+"""
+
+SPARK_QUERIES["timeseries_rate"] = timeseries_rate
+ORACLE_SQL["timeseries_rate"] = _TS_RATE_SQL
+
+
+def timeseries_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user-day (the avgWeighted-over-
+    durations idiom for irregularly sampled series): each reading is
+    weighted by how long it was current (microseconds until the next
+    sample that day); days with one sample have no held interval and
+    drop.  Exact integer numerator/denominator (quantized value x µs),
+    identical final IEEE divisions in both engines.  One lead() over a
+    (user, day) sort — same single-shuffle class as the window family."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 30) & F.col("value").isNotNull()
+    )
+    day = F.to_date("ts")
+    w = W.partitionBy("user_id", day).orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    qv = F.floor(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "user_id", day.alias("day"), "ts", "event_id", qv.alias("qv"), us.alias("us")
+    ).withColumn("nxt", F.lead("us").over(w))
+    dur = F.col("nxt") - F.col("us")
+    return (
+        d.withColumn("dur", dur)
+        .withColumn("seg", dur * F.col("qv"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("seg").alias("_num"),
+            F.sum("dur").alias("_dur"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .filter(F.col("_dur") > 0)
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            (
+                F.col("_num").cast("double") / F.col("_dur").cast("double") / 100
+            ).alias("twa"),
+            "n_samples",
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_TS_TWA_SQL = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(FLOOR(value * 100) AS BIGINT) AS qv,
+         epoch_us(ts) AS us,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events WHERE user_id < 30 AND value IS NOT NULL
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       CAST(SUM((nxt - us) * qv) AS DOUBLE)
+         / CAST(SUM(nxt - us) AS DOUBLE) / 100 AS twa,
+       COUNT(*) AS n_samples
+FROM d
+GROUP BY user_id, day
+HAVING SUM(nxt - us) > 0
+ORDER BY user_id, day
+"""
+
+SPARK_QUERIES["timeseries_twa"] = timeseries_twa
+ORACLE_SQL["timeseries_twa"] = _TS_TWA_SQL
