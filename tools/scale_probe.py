@@ -56,6 +56,7 @@ PROBES = [
     "tpch_q13_cust_distribution",  # outer join + two-level agg
     "tpch_q21_waiting_supplier",   # semi/anti joins on the order key
     "tpch_q9_product_profit",      # supply CTE + 5-way star join
+    "funnel_strict_dedup",         # chained per-key agg loop + violation scans
 ]
 
 _OFFSETS = {
