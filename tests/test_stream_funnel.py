@@ -30,6 +30,7 @@ from logpump_spark.operators.funnel import (
 )
 
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def _ts(minute: int) -> dt.datetime:
@@ -69,17 +70,19 @@ def _steps():
     ]
 
 
-def _run_accumulating_stream(spark, tmp_path, operator):
+def _run_accumulating_stream(spark, tmp_path, operator, files=None, schema=None):
     """Drive the fixture through maxFilesPerTrigger=1 micro-batches,
     appending each batch to a store; return (per-epoch results computed
     over the accumulated store, the store path, number of batches)."""
     import os
 
+    files = _FILES if files is None else files
+    schema = _SCHEMA if schema is None else schema
     src = str(tmp_path / "src")
     store = str(tmp_path / "store")
     os.makedirs(src, exist_ok=True)
-    for i, rows in enumerate(_FILES):
-        spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{src}/f{i}")
         # widely-spaced mtimes pin the micro-batch order (the file source
@@ -88,7 +91,7 @@ def _run_accumulating_stream(spark, tmp_path, operator):
             for fname in files:
                 os.utime(os.path.join(root, fname), (1_700_000_000 + i * 100,) * 2)
 
-    stream = spark.readStream.schema(_SCHEMA).option(
+    stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(f"{src}/f*")
 
@@ -209,3 +212,174 @@ def test_running_distinct_stream_equals_batch(spark, tmp_path):
     efin = {(r.user_id, r.event_id): r.nd for r in epochs[-1]}
     e0 = {(r.user_id, r.event_id): r.nd for r in epochs[0]}
     assert e0[(2, 12)] == 3 and efin[(2, 12)] == 4
+
+
+# --- round-7 twins: strict_dedup funnel + the monitoring idioms --------
+#
+# strict_dedup's interruption condition is a REPEAT of an already-matched
+# step between two matched steps — so the adversarial late arrival here
+# is a duplicate step event, not generic noise (noise is exactly what
+# strict_dedup exists to tolerate; the strict test above covers noise).
+
+_DEDUP_FILES = [
+    [  # file 0: two users complete chains; user 3 through cart
+        (1, _ts(0), 1, "view"),
+        (2, _ts(5), 1, "cart"),
+        (3, _ts(9), 1, "buy"),
+        (10, _ts(0), 2, "view"),
+        (11, _ts(2), 2, "noise"),  # non-step event inside the chain
+        (12, _ts(4), 2, "cart"),
+        (13, _ts(6), 2, "buy"),
+        (20, _ts(0), 3, "view"),
+        (21, _ts(4), 3, "cart"),
+    ],
+    [  # file 1: user 3 finishes; a LATE duplicate view for user 1
+        # lands between the view(t0) and cart(t5) seen in file 0
+        (22, _ts(8), 3, "buy"),
+        (4, _ts(2), 1, "view"),
+    ],
+    [  # file 2: late duplicate view for user 3 between cart and buy
+        (23, _ts(6), 3, "view"),
+    ],
+]
+
+
+def test_strict_dedup_funnel_stream_equals_batch(spark, tmp_path):
+    from logpump_spark.operators.funnel import window_funnel_strict_dedup
+
+    op = lambda df: window_funnel_strict_dedup(df, _steps())  # noqa: E731
+    epochs, _store = _run_accumulating_stream(
+        spark, tmp_path, op, files=_DEDUP_FILES
+    )
+
+    assert len(epochs) == len(_DEDUP_FILES)
+    rows = [r for f in _DEDUP_FILES for r in f]
+    batch = sorted(op(spark.createDataFrame(rows, _SCHEMA)).collect())
+    assert epochs[-1] == batch
+
+    final = {r.user_id: r.level for r in epochs[-1]}
+    # user 1: the late duplicate view (t2) interrupts view(t0)->cart(t5)
+    assert final[1] == 1
+    # user 2: interleaved NON-step noise does not interrupt strict_dedup
+    assert final[2] == 3
+    # user 3: duplicate view between cart and buy caps the level at 2
+    assert final[3] == 2
+    # per-epoch correctness for data seen so far: both users scored
+    # full chains before their duplicate arrived, then were revised down
+    e0 = {r.user_id: r.level for r in epochs[0]}
+    e1 = {r.user_id: r.level for r in epochs[1]}
+    assert e0[1] == 3 and e1[1] == 1
+    assert e1[3] == 3 and final[3] == 2
+
+
+# Counter-reset rate and time-weighted average (timeseries_q.py
+# timeseries_rate / timeseries_twa): both are one-lag/lead-over-user-sort
+# shapes, so a late-arriving sample that lands BETWEEN two earlier
+# samples changes its neighbors' lag/lead pairing — per-batch results
+# must be revised by the accumulate-and-recompute deployment exactly as
+# for the funnels.  The ops below are the registry operators' cores over
+# a raw counter/gauge column (the registry twins synthesize the counter
+# from the events table; the semantics under test — reset handling,
+# hold-interval weighting — are identical).
+
+_GAUGE_SCHEMA = "event_id long, ts timestamp, user_id long, reading long"
+
+_RATE_FILES = [
+    [  # monotone climb, then a wrap observed in-order
+        (1, _ts(0), 1, 10),
+        (2, _ts(2), 1, 20),
+        (3, _ts(4), 1, 5),  # reset: 20 -> 5
+        (4, _ts(6), 1, 8),
+    ],
+    [  # late sample lands between the 20 and the 5: the single
+        # observed reset becomes TWO (20->7 and 7->5), and the day's
+        # increase changes 18 -> 25
+        (5, _ts(3), 1, 7),
+    ],
+]
+
+
+def _rate_op(df):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = df.withColumn("prev", F.lag("reading").over(w))
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("reading") >= F.col("prev"), F.col("reading") - F.col("prev"))
+        .otherwise(F.col("reading"))
+    )
+    reset = F.when(
+        F.col("prev").isNotNull() & (F.col("reading") < F.col("prev")), 1
+    ).otherwise(0)
+    return (
+        d.withColumn("inc", inc)
+        .withColumn("reset", reset)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum("inc").alias("increase"), F.sum("reset").alias("n_resets"))
+    )
+
+
+def test_counter_rate_stream_equals_batch(spark, tmp_path):
+    epochs, _store = _run_accumulating_stream(
+        spark, tmp_path, _rate_op, files=_RATE_FILES, schema=_GAUGE_SCHEMA
+    )
+    rows = [r for f in _RATE_FILES for r in f]
+    batch = sorted(_rate_op(spark.createDataFrame(rows, _GAUGE_SCHEMA)).collect())
+    assert epochs[-1] == batch
+
+    e0 = {(r.user_id, str(r.day)): (r.increase, r.n_resets) for r in epochs[0]}
+    fin = {(r.user_id, str(r.day)): (r.increase, r.n_resets) for r in epochs[-1]}
+    key = (1, "2025-03-01")
+    # before the late sample: 0 + 10 + 5 + 3 = 18 with one reset;
+    # after: 0 + 10 + 7 + 5 + 3 = 25 with two (20->7, 7->5)
+    assert e0[key] == (18, 1)
+    assert fin[key] == (25, 2)
+
+
+_TWA_FILES = [
+    [  # one gauge held at 10 for 10 minutes, then sampled at 30
+        (1, _ts(0), 1, 10),
+        (2, _ts(10), 1, 30),
+    ],
+    [  # late sample splits the hold: 10 held 5 min, 0 held 5 min
+        (3, _ts(5), 1, 0),
+    ],
+]
+
+
+def _twa_op(df):
+    day = F.to_date("ts")
+    w = W.partitionBy("user_id", day).orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    d = df.select(
+        "user_id", day.alias("day"), "ts", "event_id", "reading", us.alias("us")
+    ).withColumn("nxt", F.lead("us").over(w))
+    dur = F.col("nxt") - F.col("us")
+    return (
+        d.withColumn("dur", dur)
+        .withColumn("seg", dur * F.col("reading"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("seg").alias("num"), F.sum("dur").alias("den"))
+        .filter(F.col("den") > 0)
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias("twa"),
+        )
+    )
+
+
+def test_twa_stream_equals_batch(spark, tmp_path):
+    epochs, _store = _run_accumulating_stream(
+        spark, tmp_path, _twa_op, files=_TWA_FILES, schema=_GAUGE_SCHEMA
+    )
+    rows = [r for f in _TWA_FILES for r in f]
+    batch = sorted(_twa_op(spark.createDataFrame(rows, _GAUGE_SCHEMA)).collect())
+    assert epochs[-1] == batch
+
+    e0 = {(r.user_id, r.day): r.twa for r in epochs[0]}
+    fin = {(r.user_id, r.day): r.twa for r in epochs[-1]}
+    key = (1, "2025-03-01")
+    # the whole first epoch holds 10 until the only next sample -> 10.0;
+    # the late mid-interval zero drags the time-weighted mean to 5.0
+    assert e0[key] == 10.0
+    assert fin[key] == 5.0
