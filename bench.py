@@ -181,6 +181,7 @@ HEADLINE = [
     "funnel_strict_dedup",
     "timeseries_rate",
     "timeseries_twa",
+    "tpch_q12_shipmode",
 ]
 
 

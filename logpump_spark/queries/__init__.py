@@ -79,8 +79,9 @@ _MODULES = (
 # second-batch round-7 ids added after the window filled —
 # tpch_q7_volume_shipping, tpch_q8_market_share, tpch_q9_product_profit,
 # tpch_q19_discounted_revenue, tpch_q20_dominant_supplier,
-# funnel_strict_dedup, timeseries_rate, timeseries_twa (all
-# parity-green locally at sf0.01 plus the null/empty/pre1970 twins).
+# tpch_q12_shipmode, funnel_strict_dedup, timeseries_rate,
+# timeseries_twa (all parity-green locally at sf0.01 plus the
+# null/empty/pre1970 twins).
 _WINDOW_PRIORITY = [
     # stale-red since the r03 NTZ incident — highest priority
     "records_explode", "parse_scaled",

@@ -722,10 +722,10 @@ ORACLE_SQL.update(
 # (product profit, supply CTE as in Q2), Q19 (disjunctive predicate
 # pushdown; p_size stands in for the missing p_container), Q20 (nested
 # dominant-supplier selection; "supplied >50% of a part's annual
-# quantity" stands in for the missing partsupp.availqty).  With these,
-# 21 of the 22 canonical TPC-H shapes are covered — only Q12 is out of
-# reach (it is ABOUT l_shipmode/l_commitdate, columns the synthetic
-# schema lacks entirely).
+# quantity" stands in for the missing partsupp.availqty).  Q12 follows
+# in a third batch below (derived ship mode + ship-delay lateness, the
+# same adaptation style as Q21/Q22), completing all 22 canonical
+# shapes.
 #
 # Scale notes (100 TB): Q7/Q8/Q9 are star joins — nation/region/
 # supplier/part broadcast, the only big shuffles are orders ⋈ lineitem
@@ -909,3 +909,77 @@ ORACLE_SQL.update(
         "tpch_q20_dominant_supplier": _Q20_TEMPLATE.format(**_IDENT),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (third batch): Q12, the last canonical shape — shipping-mode
+# priority counting (reference DDL's delegated warehouse runs this class
+# of report; clickhouse.go's INSERT schema carries no mode column, so
+# the analytical surface is where it lives).  The synthetic schema has
+# no l_shipmode / l_commitdate / l_receiptdate; the adaptation keeps the
+# shape exactly: the mode is a deterministic 7-way hash of the line key
+# (the same stand-in style as Q22's custkey%7 country code), and "late"
+# is ship-more-than-60-days-after-order (Q21's lateness).  What the
+# shape exercises is unchanged: fact-fact join, a derived low-cardinality
+# dimension, and a two-way conditional count per group.
+#
+# Scale notes (100 TB): the mode filter references only lineitem columns
+# so Catalyst pushes it below the join (the scan keeps ~2/7 of lines
+# before shuffling on the order key); the conditional counts are one
+# grouped pass with map-side partials over a 2-row group space.
+# COUNT(CASE WHEN ... THEN 1 END) (not SUM of 0/1) keeps the output
+# BIGINT in both engines and drops NULL-priority rows from both
+# counters symmetrically — pinned by the NULL-twin robustness sweep.
+
+_Q12_LO, _Q12_HI = "1996-01-01", "1997-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority, adapted): per ship
+    mode, how many late-shipped lines belonged to high- vs low-priority
+    orders in one year.  Mode is a derived 7-way hash of
+    (l_orderkey, l_linenumber) filtered to MAIL/SHIP; lateness is
+    ship > order date + 60 days (see batch comment for the adaptation
+    rationale)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(_Q12_LO)) & (F.col("l_shipdate") < _ts(_Q12_HI))
+    )
+    bucket = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 7
+    li = li.withColumn("_mb", bucket).filter(F.col("_mb").isin(2, 5))
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(
+            F.when(F.col("_mb") == 2, F.lit("MAIL"))
+            .otherwise(F.lit("SHIP"))
+            .alias("shipmode")
+        )
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+_Q12_SQL = f"""
+SELECT CASE (l_orderkey * 31 + l_linenumber) % 7 WHEN 2 THEN 'MAIL' ELSE 'SHIP' END
+         AS shipmode,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{_Q12_LO}'
+  AND l_shipdate < TIMESTAMP '{_Q12_HI}'
+  AND (l_orderkey * 31 + l_linenumber) % 7 IN (2, 5)
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+ORDER BY 1
+"""
+
+SPARK_QUERIES["tpch_q12_shipmode"] = tpch_q12_shipmode
+ORACLE_SQL["tpch_q12_shipmode"] = _Q12_SQL

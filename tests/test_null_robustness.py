@@ -44,6 +44,7 @@ _FORMERLY_FAILING = [
     "tpch_q21_waiting_supplier", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "tpch_q19_discounted_revenue", "tpch_q20_dominant_supplier",
+    "tpch_q12_shipmode",
 ]
 
 

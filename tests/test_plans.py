@@ -348,6 +348,7 @@ def test_tpch_decorrelation_no_bnlj_on_facts(spark):
         tpch_q8_market_share,
         tpch_q9_product_profit,
         tpch_q11_important_stock,
+        tpch_q12_shipmode,
         tpch_q13_cust_distribution,
         tpch_q15_top_supplier,
         tpch_q16_supplier_cnt,
@@ -373,6 +374,8 @@ def test_tpch_decorrelation_no_bnlj_on_facts(spark):
         tpch_q9_product_profit,
         tpch_q19_discounted_revenue,
         tpch_q20_dominant_supplier,
+        # Q12: derived-mode filter must stay below the fact-fact join
+        tpch_q12_shipmode,
     ):
         df = q(spark, SF_SMALL)
         df.collect()  # AQE finalizes the plan on execution
