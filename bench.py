@@ -182,6 +182,12 @@ HEADLINE = [
     "timeseries_rate",
     "timeseries_twa",
     "tpch_q12_shipmode",
+    "interval_max_concurrent",
+    "interval_length_sum",
+    "seq_next_node",
+    "timeseries_lttb",
+    "agg_mannwhitney",
+    "agg_assoc_suite",
 ]
 
 

@@ -23,6 +23,7 @@ from . import (
     functions2_q,
     functions3_q,
     functions_q,
+    intervals_q,
     llm_q,
     mining_q,
     parse_q,
@@ -63,6 +64,7 @@ _MODULES = (
     tpch_q,  # r5: TPC-H Q3/Q5/Q6/Q10/Q18 classic shapes
     coverage3_q,  # r5: HLL sketch, argMax, pivot, IP suite, chat/pref assembly
     mining_q,  # r5: triangles, PMI collocations, KMV overlap sketch
+    intervals_q,  # r7: maxIntersections / intervalLengthSum sweep family
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
@@ -80,8 +82,10 @@ _MODULES = (
 # tpch_q7_volume_shipping, tpch_q8_market_share, tpch_q9_product_profit,
 # tpch_q19_discounted_revenue, tpch_q20_dominant_supplier,
 # tpch_q12_shipmode, funnel_strict_dedup, timeseries_rate,
-# timeseries_twa (all parity-green locally at sf0.01 plus the
-# null/empty/pre1970 twins).
+# timeseries_twa, interval_max_concurrent, interval_length_sum,
+# seq_next_node, timeseries_lttb, agg_mannwhitney, agg_assoc_suite
+# (all parity-green locally at sf0.01 plus the null/unicode/empty/
+# pre1970 twins).
 _WINDOW_PRIORITY = [
     # stale-red since the r03 NTZ incident — highest priority
     "records_explode", "parse_scaled",

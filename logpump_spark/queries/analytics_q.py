@@ -330,6 +330,47 @@ SPARK_QUERIES["seq_count"] = seq_count
 ORACLE_SQL["seq_count"] = _SEQ_COUNT_SQL
 
 
+def seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward', 'head')`` analog: for
+    each user, the event type that IMMEDIATELY follows the user's first
+    signup in the full ordered stream (NULL when the signup is the
+    user's last event) — the path-analysis primitive behind "what do
+    users do right after X".  Same shape as seq_count: lead() over one
+    user-partitioned sort, then a second row_number pass over the SAME
+    sort (filter preserves it — no extra shuffle) to keep only the
+    earliest anchor; per-row state is one label."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    d = ev.withColumn("nxt", F.lead("event_type").over(w))
+    anchors = d.filter(F.col("event_type") == "signup")
+    return (
+        anchors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("nxt").alias("next_event_type"))
+        .orderBy("user_id")
+    )
+
+
+_SEQ_NEXT_NODE_SQL = """
+WITH led AS (
+  SELECT user_id, ts, event_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+),
+anchors AS (
+  SELECT user_id, nxt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM led WHERE event_type = 'signup'
+)
+SELECT user_id, nxt AS next_event_type
+FROM anchors WHERE rn = 1 ORDER BY user_id
+"""
+
+SPARK_QUERIES["seq_next_node"] = seq_next_node
+ORACLE_SQL["seq_next_node"] = _SEQ_NEXT_NODE_SQL
+
+
 def cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a CDC change batch to a base snapshot — the MERGE INTO
     pattern without a table format: deletes drop the base row, upserts

@@ -782,3 +782,202 @@ FROM raw ORDER BY event_id
 
 SPARK_QUERIES["join_asof_tolerance"] = join_asof_tolerance
 ORACLE_SQL["join_asof_tolerance"] = _JOIN_ASOF_TOL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Rank / contingency statistics (ClickHouse ``mannWhitneyUTest``,
+# ``cramersV``, ``theilsU`` analogs).  Both are one-pass-over-aggregates
+# shapes: the heavy input reduces to a bounded table (quantized value
+# distribution / source-by-lang contingency cells) and every irrational
+# step runs on identical integer operands in both engines, so the
+# doubles match bit-for-bit before the final 6dp round.
+#
+# Scale notes (100 TB): the rank computation NEVER globally sorts rows —
+# ranks come from the VALUE DISTRIBUTION (group by quantized value, then
+# a running sum over distinct values), so the single-partition window
+# sees |distinct quantized values| rows, not |events| (sweep-compliant:
+# an aggregate sits below the exchange).  The contingency table is
+# |sources| x |langs| cells.  Tie-correction cubes t per distinct value:
+# exact in int64 while every tie block stays under ~2.1M rows (t^3 <
+# 2^63) — far beyond any real quantized-double bin; the bound is the
+# documented contract.
+
+
+def agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (two-sided z approximation, tie-corrected)
+    comparing the `value` distribution of click vs error events.
+    Average ranks from the quantized value distribution; U, mu, sigma
+    from exact integer sums.  Returns one row
+    (n_click, n_error, u_stat, z_score)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error") & F.col("value").isNotNull()
+    )
+    d = ev.groupBy(quant("value").alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n2"),
+    )
+    d = d.withColumn("t", F.col("n1") + F.col("n2"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    d = d.withColumn("cum", F.sum("t").over(wv))
+    # average rank of a tied block: ranks cum-t+1 .. cum -> cum-t + (t+1)/2
+    avgrank = (F.col("cum") - F.col("t")).cast("double") + (
+        F.col("t") + 1
+    ).cast("double") / F.lit(2.0)
+    s = d.agg(
+        F.sum("n1").alias("n1"),
+        F.sum("n2").alias("n2"),
+        F.sum(F.col("n1").cast("double") * avgrank).alias("r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    u1 = F.col("r1") - n1 * (n1 + 1) / F.lit(2.0)
+    mu = n1 * n2 / F.lit(2.0)
+    sigma = F.sqrt(
+        (n1 * n2 / F.lit(12.0))
+        * ((nn + 1) - F.col("ties").cast("double") / (nn * (nn - 1)))
+    )
+    return s.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_error"),
+        u1.alias("u_stat"),  # exact half-integer, no rounding needed
+        F.round((u1 - mu) / sigma, 6).alias("z_score"),
+    )
+
+
+_MANNWHITNEY_SQL = """
+WITH d AS (
+  SELECT CAST(FLOOR(value * 10000) AS BIGINT) AS v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n2
+  FROM events
+  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT n1, n2, (n1 + n2) AS t,
+         SUM(n1 + n2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+),
+s AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS n1, CAST(SUM(n2) AS BIGINT) AS n2,
+         SUM(CAST(n1 AS DOUBLE)
+             * (CAST(cum - t AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0)) AS r1,
+         CAST(SUM(t * t * t - t) AS DOUBLE) AS ties
+  FROM ranked
+)
+SELECT n1 AS n_click, n2 AS n_error,
+       r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0 AS u_stat,
+       ROUND(
+         (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1) / 2.0
+          - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+         / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                   - ties / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                             * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))),
+         6) AS z_score
+FROM s
+"""
+
+SPARK_QUERIES["agg_mannwhitney"] = agg_mannwhitney
+ORACLE_SQL["agg_mannwhitney"] = _MANNWHITNEY_SQL
+
+
+def agg_assoc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association between document source and language:
+    chi-squared, Cramer's V, and Theil's U(lang|source) — all from one
+    |sources| x |langs| contingency table of exact integer counts.
+    Returns one row (n_docs, n_sources, n_langs, chi2, cramers_v,
+    theils_u)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    s_m = cells.groupBy("source").agg(F.sum("c").alias("ns"))
+    l_m = cells.groupBy("lang").agg(F.sum("c").alias("nl"))
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("source").alias("r"),
+        F.countDistinct("lang").alias("cc"),
+    )
+    j = (
+        cells.join(F.broadcast(s_m), "source")
+        .join(F.broadcast(l_m), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    c = F.col("c").cast("double")
+    e = F.col("ns").cast("double") * F.col("nl").cast("double") / F.col("n").cast(
+        "double"
+    )
+    chi2_terms = (c - e) * (c - e) / e
+    # H(L|S) = -sum_cells (c/N) ln(c/ns)
+    hls_terms = -(c / F.col("n").cast("double")) * F.log(
+        c / F.col("ns").cast("double")
+    )
+    agg1 = j.agg(
+        F.sum(chi2_terms).alias("chi2"),
+        F.sum(hls_terms).alias("hls"),
+        F.first("n").alias("n"),
+        F.first("r").alias("r"),
+        F.first("cc").alias("cc"),
+    )
+    # H(L) from the language margins
+    lm = l_m.crossJoin(F.broadcast(tot.select("n"))).agg(
+        F.sum(
+            -(F.col("nl").cast("double") / F.col("n").cast("double"))
+            * F.log(F.col("nl").cast("double") / F.col("n").cast("double"))
+        ).alias("hl")
+    )
+    out = agg1.crossJoin(F.broadcast(lm))
+    minrc = F.least(F.col("r"), F.col("cc")).cast("double")
+    return out.select(
+        F.col("n").alias("n_docs"),
+        F.col("r").alias("n_sources"),
+        F.col("cc").alias("n_langs"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n").cast("double") * (minrc - 1))), 6
+        ).alias("cramers_v"),
+        F.round((F.col("hl") - F.col("hls")) / F.col("hl"), 6).alias("theils_u"),
+    )
+
+
+_ASSOC_SQL = """
+WITH cells AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2
+),
+sm AS (SELECT source, SUM(c) AS ns FROM cells GROUP BY 1),
+lm AS (SELECT lang, SUM(c) AS nl FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(DISTINCT source) AS r, COUNT(DISTINCT lang) AS cc
+        FROM cells),
+j AS (
+  SELECT SUM((CAST(c.c AS DOUBLE) - CAST(sm.ns AS DOUBLE) * CAST(lm.nl AS DOUBLE)
+              / CAST(t.n AS DOUBLE))
+             * (CAST(c.c AS DOUBLE) - CAST(sm.ns AS DOUBLE) * CAST(lm.nl AS DOUBLE)
+                / CAST(t.n AS DOUBLE))
+             / (CAST(sm.ns AS DOUBLE) * CAST(lm.nl AS DOUBLE)
+                / CAST(t.n AS DOUBLE))) AS chi2,
+         SUM(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * ln(CAST(c.c AS DOUBLE) / CAST(sm.ns AS DOUBLE))) AS hls,
+         ANY_VALUE(t.n) AS n, ANY_VALUE(t.r) AS r, ANY_VALUE(t.cc) AS cc
+  FROM cells c JOIN sm USING (source) JOIN lm USING (lang) CROSS JOIN tot t
+),
+hl AS (
+  SELECT SUM(-(CAST(nl AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * ln(CAST(nl AS DOUBLE) / CAST(t.n AS DOUBLE))) AS hl
+  FROM lm CROSS JOIN tot t
+)
+SELECT j.n AS n_docs, j.r AS n_sources, j.cc AS n_langs,
+       ROUND(j.chi2, 6) AS chi2,
+       ROUND(sqrt(j.chi2 / (CAST(j.n AS DOUBLE)
+                            * (CAST(LEAST(j.r, j.cc) AS DOUBLE) - 1))), 6)
+         AS cramers_v,
+       ROUND((hl.hl - j.hls) / hl.hl, 6) AS theils_u
+FROM j CROSS JOIN hl
+"""
+
+SPARK_QUERIES["agg_assoc_suite"] = agg_assoc_suite
+ORACLE_SQL["agg_assoc_suite"] = _ASSOC_SQL

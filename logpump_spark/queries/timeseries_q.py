@@ -572,3 +572,130 @@ ORDER BY user_id, day
 
 SPARK_QUERIES["timeseries_twa"] = timeseries_twa
 ORACLE_SQL["timeseries_twa"] = _TS_TWA_SQL
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (ClickHouse ``largestTriangleThreeBuckets``): keep
+# the visually-dominant point per bucket of a long series.  This is the
+# PARALLEL variant — both triangle anchors are the neighbor buckets'
+# MEANS, not the previously-selected point, so every bucket decides
+# independently (canonical LTTB is a sequential scan; the fixed-anchor
+# form is the standard distributed adaptation and what makes the op one
+# shuffle instead of a driver loop).  Differences are documented, not
+# hidden: first/last points are pinned exactly as in canonical LTTB;
+# interior buckets may pick a different point than the sequential
+# algorithm; buckets whose index-neighbors are absent (series shorter
+# than ~2 buckets) contribute only their pinned endpoints.
+#
+# Exactness across engines: x is the ROW INDEX (int), y the 1e-4
+# quantized daily sum (int64); bucket means are one identical IEEE
+# division of identical integer sums, the triangle area is the same
+# double expression tree in Spark and DuckDB, so the per-bucket argmax
+# (area DESC, rn ASC) agrees bit-for-bit — a full value oracle, no
+# epsilon.
+
+_LTTB_NB = 12
+
+
+def timeseries_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each user's daily quantized-sum series to ~12 points
+    with fixed-anchor LTTB (users < 8 bound the oracle).  Returns the
+    selected (user_id, day, qsum, bucket) rows."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 8) & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("qsum"))
+
+    wu = W.partitionBy("user_id").orderBy("day")
+    d = (
+        daily.withColumn("rn", F.row_number().over(wu) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("user_id")))
+        .withColumn("bucket", F.expr(f"CAST((rn * {_LTTB_NB}) DIV n AS BIGINT)"))
+    )
+    bm = d.groupBy("user_id", "bucket").agg(
+        F.avg("rn").alias("mx"), F.avg("qsum").alias("my")
+    )
+    prev = bm.select(
+        F.col("user_id").alias("pu"),
+        (F.col("bucket") + 1).alias("pb"),
+        F.col("mx").alias("pmx"),
+        F.col("my").alias("pmy"),
+    )
+    nxt = bm.select(
+        F.col("user_id").alias("nu"),
+        (F.col("bucket") - 1).alias("nb"),
+        F.col("mx").alias("nmx"),
+        F.col("my").alias("nmy"),
+    )
+    mid = d.join(
+        F.broadcast(prev), (d.user_id == prev.pu) & (d.bucket == prev.pb)
+    ).join(F.broadcast(nxt), (d.user_id == nxt.nu) & (d.bucket == nxt.nb))
+    area = F.abs(
+        (F.col("pmx") - F.col("nmx"))
+        * (F.col("qsum").cast("double") - F.col("pmy"))
+        - (F.col("pmx") - F.col("rn").cast("double"))
+        * (F.col("nmy") - F.col("pmy"))
+    )
+    wsel = W.partitionBy("user_id", "bucket").orderBy(
+        F.col("area").desc(), F.col("rn").asc()
+    )
+    picked = (
+        mid.withColumn("area", area)
+        .withColumn("srn", F.row_number().over(wsel))
+        .filter(F.col("srn") == 1)
+        .select("user_id", "day", "qsum", "bucket")
+    )
+    # canonical LTTB pins the global first and last points
+    ends = d.filter((F.col("rn") == 0) | (F.col("rn") == F.col("n") - 1)).select(
+        "user_id", "day", "qsum", "bucket"
+    )
+    return (
+        picked.unionByName(ends)
+        .select(
+            "user_id", F.col("day").cast("string").alias("day"), "qsum", "bucket"
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_TS_LTTB_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS qsum
+  FROM events WHERE user_id < 8 AND value IS NOT NULL GROUP BY 1, 2
+),
+idx AS (
+  SELECT user_id, day, qsum,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM daily
+),
+bk AS (SELECT *, (rn * {_LTTB_NB}) // n AS bucket FROM idx),
+bm AS (SELECT user_id, bucket, AVG(rn) AS mx, AVG(qsum) AS my
+       FROM bk GROUP BY 1, 2),
+scored AS (
+  SELECT b.*,
+         ABS((p.mx - q.mx) * (CAST(b.qsum AS DOUBLE) - p.my)
+             - (p.mx - CAST(b.rn AS DOUBLE)) * (q.my - p.my)) AS area
+  FROM bk b
+  JOIN bm p ON p.user_id = b.user_id AND p.bucket = b.bucket - 1
+  JOIN bm q ON q.user_id = b.user_id AND q.bucket = b.bucket + 1
+),
+picked AS (
+  SELECT user_id, day, qsum, bucket,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                            ORDER BY area DESC, rn ASC) AS srn
+  FROM scored
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day, qsum, CAST(bucket AS BIGINT) AS bucket
+FROM picked WHERE srn = 1
+UNION ALL
+SELECT user_id, CAST(day AS VARCHAR), qsum, CAST(bucket AS BIGINT)
+FROM bk WHERE rn = 0 OR rn = n - 1
+ORDER BY user_id, day
+"""
+
+SPARK_QUERIES["timeseries_lttb"] = timeseries_lttb
+ORACLE_SQL["timeseries_lttb"] = _TS_LTTB_SQL
