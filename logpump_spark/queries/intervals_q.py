@@ -43,13 +43,12 @@ twins):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.intervals import interval_union_length, max_concurrent_intervals
 from ..operators.sessionize import session_stats, sessionize
 from ..tables import load
-
-_HOUR_US = 3600 * 1_000_000
 
 
 def interval_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,43 +57,7 @@ def interval_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``maxIntersectionsPosition``).  Sessions: 30-min-gap sessionization
     of the events stream.  Returns one row (max_concurrent, at_us)."""
     sess = session_stats(load(spark, sf_dir, "events"))
-    starts = sess.select(
-        F.unix_micros("session_start").alias("us"), F.lit(1).alias("delta")
-    )
-    ends = sess.select(
-        F.unix_micros("session_end").alias("us"), F.lit(-1).alias("delta")
-    )
-    bounds = starts.unionAll(ends).withColumn(
-        "bucket", F.expr(f"CAST(us DIV {_HOUR_US} AS BIGINT)")
-    )
-
-    # stage 1: per-hour net delta (one bounded shuffle, map-side combine)
-    per_bucket = bounds.groupBy("bucket").agg(F.sum("delta").alias("net"))
-    # stage 2: exclusive running carry over the hour table (bounded rows)
-    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-    carry = per_bucket.select(
-        "bucket", F.coalesce(F.sum("net").over(wb), F.lit(0)).alias("carry")
-    )
-    # stage 3: finish the scan inside each hour partition + broadcast carry
-    runs = bounds.join(F.broadcast(carry), "bucket")
-    wi = (
-        W.partitionBy("bucket")
-        .orderBy(F.col("us").asc(), F.col("delta").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    runs = runs.withColumn("running", F.col("carry") + F.sum("delta").over(wi))
-
-    # max + earliest position in ONE pass: lexicographic max of
-    # (running, -us) picks the highest running count, then the smallest us
-    m = runs.agg(
-        F.max(
-            F.struct(F.col("running").alias("r"), (-F.col("us")).alias("nus"))
-        ).alias("m")
-    )
-    return m.select(
-        F.col("m.r").cast("long").alias("max_concurrent"),
-        (-F.col("m.nus")).cast("long").alias("at_us"),
-    )
+    return max_concurrent_intervals(sess)
 
 
 # the oracle sweeps the same boundaries with one global window — exact
@@ -155,30 +118,7 @@ def interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("ts")).alias("e_us"),
         )
     )
-    starts = iv.select("user_id", F.col("s_us").alias("us"), F.lit(1).alias("delta"))
-    ends = iv.select("user_id", F.col("e_us").alias("us"), F.lit(-1).alias("delta"))
-    b = starts.unionAll(ends)
-
-    # +1 before -1 at equal ts (delta DESC) so touching intervals merge
-    w = W.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("delta").desc())
-    b = (
-        b.withColumn(
-            "run_incl", F.sum("delta").over(w.rowsBetween(W.unboundedPreceding, 0))
-        )
-        .withColumn("prev_us", F.lag("us").over(w))
-        .withColumn("prev_run", F.lag("run_incl").over(w))
-    )
-    contrib = F.when(F.col("prev_run") > 0, F.col("us") - F.col("prev_us")).otherwise(
-        F.lit(0)
-    )
-    return (
-        b.groupBy("user_id")
-        .agg(
-            F.sum(contrib).alias("covered_us"),
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
-        )
-        .orderBy("user_id")
-    )
+    return interval_union_length(iv).orderBy("user_id")
 
 
 _LENGTH_SUM_SQL = """

@@ -57,6 +57,11 @@ PROBES = [
     "tpch_q21_waiting_supplier",   # semi/anti joins on the order key
     "tpch_q9_product_profit",      # supply CTE + 5-way star join
     "funnel_strict_dedup",         # chained per-key agg loop + violation scans
+    # r7 third batch: interval sweeps + distribution-rank stats
+    "interval_max_concurrent",     # two-stage prefix scan (hour-bucket carry)
+    "interval_length_sum",         # per-user boundary sweep (sizes constant)
+    "agg_mannwhitney",             # distinct-value distribution + running sum
+    "timeseries_lttb",             # per-user bucket means + argmax join
 ]
 
 _OFFSETS = {
@@ -241,6 +246,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--mode", choices=["breadth", "hot"], default="breadth")
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="probe only these PROBES entries (default: all)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as se
@@ -256,7 +265,7 @@ def main() -> None:
     try:
         build_scaled(spark, args.sf, out_dir, args.k)
         results = {}
-        for name in PROBES:
+        for name in (args.only if args.only else PROBES):
             _time(queries, name, spark, args.sf)  # warm (JIT, code paths)
             t1 = _time(queries, name, spark, args.sf)
             tk = _time(queries, name, spark, out_dir)
