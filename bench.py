@@ -188,6 +188,7 @@ HEADLINE = [
     "timeseries_lttb",
     "agg_mannwhitney",
     "agg_assoc_suite",
+    "timeseries_decay",
 ]
 
 

@@ -699,3 +699,116 @@ ORDER BY user_id, day
 
 SPARK_QUERIES["timeseries_lttb"] = timeseries_lttb
 ORACLE_SQL["timeseries_lttb"] = _TS_LTTB_SQL
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed aggregates (ClickHouse ``exponentialTimeDecayedSum`` /
+# ``exponentialTimeDecayedAvg`` at the series end) + ``boundingRatio``.
+# The monitoring triple for "what is the signal doing NOW": recent
+# events dominate via w_i = exp(-(T - t_i)/tau), and the bounding ratio
+# is the end-to-end slope (dy/dx over the full window).
+#
+# Exactness: (T - t_i) is exact int64 µs and tau a literal, so exp()
+# receives identical doubles in both engines; libm exp differs by at
+# most 1 ulp across implementations and the ~2k-term sums keep the
+# wobble ~1e-10 — far inside the 6dp round (the same contract as the
+# ln() entropy ops).  First/last values for the slope come from
+# row_number over a (ts, event_id) sort, never argmin/argmax on floats.
+#
+# Scale notes (100 TB): one grouped pass for the decayed sums (map-side
+# partials; T is a 1-row broadcast), one per-type window for the
+# endpoints — |event_type| groups, per-key sort bounded by the type's
+# rows (SCALING.md §4.1 envelope).
+
+_DECAY_TAU_US = 86400 * 1_000_000  # 1-day time constant
+
+
+def timeseries_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: exponential time-decayed sum/avg of `value`
+    evaluated at the corpus end, plus the end-to-end slope per hour
+    (boundingRatio).  Returns (event_type, n_events, decayed_sum,
+    decayed_avg, slope_per_hour)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t_end = ev.agg(F.max(F.unix_micros("ts")).alias("t_end"))
+    d = ev.crossJoin(F.broadcast(t_end))
+    w = F.exp(
+        -(F.col("t_end") - F.unix_micros("ts")).cast("double")
+        / F.lit(float(_DECAY_TAU_US))
+    )
+    sums = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value") * w).alias("dsum"),
+        F.sum(w).alias("dw"),
+    )
+
+    wt = W.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wt_desc = W.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ends = (
+        ev.withColumn("rn_a", F.row_number().over(wt))
+        .withColumn("rn_d", F.row_number().over(wt_desc))
+        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("first_v"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("last_v"),
+            F.max(F.when(F.col("rn_a") == 1, F.unix_micros("ts"))).alias("first_us"),
+            F.max(F.when(F.col("rn_d") == 1, F.unix_micros("ts"))).alias("last_us"),
+        )
+    )
+    hours = (F.col("last_us") - F.col("first_us")).cast("double") / F.lit(3.6e9)
+    return (
+        sums.join(ends, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("dsum"), 6).alias("decayed_sum"),
+            F.round(F.col("dsum") / F.col("dw"), 6).alias("decayed_avg"),
+            F.round((F.col("last_v") - F.col("first_v")) / hours, 6).alias(
+                "slope_per_hour"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TS_DECAY_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+t AS (SELECT MAX(epoch_us(ts)) AS t_end FROM ev),
+sums AS (
+  SELECT event_type, COUNT(*) AS n_events,
+         SUM(value * exp(-CAST(t.t_end - epoch_us(ts) AS DOUBLE)
+                         / {float(_DECAY_TAU_US)!r})) AS dsum,
+         SUM(exp(-CAST(t.t_end - epoch_us(ts) AS DOUBLE)
+                 / {float(_DECAY_TAU_US)!r})) AS dw
+  FROM ev CROSS JOIN t GROUP BY event_type
+),
+ranked AS (
+  SELECT event_type, value, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM ev
+),
+ends AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn_a = 1 THEN value END) AS first_v,
+         MAX(CASE WHEN rn_d = 1 THEN value END) AS last_v,
+         MAX(CASE WHEN rn_a = 1 THEN us END) AS first_us,
+         MAX(CASE WHEN rn_d = 1 THEN us END) AS last_us
+  FROM ranked WHERE rn_a = 1 OR rn_d = 1 GROUP BY event_type
+)
+SELECT s.event_type, s.n_events,
+       ROUND(s.dsum, 6) AS decayed_sum,
+       ROUND(s.dsum / s.dw, 6) AS decayed_avg,
+       ROUND((e.last_v - e.first_v)
+             / (CAST(e.last_us - e.first_us AS DOUBLE) / 3600000000.0),
+             6) AS slope_per_hour
+FROM sums s JOIN ends e USING (event_type)
+ORDER BY s.event_type
+"""
+
+SPARK_QUERIES["timeseries_decay"] = timeseries_decay
+ORACLE_SQL["timeseries_decay"] = _TS_DECAY_SQL
