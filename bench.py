@@ -189,6 +189,7 @@ HEADLINE = [
     "agg_mannwhitney",
     "agg_assoc_suite",
     "timeseries_decay",
+    "seq_match_window",
 ]
 
 

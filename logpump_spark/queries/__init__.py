@@ -84,8 +84,8 @@ _MODULES = (
 # tpch_q12_shipmode, funnel_strict_dedup, timeseries_rate,
 # timeseries_twa, interval_max_concurrent, interval_length_sum,
 # seq_next_node, timeseries_lttb, agg_mannwhitney, agg_assoc_suite,
-# timeseries_decay (all parity-green locally at sf0.01 plus the
-# null/unicode/empty/pre1970 twins).
+# timeseries_decay, seq_match_window (all parity-green locally at
+# sf0.01 plus the null/unicode/empty/pre1970 twins).
 _WINDOW_PRIORITY = [
     # stale-red since the r03 NTZ incident — highest priority
     "records_explode", "parse_scaled",

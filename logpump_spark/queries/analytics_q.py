@@ -515,3 +515,65 @@ ORDER BY user_id
 
 SPARK_QUERIES["funnel_strict_dedup"] = funnel_strict_dedup
 ORACLE_SQL["funnel_strict_dedup"] = _FUNNEL_DEDUP_SQL
+
+
+def seq_match_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1)(?t<=3600)(?2)')`` analog — the
+    TIME-CONSTRAINED form `seq_match`'s regex pattern cannot express:
+    did the user make a purchase within one hour of a signup (any other
+    events may intervene)?  One window pass carries the latest signup
+    time into every later row (ROWS .. 1 PRECEDING keeps "strictly
+    before" identical in both engines), purchase rows test the delta,
+    and a grouped max folds it per user — per-row state is one int64,
+    never a per-user history.  Returns (user_id, matched) for users
+    with at least one signup."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", us)
+    ).over(w)
+    d = ev.withColumn("ls_us", last_signup)
+    hit = (
+        (F.col("event_type") == "purchase")
+        & F.col("ls_us").isNotNull()
+        & ((us - F.col("ls_us")) <= 3600 * 1_000_000)
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.max(F.when(hit, 1).otherwise(0)).alias("matched"),
+            F.max(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            ).alias("has_anchor"),
+        )
+        .filter(F.col("has_anchor") == 1)
+        .select("user_id", "matched")
+        .orderBy("user_id")
+    )
+
+
+_SEQ_MATCH_WINDOW_SQL = """
+WITH carried AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         MAX(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls_us
+  FROM events
+)
+SELECT user_id,
+       MAX(CASE WHEN event_type = 'purchase' AND ls_us IS NOT NULL
+                     AND us - ls_us <= 3600000000::BIGINT
+                THEN 1 ELSE 0 END) AS matched
+FROM carried
+GROUP BY user_id
+HAVING MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1
+ORDER BY user_id
+"""
+
+SPARK_QUERIES["seq_match_window"] = seq_match_window
+ORACLE_SQL["seq_match_window"] = _SEQ_MATCH_WINDOW_SQL
