@@ -77,8 +77,8 @@ _MODULES = (
 # round-7 TPC-H additions (Q13/Q16/Q21) and 4 core-query regression
 # re-checks to fill the 50.  After this round every registry id has a
 # driver-green row at least once.
-# Still unverified after this window (rotate in r8): the eight
-# second-batch round-7 ids added after the window filled —
+# Still unverified after this window (rotate ALL of these in r8): the
+# seventeen later round-7 ids added after the window filled —
 # tpch_q7_volume_shipping, tpch_q8_market_share, tpch_q9_product_profit,
 # tpch_q19_discounted_revenue, tpch_q20_dominant_supplier,
 # tpch_q12_shipmode, funnel_strict_dedup, timeseries_rate,

@@ -32,13 +32,18 @@ from .llm_q import _docs_with_planted_dups
 # iterative CC fit (a driver loop with per-round actions) at each
 # query's construction — the round-6 bench flagged exactly this
 # triple-run as a registry artifact.  Cached value is a
-# localCheckpoint-backed DataFrame, one row per doc (bounded); keys die
-# with the session.
-_CC_LABEL_CACHE: dict[tuple[int, str], DataFrame] = {}
+# localCheckpoint-backed DataFrame, one row per doc (bounded); stale
+# entries from stopped sessions are inert and bounded by
+# sessions-per-process.
+_CC_LABEL_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): a stopped session's address
+    # can be reused by a new SparkSession, and a stale hit would hand
+    # out a DataFrame whose checkpoint blocks died with the old session.
+    # Stale appId entries are bounded by sessions-per-process (tiny).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CC_LABEL_CACHE:
         docs = _docs_with_planted_dups(spark, sf_dir)
         edges = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")

@@ -300,11 +300,12 @@ _IVF_NPROBE = 2
 # once and both the report and its recall eval read it — the memo makes
 # the registry reflect that.  Only the PLAN is cached (no checkpoint):
 # each query still executes its own search.
-_IVF_STD_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IVF_STD_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _ivf_topk_std(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark) — see curation_q._dup_cluster_labels
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_STD_CACHE:
         emb = load(spark, sf_dir, "embeddings")
         _IVF_STD_CACHE[key] = ivf_topk(

@@ -795,7 +795,7 @@ WITH supply AS (
 )
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
        CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
-           - CAST(sp.qcost * l_quantity AS BIGINT)) AS DOUBLE) / 10000 AS sum_profit
+           - CAST(FLOOR(sp.qcost * l_quantity) AS BIGINT)) AS DOUBLE) / 10000 AS sum_profit
 FROM {part}
 JOIN {lineitem} ON p_partkey = l_partkey
 JOIN supply sp ON sp.partkey = l_partkey AND sp.suppkey = l_suppkey

@@ -73,7 +73,7 @@ def _steps():
 def _run_accumulating_stream(spark, tmp_path, operator, files=None, schema=None):
     """Drive the fixture through maxFilesPerTrigger=1 micro-batches,
     appending each batch to a store; return (per-epoch results computed
-    over the accumulated store, the store path, number of batches)."""
+    over the accumulated store, the store path)."""
     import os
 
     files = _FILES if files is None else files
@@ -87,8 +87,8 @@ def _run_accumulating_stream(spark, tmp_path, operator, files=None, schema=None)
         ).parquet(f"{src}/f{i}")
         # widely-spaced mtimes pin the micro-batch order (the file source
         # picks oldest-first; sub-second writes could otherwise tie)
-        for root, _dirs, files in os.walk(f"{src}/f{i}"):
-            for fname in files:
+        for root, _dirs, fnames in os.walk(f"{src}/f{i}"):
+            for fname in fnames:
                 os.utime(os.path.join(root, fname), (1_700_000_000 + i * 100,) * 2)
 
     stream = spark.readStream.schema(schema).option(

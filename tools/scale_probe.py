@@ -186,11 +186,11 @@ def _hot_shapes():
         return flagged.withColumn("nd", F.sum("is_first").over(w_run))
 
     def sessionize(ev):
-        w = W.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-        new_s = (gap.isNull() | (gap > 30 * 60 * 1_000_000)).cast("long")
-        d = ev.withColumn("new_s", new_s)
-        return d.withColumn("session_id", F.sum("new_s").over(w))
+        # the exact operator production runs — measuring a hand-rolled
+        # twin would silently drift if the gap/tie-break ever changed
+        from logpump_spark.operators.sessionize import sessionize as op
+
+        return op(ev)
 
     return {
         "funnel_strict": funnel,
