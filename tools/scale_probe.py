@@ -192,12 +192,33 @@ def _hot_shapes():
 
         return op(ev)
 
+    def union_length(ev):
+        # r7: the intervalLengthSum sweep — per-(user, type) sessions
+        # swept per user; same user-key window family, same hot-key
+        # exposure as sessionize
+        from logpump_spark.operators.intervals import interval_union_length
+        from logpump_spark.operators.sessionize import sessionize as sess_op
+
+        keyed = ev.withColumn(
+            "uk", F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+        )
+        iv = (
+            sess_op(keyed, user_col="uk")
+            .groupBy("user_id", "event_type", "session_no")
+            .agg(
+                F.unix_micros(F.min("ts")).alias("s_us"),
+                F.unix_micros(F.max("ts")).alias("e_us"),
+            )
+        )
+        return interval_union_length(iv)
+
     return {
         "funnel_strict": funnel,
         "sequence_count": seqcount,
         "moving_avg_rows7": moving_avg,
         "running_distinct": running_distinct,
         "sessionize": sessionize,
+        "union_length": union_length,
     }
 
 
