@@ -181,3 +181,65 @@ def ohlc_resample(
         F.count(F.lit(1)).alias("n"),
         F.sum("qv").alias("volume_q"),
     )
+
+
+def time_decayed_by_type(
+    events: DataFrame,
+    tau_us: int = 86400 * 1_000_000,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedSum/Avg`` at the series end +
+    ``boundingRatio``: per type, the recency-weighted sum/avg of
+    ``value_col`` with w = exp(-(T_end - t)/tau) where T_end is the
+    corpus maximum timestamp (1-row broadcast), plus the end-to-end
+    slope per hour from row_number endpoints.  NOTE the recompute
+    contract: T_end moves when newer data arrives, re-weighting every
+    earlier event — streaming deployments must accumulate-and-recompute
+    (tests/test_stream_intervals.py pins this), never merge per-batch
+    decayed sums."""
+    ev = events.filter(F.col(value_col).isNotNull())
+    t_end = ev.agg(F.max(F.unix_micros(ts_col)).alias("t_end"))
+    d = ev.crossJoin(F.broadcast(t_end))
+    w = F.exp(
+        -(F.col("t_end") - F.unix_micros(ts_col)).cast("double")
+        / F.lit(float(tau_us))
+    )
+    sums = d.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col) * w).alias("dsum"),
+        F.sum(w).alias("dw"),
+    )
+
+    wt = W.partitionBy(type_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    wt_desc = W.partitionBy(type_col).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    ends = (
+        ev.withColumn("rn_a", F.row_number().over(wt))
+        .withColumn("rn_d", F.row_number().over(wt_desc))
+        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
+        .groupBy(type_col)
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col(value_col))).alias("first_v"),
+            F.max(F.when(F.col("rn_d") == 1, F.col(value_col))).alias("last_v"),
+            F.max(
+                F.when(F.col("rn_a") == 1, F.unix_micros(ts_col))
+            ).alias("first_us"),
+            F.max(
+                F.when(F.col("rn_d") == 1, F.unix_micros(ts_col))
+            ).alias("last_us"),
+        )
+    )
+    hours = (F.col("last_us") - F.col("first_us")).cast("double") / F.lit(3.6e9)
+    return sums.join(ends, type_col).select(
+        type_col,
+        "n_events",
+        F.round(F.col("dsum"), 6).alias("decayed_sum"),
+        F.round(F.col("dsum") / F.col("dw"), 6).alias("decayed_avg"),
+        F.round((F.col("last_v") - F.col("first_v")) / hours, 6).alias(
+            "slope_per_hour"
+        ),
+    )

@@ -726,51 +726,13 @@ _DECAY_TAU_US = 86400 * 1_000_000  # 1-day time constant
 def timeseries_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: exponential time-decayed sum/avg of `value`
     evaluated at the corpus end, plus the end-to-end slope per hour
-    (boundingRatio).  Returns (event_type, n_events, decayed_sum,
-    decayed_avg, slope_per_hour)."""
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    t_end = ev.agg(F.max(F.unix_micros("ts")).alias("t_end"))
-    d = ev.crossJoin(F.broadcast(t_end))
-    w = F.exp(
-        -(F.col("t_end") - F.unix_micros("ts")).cast("double")
-        / F.lit(float(_DECAY_TAU_US))
-    )
-    sums = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value") * w).alias("dsum"),
-        F.sum(w).alias("dw"),
-    )
+    (boundingRatio).  Core in operators/timeseries.time_decayed_by_type
+    (shared with the streaming twin).  Returns (event_type, n_events,
+    decayed_sum, decayed_avg, slope_per_hour)."""
+    from ..operators.timeseries import time_decayed_by_type
 
-    wt = W.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    wt_desc = W.partitionBy("event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    ends = (
-        ev.withColumn("rn_a", F.row_number().over(wt))
-        .withColumn("rn_d", F.row_number().over(wt_desc))
-        .filter((F.col("rn_a") == 1) | (F.col("rn_d") == 1))
-        .groupBy("event_type")
-        .agg(
-            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("first_v"),
-            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("last_v"),
-            F.max(F.when(F.col("rn_a") == 1, F.unix_micros("ts"))).alias("first_us"),
-            F.max(F.when(F.col("rn_d") == 1, F.unix_micros("ts"))).alias("last_us"),
-        )
-    )
-    hours = (F.col("last_us") - F.col("first_us")).cast("double") / F.lit(3.6e9)
-    return (
-        sums.join(ends, "event_type")
-        .select(
-            "event_type",
-            "n_events",
-            F.round(F.col("dsum"), 6).alias("decayed_sum"),
-            F.round(F.col("dsum") / F.col("dw"), 6).alias("decayed_avg"),
-            F.round((F.col("last_v") - F.col("first_v")) / hours, 6).alias(
-                "slope_per_hour"
-            ),
-        )
-        .orderBy("event_type")
-    )
+    ev = load(spark, sf_dir, "events")
+    return time_decayed_by_type(ev, tau_us=_DECAY_TAU_US).orderBy("event_type")
 
 
 _TS_DECAY_SQL = f"""

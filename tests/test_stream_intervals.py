@@ -134,3 +134,53 @@ def test_union_length_stream_equals_batch(spark, tmp_path):
     # counted ONCE across two intervals
     (e1,) = epochs[1]
     assert (e1.covered_us, e1.n_intervals) == (50 * 60 * 1_000_000, 2)
+
+
+# --- time-decayed aggregates: the recompute contract -----------------------
+# The decayed weights are relative to T_end = max(ts) seen so far.  A
+# late-arriving event with the NEWEST timestamp moves T_end and
+# re-weights EVERY earlier event — per-batch decayed sums can never be
+# merged; only accumulate-and-recompute is correct.
+
+_DECAY_FILES = [
+    [
+        (1, _ts(0), 1, "click"),
+        (2, _ts(30), 1, "click"),
+    ],
+    [  # newest timestamp arrives in a later batch: T_end jumps +60 min
+        (3, _ts(90), 1, "click"),
+    ],
+]
+
+
+def _decay_op(df):
+    from logpump_spark.operators.timeseries import time_decayed_by_type
+
+    # tau = 1h so the T_end shift visibly re-weights the early events
+    return time_decayed_by_type(df.withColumn("value", F.lit(1.0)),
+                                tau_us=3600 * 1_000_000)
+
+
+def test_decay_stream_equals_batch_and_reweights(spark, tmp_path):
+    import math
+
+    epochs, _store = _run_accumulating_stream(
+        spark, tmp_path, _decay_op, files=_DECAY_FILES, schema=_SCHEMA
+    )
+    assert len(epochs) == len(_DECAY_FILES)
+
+    rows = [r for f in _DECAY_FILES for r in f]
+    batch = sorted(_decay_op(spark.createDataFrame(rows, _SCHEMA)).collect())
+    assert epochs[-1] == batch
+
+    # epoch 0: T_end = t30 -> weights exp(-0.5) + 1
+    (e0,) = epochs[0]
+    assert e0.decayed_sum == round(math.exp(-0.5) + 1.0, 6)
+    # epoch 1: T_end jumped to t90 -> the SAME two early events now
+    # weigh exp(-1.5) + exp(-1.0); a per-batch merge would have kept
+    # their epoch-0 weights and added exp(0) = 1
+    (e1,) = epochs[1]
+    assert e1.decayed_sum == round(
+        math.exp(-1.5) + math.exp(-1.0) + 1.0, 6
+    )
+    assert e1.decayed_sum != round(e0.decayed_sum + 1.0, 6)
