@@ -62,6 +62,8 @@ PROBES = [
     "interval_length_sum",         # per-user boundary sweep (sizes constant)
     "agg_mannwhitney",             # distinct-value distribution + running sum
     "timeseries_lttb",             # per-user bucket means + argmax join
+    "timeseries_decay",            # one grouped pass + per-type endpoint window
+    "seq_match_window",            # anchor-carry window + per-user flag fold
 ]
 
 _OFFSETS = {
