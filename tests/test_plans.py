@@ -382,3 +382,19 @@ def test_tpch_decorrelation_no_bnlj_on_facts(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_interval_max_concurrent_two_stage_scan(spark):
+    """The maxIntersections sweep's load-bearing shape: the hour-bucket
+    carry table joins back by BROADCAST (it is bounded by the time
+    range, never fact-sized), and the only SinglePartition exchanges
+    sit above aggregates (the 1-row max and the bucket-carry window) —
+    raw boundaries must never funnel through one task."""
+    from logpump_spark.queries.intervals_q import interval_max_concurrent
+
+    df = interval_max_concurrent(spark, SF_SMALL)
+    df.collect()  # AQE finalizes the plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
