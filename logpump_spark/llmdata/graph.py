@@ -86,23 +86,32 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # lazy checkpoint: the convergence probe below is the ONE action
-        # per round — it materializes nxt and tests the fixpoint in the
-        # same job (driver-side action count is what dominates the loop's
-        # fixed cost; the data per round is tiny relative to the corpus)
+        # per probed round — it materializes the pending checkpoints and
+        # tests the fixpoint in the same job (driver-side action count is
+        # what dominates the loop's fixed cost; the data per round is
+        # tiny relative to the corpus)
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        prev = cur
+        cur = nxt
+        # probe every SECOND round (and the last): star rounds are cheap
+        # relative to a driver action, and applying stars to an
+        # already-converged edge set is idempotent, so the worst case of
+        # a skipped probe is one extra cheap round — halving the loop's
+        # fixed action cost (r7 verdict item 6).  Real near-dup graphs
+        # converge in 2-4 rounds, so the i==1 probe catches them first.
+        if i % 2 == 0 and i != max_iter - 1:
+            continue
         # both edge sets are distinct, so they are equal iff no (u, v)
         # appears an odd number of times in their concatenation
         diff = (
-            nxt.union(cur)
+            cur.union(prev)
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") != 2)
         )
-        converged = len(diff.take(1)) == 0
-        cur = nxt
-        if converged:
+        if len(diff.take(1)) == 0:
             break
     # converged: every edge is (member, root); roots label themselves
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))

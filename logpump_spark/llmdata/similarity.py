@@ -100,7 +100,6 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -310,7 +309,6 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
-        .orderBy("query_id", "rank")
     )
 
 

@@ -288,7 +288,7 @@ def xform_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         morton_key(
             F.col("user_id") % 65536, F.col("event_id") % 65536
         ).alias("zkey"),
-    ).orderBy("event_id")
+    )
 
 
 def _spread_sql(expr: str) -> str:
@@ -420,7 +420,6 @@ def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("latest_event_id"),
             F.floor(F.col("value") * 10000).cast("long").alias("latest_value_q"),
         )
-        .orderBy("user_id", "event_type")
     )
 
 

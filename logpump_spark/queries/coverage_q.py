@@ -63,7 +63,7 @@ def fn_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(dirty).alias("dirty_len"),
         F.regexp_replace(clean, "^﻿", "").alias("cleaned"),
         dirty.contains("\x00").cast("int").alias("had_nul"),
-    ).orderBy("doc_id")
+    )
 
 
 _FN_STRING_CLEAN_SQL = """

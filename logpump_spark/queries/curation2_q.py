@@ -111,7 +111,6 @@ def quality_decile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("decile", F.ntile(10).over(w))
         .filter(F.col("decile") == 1)
         .select("doc_id", "lang", "n_chars", "decile")
-        .orderBy("doc_id")
     )
 
 
@@ -324,7 +323,6 @@ def corpus_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merge_by_priority(both, priority=pri)
         .select("doc_id", "source", "n_copies", "n_sources")
-        .orderBy("doc_id")
     )
 
 
@@ -437,7 +435,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrubbed.select(
         "doc_id", "source", "lang", "strat_n", "sample_rank",
         "has_pii", "redacted_md5",
-    ).orderBy("doc_id")
+    )
 
 
 _CURATION_PIPELINE_SQL = f"""

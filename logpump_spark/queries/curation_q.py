@@ -159,7 +159,6 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stratified_sample(docs, "source", 0.2, "doc_id")
         .select("doc_id", "source", "strat_n", "sample_rank")
-        .orderBy("doc_id")
     )
 
 
@@ -273,7 +272,6 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rank"
         )
-        .orderBy("l_suppkey", "rank")
     )
 
 

@@ -30,7 +30,7 @@ def fn_string_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.upper("source")).alias("roundtrip"),
         F.startswith(F.col("text"), F.lit("the")).cast("int").alias("starts_the"),
         F.endswith(F.col("source"), F.lit("1")).cast("int").alias("ends_1"),
-    ).orderBy("doc_id")
+    )
 
 
 _FN_STRING2_SQL = """
@@ -106,7 +106,7 @@ def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(r"\b\w{5}\b"), 0)).alias(
             "n_5letter"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 _FN_REGEXP_SQL = r"""

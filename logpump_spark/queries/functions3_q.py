@@ -253,7 +253,7 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
         F.regexp_extract("url", r"[?&]lang=([^&]*)", 1).alias("q_lang"),
         F.regexp_extract("url", r"[?&]v=([^&]*)", 1).alias("q_v"),
-    ).orderBy("doc_id")
+    )
 
 
 _FN_URL_SQL = """
@@ -302,7 +302,6 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_variant_get(v, "$.b.tags[1]", "string").alias("tag1"),
             F.try_variant_get(v, "$.missing", "long").alias("absent"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -345,7 +344,7 @@ def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(h, 17, 4),
             F.substring(h, 21, 12),
         ).alias("stable_uuid"),
-    ).orderBy("doc_id")
+    )
 
 
 _FN_HASH_SQL = """
@@ -416,7 +415,6 @@ def fn_array2_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_union(toks, toks_u)).alias("n_union"),
             F.arrays_overlap(toks, toks_u).alias("overlaps"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -593,7 +591,6 @@ def fn_encoding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tagged"),
             F.reverse(F.col("source")).alias("rev_source"),
         )
-        .orderBy("doc_id")
     )
 
 

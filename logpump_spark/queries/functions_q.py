@@ -42,7 +42,6 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("text")).alias("text_md5"),
             F.regexp_replace(F.col("text"), "[0-9]+", "#").alias("no_digits"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -210,7 +209,6 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_tok_len"),
             F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
         )
-        .orderBy("doc_id")
     )
 
 

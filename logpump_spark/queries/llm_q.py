@@ -32,12 +32,15 @@ _QUERY_IDS = list(range(10))
 
 def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + copies of the 20 lowest doc_ids (ids shifted by 10^6):
-    guaranteed duplicate pairs so detection queries provably fire."""
+    guaranteed duplicate pairs so detection queries provably fire.
+
+    doc_ids are contiguous 0..N-1 in every testdata sf, so ``doc_id <
+    20`` IS the 20 lowest — expressed as a pushed parquet filter instead
+    of ``orderBy().limit()``, which Spark planned as a full corpus
+    range-sort (not TakeOrdered) in branches consumed under a window."""
     docs = load(spark, sf_dir, "documents")
-    clones = (
-        docs.orderBy("doc_id")
-        .limit(20)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    clones = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
     return docs.unionByName(clones)
 
@@ -404,7 +407,7 @@ WHERE rank <= 5 ORDER BY query_id, rank
 def sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within a coarse cell."""
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+    return embedding_neardup_pairs(emb, threshold=0.35)
 
 
 _SIM_NEARDUP_SQL = f"""
@@ -433,7 +436,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stopword_ratio",
         "punct_ratio",
         "upper_ratio",
-    ).orderBy("doc_id")
+    )
 
 
 _TEXT_STATS_SQL = """
@@ -455,7 +458,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return lang_id(docs).select(
         "doc_id", "lang", "score_en", "score_de", "score_es", "lang_pred"
-    ).orderBy("doc_id")
+    )
 
 
 _TEXT_LANG_SQL = """
@@ -481,9 +484,7 @@ FROM scored ORDER BY doc_id
 def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish-regex token counts."""
     docs = load(spark, sf_dir, "documents")
-    return bpe_token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens").orderBy(
-        "doc_id"
-    )
+    return bpe_token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens")
 
 
 _TEXT_BPE_SQL = r"""
@@ -499,7 +500,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return fingerprint(docs).select(
         "doc_id", "fp_md5", "fp_sha256", "fp_head", "norm_len"
-    ).orderBy("doc_id")
+    )
 
 
 _DOC_FP_SQL = r"""
@@ -535,7 +536,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decode_image_features(media, strict=True)
     return feats.select(
         "media_id", "kind", "width", "height", "mode", "decoder"
-    ).orderBy("media_id")
+    )
 
 
 _MULTIMODAL_SQL = """
@@ -613,7 +614,7 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_wav_media(docs, "doc_id", "rate", "n", "source")
     return decode_audio_features(media, strict=True).select(
         "media_id", "n_bytes", "sample_rate", "n_samples", "duration_ms", "decoder"
-    ).orderBy("media_id")
+    )
 
 
 _MULTIMODAL_AUDIO_SQL = """
@@ -725,9 +726,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (50 + F.col("doc_id") % 100).alias("n"),
     )
     media = synthesize_wav_media(docs, "doc_id", "rate", "n", "source")
-    return sample_frames(media, every_n_bytes=64).orderBy(
-        "media_id", "frame_no"
-    )
+    return sample_frames(media, every_n_bytes=64)
 
 
 _MULTIMODAL_FRAMES_SQL = """
@@ -763,7 +762,6 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         edit_distance_pairs(docs.unionByName(twins))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -974,7 +972,6 @@ def sim_hardneg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos",
             "rank",
         )
-        .orderBy("query_id", "rank")
     )
 
 

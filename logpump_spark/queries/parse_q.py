@@ -161,7 +161,7 @@ def _full_entry(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
             .repartition(par)
         )
     entries = parse_records(df, record_col="record", filename_col="filename")
-    return entries.select(
+    out = entries.select(
         "event_id",
         F.col("LogTimestamp").alias("log_ts"),
         F.col("Component").alias("component"),
@@ -177,7 +177,17 @@ def _full_entry(spark: SparkSession, sf_dir: str, cap: int | None) -> DataFrame:
         F.col("EventType").alias("event_name"),
         F.col("File").alias("file_field"),
         F.col("Level").alias("level_field"),
-    ).orderBy("event_id")
+    )
+    if cap is not None:
+        # constant-bounded subset (event_id < cap): a global sort over
+        # ~cap rows is free and gives deterministic debug output
+        return out.orderBy("event_id")
+    # uncapped = corpus-cardinality: a global orderBy here planned an
+    # Exchange rangepartitioning + full Sort of every parsed 24-column
+    # record — a whole extra shuffle+sort of the corpus at 100 TB for an
+    # order the (order-insensitive) consumers never needed (r7 verdict
+    # finding 1).  No ordering on the scaled path.
+    return out
 
 
 def parse_full_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,7 +53,7 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule_alpha_words",
         "rule_stopwords",
         "keep",
-    ).orderBy("doc_id")
+    )
 
 
 _STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -95,7 +95,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Gopher repetition rules), as exact integer numerators and
     denominators with one final division each."""
     docs = load(spark, sf_dir, "documents")
-    return repetition_ratios(docs).orderBy("doc_id")
+    return repetition_ratios(docs)
 
 
 _TEXT_REPETITION_SQL = """
@@ -155,7 +155,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction in one projection pass: match counts per
     class, redacted-text length and md5 fingerprint."""
     docs = load(spark, sf_dir, "documents")
-    return pii_scrub(_with_planted_pii(docs)).orderBy("doc_id")
+    return pii_scrub(_with_planted_pii(docs))
 
 
 _TEXT_PII_SQL = f"""
@@ -193,7 +193,7 @@ def embed_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass is one projection against a broadcast 1-row range table (see
     llmdata/quantize.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    return sq8_encode(emb).orderBy("vec_id")
+    return sq8_encode(emb)
 
 
 _EMBED_SQ8_SQL = f"""

@@ -239,7 +239,6 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_mktsegment FROM customer_v
         WHERE c_acctbal > 9500
           AND c_custkey IN (SELECT o_custkey FROM orders_v WHERE o_orderstatus = 'O')
-        ORDER BY c_custkey
         """
     )
 
@@ -337,7 +336,6 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cume"),
             F.nth_value("event_id", 2).over(w_full).alias("second_event"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -760,7 +758,6 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_tol, F.col("click_ts")).alias("click_ts"),
             F.coalesce(in_tol, F.lit(False)).alias("matched"),
         )
-        .orderBy("event_id")
     )
 
 

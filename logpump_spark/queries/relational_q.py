@@ -171,7 +171,6 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
         .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -310,7 +309,6 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         asof_join(purchases, clicks, ["user_id"], "ts", "cts", suffix="")
         .select("event_id", "user_id", "ts", "last_click_ts")
-        .orderBy("event_id")
     )
 
 
@@ -552,7 +550,6 @@ def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.filter((F.col("event_type") == "error") & (F.col("value") > 50.0))
         .select("event_id", "user_id", "value")
-        .orderBy("event_id")
     )
 
 

@@ -163,9 +163,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pts",
         lookback="2 hours",
     )
-    return joined.select("err_id", "purchase_id", "user_id").orderBy(
-        "err_id", "purchase_id"
-    )
+    return joined.select("err_id", "purchase_id", "user_id")
 
 
 _STREAM_INTERVAL_JOIN_SQL = """

@@ -36,7 +36,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_id",
         F.col("offset").alias("seq_offset"),
         "n_seqs",
-    ).orderBy("doc_id")
+    )
 
 
 _PACK_SQL = f"""
@@ -65,7 +65,7 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return assign_splits(docs, strata_col="lang").select(
         "doc_id", "lang", "split"
-    ).orderBy("doc_id")
+    )
 
 
 _SPLIT_SQL = f"""
@@ -176,9 +176,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m"),
     )
     media = synthesize_png_media(docs, "doc_id", "w", "h", "m", "source")
-    return resize_image_features(media, target_w=8, target_h=8).orderBy(
-        "media_id"
-    )
+    return resize_image_features(media, target_w=8, target_h=8)
 
 
 # pixel(x, y, c) = (x*7 + y*13 + c*29) % 256 (codecs.encode_png default);
@@ -234,9 +232,7 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmdata.packing import chunk_documents
 
     docs = load(spark, sf_dir, "documents")
-    return chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP).orderBy(
-        "doc_id", "chunk_no"
-    )
+    return chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
 
 
 _CHUNK_SQL = f"""
@@ -292,7 +288,7 @@ def training_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_id",
         F.col("offset").alias("seq_offset"),
         "n_seqs",
-    ).orderBy("doc_id")
+    )
 
 
 def _training_prepare_sql() -> str:
@@ -388,7 +384,6 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("n_touching_holdout"),
         )
-        .orderBy("split_a", "split_b")
     )
 
 
@@ -474,7 +469,6 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hashed.withColumn("n_same_hash", F.count(F.lit(1)).over(w_dup))
         .select("media_id", "src_width", "src_height", "dhash", "n_same_hash")
-        .orderBy("media_id")
     )
 
 
@@ -528,7 +522,6 @@ def multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fp.withColumn("n_same_fp", F.count(F.lit(1)).over(w_dup))
         .select("media_id", "n_samples", "fp", "n_same_fp")
-        .orderBy("media_id")
     )
 
 
@@ -593,7 +586,6 @@ def shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("doc_id", "epoch", hk.alias("hk"), shard.alias("shard"))
         .withColumn("pos", F.row_number().over(w))
         .select("doc_id", "epoch", "shard", "pos")
-        .orderBy("doc_id", "epoch")
     )
 
 

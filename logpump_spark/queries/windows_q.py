@@ -33,7 +33,6 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("drnk", F.dense_rank().over(w))
         .filter(F.col("rn") <= 5)
         .select("event_type", "event_id", "value", "rn", "rnk", "drnk")
-        .orderBy("event_type", "rn")
     )
 
 
@@ -69,7 +68,6 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(quant("value")).over(w).cast("double") / 10000.0).alias("running_value"),
             F.count(F.lit(1)).over(w).alias("running_n"),
         )
-        .orderBy("user_id", "ts", "event_id")
     )
 
 
@@ -101,7 +99,6 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
             (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
         )
-        .orderBy("user_id", "ts", "event_id")
     )
 
 
@@ -139,7 +136,6 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("quartile"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -174,7 +170,6 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             F.count(F.lit(1)).over(w).alias("n_last_hour"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
@@ -314,7 +309,7 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.to_date(F.timestamp_micros(F.col("us"))).cast("string").alias("day"),
         "n_distinct_types",
-    ).orderBy("user_id", "day")
+    )
 
 
 _WIN_RUNDIST_SQL = """
@@ -381,7 +376,6 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mov_avg7"),
             F.count(F.lit(1)).over(w).alias("frame_n"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 

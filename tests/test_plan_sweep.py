@@ -42,6 +42,20 @@ def test_no_query_plans_a_cartesian_product(spark):
 # limit).  This sweep statically walks every registered query's plan:
 # any SinglePartition exchange whose subtree scans a FACT table with no
 # aggregate/limit/join in between is an offender.
+#
+# Round 8 closes the r7 blind spot: a global `orderBy` plans `Exchange
+# rangepartitioning` + Sort — the same corpus-wide funnel, just sharded
+# across range buckets (a whole extra shuffle AND a full sort of the
+# corpus for an order no order-insensitive consumer needs; r7 verdict
+# finding 1/2).  The rangepartitioning arm carries ONE extra excuse the
+# SinglePartition arm does not: this repo's oracle-cap convention, where
+# a probe query bounds its input to a CONSTANT row set via a pushed
+# literal range/set filter on the table's row-identity column
+# (`LessThan(event_id, 1500)`, `In(vec_id, [...])`).  Those subtrees are
+# constant-cardinality at ANY scale factor, so their deterministic
+# debug-order sort is free; a filter on any non-identity column (user_id,
+# event_type, ...) bounds nothing — rows per key grow with the corpus —
+# and gets no excuse.
 
 _FACT_SCAN = ("lineitem.parquet", "orders.parquet", "events.parquet",
               "documents.parquet", "embeddings.parquet")
@@ -49,6 +63,15 @@ _REDUCERS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
              "GlobalLimit", "LocalLimit", "CollectLimit",
              "TakeOrderedAndProject", "AggregateInPandas",
              "FlatMapGroupsInPandas", "Deduplicate")
+
+# row-identity columns per fact table: a pushed literal upper bound or
+# literal IN-set on one of these pins the subtree's cardinality to a
+# constant independent of sf
+_ROW_ID_BOUND = __import__("re").compile(
+    r"(?:LessThan|LessThanOrEqual|EqualTo|In)\("
+    r"(?:event_id|doc_id|vec_id|emb_id|media_id|l_orderkey|o_orderkey)[,)]"
+)
+_PUSHED = __import__("re").compile(r"PushedFilters: \[([^\]]*)")
 
 
 def _tree_lines(plan: str) -> list[tuple[int, str]]:
@@ -66,21 +89,37 @@ def _tree_lines(plan: str) -> list[tuple[int, str]]:
     return out
 
 
-def _unreduced_single_partition(plan: str) -> bool:
+def _unreduced_funnel(plan: str, marker: str, allow_id_cap: bool = False) -> bool:
     lines = _tree_lines(plan)
     for i, (d, text) in enumerate(lines):
-        if "Exchange SinglePartition" not in text:
+        if marker not in text:
             continue
         subtree = []
         for d2, t2 in lines[i + 1:]:
             if d2 <= d:
                 break
             subtree.append(t2)
-        scans_fact = any(any(f in t for f in _FACT_SCAN) for t in subtree)
+        fact_scans = [t for t in subtree if any(f in t for f in _FACT_SCAN)]
         reduced = any(any(r in t for r in _REDUCERS) for t in subtree)
-        if scans_fact and not reduced:
-            return True
+        if not fact_scans or reduced:
+            continue
+        if allow_id_cap:
+            capped = all(
+                (m := _PUSHED.search(t)) is not None and _ROW_ID_BOUND.search(m.group(1))
+                for t in fact_scans
+            )
+            if capped:
+                continue
+        return True
     return False
+
+
+def _unreduced_single_partition(plan: str) -> bool:
+    return _unreduced_funnel(plan, "Exchange SinglePartition")
+
+
+def _unreduced_range_sort(plan: str) -> bool:
+    return _unreduced_funnel(plan, "Exchange rangepartitioning", allow_id_cap=True)
 
 
 def test_no_unreduced_single_partition_exchange(spark):
@@ -95,6 +134,57 @@ def test_no_unreduced_single_partition_exchange(spark):
         "a global sort/window funnels the corpus through one task; add a "
         "partition key, a pre-aggregation, or a limit"
     )
+
+
+def test_no_unreduced_global_range_sort(spark):
+    offenders = []
+    for name, fn in se.queries().items():
+        df = fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if _unreduced_range_sort(plan):
+            offenders.append(name)
+    assert not offenders, (
+        f"corpus-wide rangepartitioning Sort in: {offenders} — a global "
+        "orderBy over an unreduced fact table pays a full extra shuffle + "
+        "sort at scale for an order the (order-insensitive) consumers "
+        "never needed; drop it, bound the input by a row-id literal, or "
+        "reduce first"
+    )
+
+
+def test_range_sort_detector_catches_a_planted_offender(spark):
+    """The rangepartitioning arm must fire on a raw global orderBy of a
+    fact table, stay quiet on post-aggregate sorts and TakeOrdered
+    limits, and honor the row-id constant-cap excuse."""
+    from pyspark.sql import functions as F
+
+    from logpump_spark.tables import load
+
+    ev = load(spark, SF_SMALL, "events")
+    bad = ev.select("event_id", "user_id").orderBy("event_id")
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan
+    assert _unreduced_range_sort(plan)
+
+    # non-identity filters bound nothing: still an offender
+    bad2 = ev.filter(F.col("user_id") < 50).orderBy("event_id")
+    assert _unreduced_range_sort(
+        bad2._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # excused shapes: post-aggregate sort, sort+limit, row-id constant cap
+    ok_agg = ev.groupBy("event_type").count().orderBy("count")
+    assert not _unreduced_range_sort(
+        ok_agg._jdf.queryExecution().executedPlan().toString()
+    )
+    ok_limit = ev.orderBy("event_id").limit(10)
+    assert not _unreduced_range_sort(
+        ok_limit._jdf.queryExecution().executedPlan().toString()
+    )
+    ok_cap = ev.filter(F.col("event_id") < 1500).orderBy("event_id")
+    cap_plan = ok_cap._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in cap_plan
+    assert not _unreduced_range_sort(cap_plan)
 
 
 def test_single_partition_detector_catches_a_planted_offender(spark):
