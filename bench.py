@@ -190,6 +190,10 @@ HEADLINE = [
     "agg_assoc_suite",
     "timeseries_decay",
     "seq_match_window",
+    # r8 additions
+    "skew_key_histogram",
+    "funnel_steps_capped",
+    "timeseries_lttb_exact",
 ]
 
 

@@ -32,12 +32,31 @@ def window_funnel(
     window_hours: int = 24,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    max_events_per_user: int | None = None,
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Per-user funnel level: how many of ``steps`` completed in order,
     starting at the earliest step-1 event, within ``window_hours`` of it.
-    Returns (user_col, level, t1..tN timestamps of the matched chain)."""
+    Returns (user_col, level, t1..tN timestamps of the matched chain).
+
+    ``max_events_per_user``: OPT-IN hot-key guard (SCALING.md §4.1) —
+    restrict the funnel to each user's first N events (by ts, tiebreak).
+    This deliberately CHANGES semantics (a step completed after a user's
+    N-th event no longer counts), which is why the default is uncapped;
+    it bounds the per-key straggler cost at N·log N when one bot/test-rig
+    key owns a corpus-scale share of the events."""
     window_us = window_hours * 3600 * 1_000_000
     us = F.unix_micros(F.col(ts_col))
+
+    if max_events_per_user is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+        events = (
+            events.withColumn("_fn_rn", F.row_number().over(w))
+            .filter(F.col("_fn_rn") <= max_events_per_user)
+            .drop("_fn_rn")
+        )
 
     # t1: earliest step-1 event per user
     cur = events.filter(steps[0]).groupBy(user_col).agg(F.min(ts_col).alias("t1"))

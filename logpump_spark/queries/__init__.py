@@ -68,53 +68,48 @@ _MODULES = (
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
-# registry entries per round.  Round-7 window — the closing rotation:
-# after round 6 went 50/50 green, exactly 43 ids lack a current
-# driver-green row (41 never checked + records_explode / parse_scaled,
-# whose latest driver rows are the stale r03 TIMESTAMP_NTZ errors —
-# both parity-green locally since r03, and their 8 sibling parse ids
-# went driver-green in r06).  All 43 are in this window, plus the 3
-# round-7 TPC-H additions (Q13/Q16/Q21) and 4 core-query regression
-# re-checks to fill the 50.  After this round every registry id has a
-# driver-green row at least once.
-# Still unverified after this window (rotate ALL of these in r8): the
-# seventeen later round-7 ids added after the window filled —
-# tpch_q7_volume_shipping, tpch_q8_market_share, tpch_q9_product_profit,
-# tpch_q19_discounted_revenue, tpch_q20_dominant_supplier,
-# tpch_q12_shipmode, funnel_strict_dedup, timeseries_rate,
-# timeseries_twa, interval_max_concurrent, interval_length_sum,
-# seq_next_node, timeseries_lttb, agg_mannwhitney, agg_assoc_suite,
-# timeseries_decay, seq_match_window (all parity-green locally at
-# sf0.01 plus the null/unicode/empty/pre1970 twins).
+# registry entries per round.  Round-8 window — the completing rotation:
+# round 7 went 50/50 green, leaving exactly 17 ids with no driver row
+# yet (the late-r7 additions that landed after that window filled; all
+# 17 passed the judge's own DuckDB-oracle run).  All 17 lead this
+# window, followed by the 3 round-8 additions (skew_key_histogram,
+# funnel_steps_capped, timeseries_lttb_exact) — after this round EVERY
+# registry id has a driver-green row at least once.  The remaining 30
+# slots re-pin ids whose code materially changed in round 8: the parse
+# plane (corpus-wide orderBy dropped from the uncapped path), the
+# dedup family (planted-clone fixture now a pushed doc_id filter;
+# connected-components probes convergence every 2nd round), the
+# similarity top-k pair (tail sort dropped), and a spread of the ~55
+# queries whose cosmetic corpus-scale final orderBy was removed when
+# the plan sweep learned to ban rangepartitioning funnels.
 _WINDOW_PRIORITY = [
-    # stale-red since the r03 NTZ incident — highest priority
-    "records_explode", "parse_scaled",
-    # round-6 additions (§2.K), never driver-checked
-    "tpch_q2_min_cost", "tpch_q11_important_stock", "tpch_q15_top_supplier",
-    "funnel_strict_order", "seq_count", "topk_weighted", "agg_uniq_upto",
-    "quantile_timing", "shuffle_epoch", "curation_domain_stats",
-    "agg_minmax_map", "sample_dsir", "fn_encoding_suite",
-    "cdc_upsert_apply", "sim_ivf_recall", "win_moving_avg",
-    "join_asof_tolerance",
-    # §2.H round-2 additions, never driver-checked
-    "dedup_components", "sim_srp_lsh", "text_tfidf", "sample_stratified",
-    "topk_per_group", "funnel_steps", "retention_cohort",
-    "timeseries_fill", "timeseries_anomaly", "unpivot_stack",
-    "text_quality_gopher", "text_repetition", "text_pii_scrub",
-    # §2.I round-4 additions, never driver-checked
-    "text_decontaminate", "corpus_vocab", "quality_decile_by_lang",
-    "dedup_canonical", "sample_topp", "join_skew_salted",
-    "pack_sequences", "split_assign", "sample_temperature", "seq_match",
-    "multimodal_resize",
-    # round-7 additions: the remaining canonical warehouse shapes
-    "tpch_q13_cust_distribution", "tpch_q16_supplier_cnt",
-    "tpch_q21_waiting_supplier",
-    # formerly the registry's one rows-only id; upgraded this round to
-    # exact percentiles + rank-contract flags under a full value oracle
-    "agg_approx_percentile",
-    # core-query regression re-checks (driver-green r01/r05; re-pin the
-    # backbone while the window has room)
-    "q1_pricing_summary", "join_inner", "dedup_exact",
+    # late-r7 ids, never driver-checked — highest priority
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q12_shipmode",
+    "tpch_q19_discounted_revenue", "tpch_q20_dominant_supplier",
+    "funnel_strict_dedup", "timeseries_rate", "timeseries_twa",
+    "timeseries_lttb", "timeseries_decay", "interval_max_concurrent",
+    "interval_length_sum", "seq_next_node", "seq_match_window",
+    "agg_mannwhitney", "agg_assoc_suite",
+    # round-8 additions, never driver-checked
+    "skew_key_histogram", "funnel_steps_capped", "timeseries_lttb_exact",
+    # re-pins: parse plane changed (r7 verdict finding 1 fix)
+    "parse_scaled", "parse_full_entry",
+    # re-pins: planted-dups fixture + CC probe cadence changed
+    "dedup_exact", "dedup_components", "dedup_canonical",
+    "dedup_cluster_stats", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_edit_distance", "split_leakage_check",
+    "sim_neardup",
+    # re-pins: similarity top-k tail sort dropped
+    "sim_topk", "sim_ivf_topk",
+    # re-pins: representatives of the global-orderBy purge + the
+    # window_funnel signature change
+    "win_rank", "win_running_sum", "win_moving_avg",
+    "win_running_distinct", "text_stats", "fn_array2_suite",
+    "fn_encoding_suite", "shuffle_epoch", "pack_sequences",
+    "split_assign", "multimodal_frames", "cdc_scd2",
+    "attribution_last_touch", "funnel_strict_order", "xform_zorder_key",
+    "funnel_steps",
 ]
 
 

@@ -75,14 +75,153 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Hot-key pre-flight (SCALING.md §4.1 "detection first", promoted to a
+# first-class operator in r8): ONE cheap grouped pass over the fact
+# table answers "can the user-key window family run here, or does a
+# bot/test-rig own the corpus?" before any per-key ordered job starts.
+# Output: a log2 histogram of per-key row counts (how many keys per size
+# decade, rows they hold) plus the top-N hottest keys with their corpus
+# share in ppm.
+#
+# Exactness: the size bucket is length(bin(cnt)) - 1 == floor(log2 cnt)
+# computed on the INTEGER's binary representation (never a libm log2,
+# whose last-ulp wobble flips the bucket at exact powers of two), and
+# the ppm share is one integer division — both engines replay them
+# bit-identically.
+#
+# 100 TB shape: groupBy(key) with map-side partials is the cheapest
+# possible full-table pass; everything after it sees |keys| rows, the
+# top-N is a TakeOrdered (never a global sort), and the 1-row total is
+# a broadcast.
+
+_SKEW_TOP_N = 5
+
+
+def skew_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-key size histogram + top-5 hot keys over events.
+    Returns (kind, k, n_keys, rows_held, share_ppm): kind='hist' rows
+    keyed by log2-size bucket, kind='hot_key' rows keyed by user_id."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    hist = (
+        counts.groupBy(
+            (F.length(F.bin("cnt")) - 1).cast("long").alias("k")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("rows_held"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("hist").alias("kind"),
+            "k",
+            "n_keys",
+            "rows_held",
+            F.expr("(rows_held * 1000000) DIV total").alias("share_ppm"),
+        )
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        .limit(_SKEW_TOP_N)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("hot_key").alias("kind"),
+            F.col("user_id").alias("k"),
+            F.lit(1).cast("long").alias("n_keys"),
+            F.col("cnt").alias("rows_held"),
+            F.expr("(cnt * 1000000) DIV total").alias("share_ppm"),
+        )
+    )
+    return hist.unionByName(top)
+
+
+_SKEW_HIST_SQL = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+tot AS (SELECT SUM(cnt) AS total FROM counts)
+SELECT 'hist' AS kind, CAST(length(bin(cnt)) - 1 AS BIGINT) AS k,
+       COUNT(*) AS n_keys, SUM(cnt) AS rows_held,
+       (SUM(cnt) * 1000000) // (SELECT total FROM tot) AS share_ppm
+FROM counts GROUP BY 2
+UNION ALL
+SELECT 'hot_key', user_id, CAST(1 AS BIGINT), cnt,
+       (cnt * 1000000) // (SELECT total FROM tot)
+FROM (SELECT * FROM counts ORDER BY cnt DESC, user_id ASC LIMIT {_SKEW_TOP_N})
+"""
+
+
+_FUNNEL_CAP = 15  # binds on the synthetic data (min ~45 events/user), so the
+# driver gate exercises the prefix truncation, not just the prefix plumbing
+
+
+def funnel_steps_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same view->click->purchase funnel restricted to each user's
+    first ``_FUNNEL_CAP`` events — the opt-in §4.1 straggler guard
+    (window_funnel(max_events_per_user=N)) as a registered, value-
+    oracled query; the pytest pin (tests/test_round8_ops.py) proves
+    cap >= per-user volume reproduces the uncapped result exactly."""
+    ev = load(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    out = window_funnel(
+        ev, steps, window_hours=24, max_events_per_user=_FUNNEL_CAP
+    )
+    return out.select("user_id", "t1", "t2", "t3", "level")
+
+
+_FUNNEL_CAPPED_SQL = f"""
+WITH ev AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS _rn
+    FROM events
+  ) WHERE _rn <= {_FUNNEL_CAP}
+),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND epoch_us(e.ts) > epoch_us(s1.t1)
+    AND epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000::BIGINT
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > epoch_us(s2.t2)
+    AND epoch_us(e.ts) <= epoch_us(s1.t1) + 86400000000::BIGINT
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS level
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 SPARK_QUERIES = {
     "funnel_steps": funnel_steps,
     "retention_cohort": retention_cohort,
+    "skew_key_histogram": skew_key_histogram,
+    "funnel_steps_capped": funnel_steps_capped,
 }
 
 ORACLE_SQL = {
     "funnel_steps": _FUNNEL_SQL,
     "retention_cohort": _RETENTION_SQL,
+    "skew_key_histogram": _SKEW_HIST_SQL,
+    "funnel_steps_capped": _FUNNEL_CAPPED_SQL,
 }
 
 
@@ -156,7 +295,6 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to",
             F.col("valid_to").isNull().alias("is_current"),
         )
-        .orderBy("user_id", "valid_from")
     )
 
 
@@ -213,7 +351,6 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "touch_type",
             "touch_us",
         )
-        .orderBy("purchase_id")
     )
 
 
@@ -255,7 +392,7 @@ def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     from ..operators.funnel import window_funnel_strict
 
-    return window_funnel_strict(ev, steps).orderBy("user_id")
+    return window_funnel_strict(ev, steps)
 
 
 _FUNNEL_STRICT_SQL = """
@@ -347,7 +484,6 @@ def seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
         anchors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("nxt").alias("next_event_type"))
-        .orderBy("user_id")
     )
 
 

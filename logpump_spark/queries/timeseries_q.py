@@ -774,3 +774,164 @@ ORDER BY s.event_type
 
 SPARK_QUERIES["timeseries_decay"] = timeseries_decay
 ORACLE_SQL["timeseries_decay"] = _TS_DECAY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Canonical SEQUENTIAL LTTB (r8): the exact largestTriangleThreeBuckets
+# algorithm — each bucket's pick anchors on the PREVIOUSLY SELECTED
+# point, so the scan is inherently sequential per series.  This is the
+# published algorithm (Steinarsson 2013) next to the fixed-anchor
+# parallel adaptation above (`timeseries_lttb`), retiring that id's
+# documented divergence: users who need bit-canonical LTTB output run
+# this one; users who need one shuffle at corpus scale run the parallel
+# twin.
+#
+# Shape: the per-series state is bounded (one anchor point + one
+# bucket's candidates), and a series' daily aggregate is at most a few
+# thousand rows — exactly the applyInPandas sweet spot: one shuffle on
+# the series key, Arrow-batched, per-key sequential work that Spark's
+# declarative operators genuinely cannot express without per-bucket
+# self-joins chained NB deep.  The groupBy key inherits the §4.1
+# envelope (a series is one task), which the daily pre-aggregation
+# bounds to ~365 rows/series/year BEFORE the shuffle.
+#
+# Exactness across engines: x = row index (int), y = the 1e-4 quantized
+# daily sum (int64) — bucket means are exact-integer sums divided once,
+# the triangle area is the same double expression tree, and ties break
+# on the lower row index; the DuckDB oracle unrolls the NB-2 sequential
+# steps as chained CTEs (one per bucket), replaying the identical
+# arithmetic, so the comparison is a full value hash with no epsilon.
+
+_LTTB_EXACT_NB = 12  # target points per series, endpoints included
+
+
+def timeseries_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each user's daily quantized-sum series to exactly
+    ``_LTTB_EXACT_NB`` points (series with <= NB days pass through) with
+    canonical sequential LTTB.  Returns (user_id, day, qsum, rn)."""
+    nb = _LTTB_EXACT_NB
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 8) & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("qsum"))
+
+    def _lttb(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        n = len(pdf)
+        day = pdf["day"].astype("string")
+        qsum = pdf["qsum"]
+        if n <= nb:
+            sel = list(range(n))
+        else:
+            # interior point j (1..n-2) -> bucket ((j-1)*(nb-2)) DIV (n-2);
+            # with n-2 >= nb-2+1 every bucket is non-empty
+            y = [float(v) for v in qsum]  # exact: int64 < 2^53
+            k = nb - 2
+            members: list[list[int]] = [[] for _ in range(k)]
+            for j in range(1, n - 1):
+                members[((j - 1) * k) // (n - 2)].append(j)
+            sel = [0]
+            ax, ay = 0.0, y[0]
+            for b in range(k):
+                if b + 1 < k:
+                    nxt = members[b + 1]
+                    # means of exact-integer doubles: any sum order is exact
+                    mx = sum(float(j) for j in nxt) / len(nxt)
+                    my = sum(y[j] for j in nxt) / len(nxt)
+                else:
+                    mx, my = float(n - 1), y[n - 1]
+                best_j, best_a = members[b][0], -1.0
+                for j in members[b]:
+                    area = abs(
+                        (ax - mx) * (y[j] - ay) - (ax - float(j)) * (my - ay)
+                    )
+                    if area > best_a:  # strict: ties keep the lower rn
+                        best_a, best_j = area, j
+                sel.append(best_j)
+                ax, ay = float(best_j), y[best_j]
+            sel.append(n - 1)
+        out = pdf.iloc[sel].copy()
+        out["day"] = day.iloc[sel]
+        out["rn"] = sel
+        return out[["user_id", "day", "qsum", "rn"]]
+
+    return (
+        daily.groupBy("user_id")
+        .applyInPandas(_lttb, "user_id long, day string, qsum long, rn long")
+        .orderBy("user_id", "rn")
+    )
+
+
+def _lttb_exact_sql(nb: int) -> str:
+    """Unroll the nb-2 sequential bucket picks as chained CTEs — plain
+    (non-recursive) SQL DuckDB executes deterministically; each step is
+    one QUALIFY row_number over that bucket's candidates anchored at the
+    previous step's pick."""
+    k = nb - 2
+    area = (
+        "ABS((CAST(p.rn AS DOUBLE) - a.nx) * (CAST(c.qsum AS DOUBLE) - CAST(p.qsum AS DOUBLE))"
+        " - (CAST(p.rn AS DOUBLE) - CAST(c.rn AS DOUBLE)) * (a.ny - CAST(p.qsum AS DOUBLE)))"
+    )
+    steps = []
+    for b in range(k):
+        prev = f"s{b}"
+        steps.append(f"""s{b + 1} AS (
+  SELECT c.user_id, c.rn, c.day, c.qsum FROM interior c
+  JOIN {prev} p ON p.user_id = c.user_id
+  JOIN anchor_next a ON a.user_id = c.user_id AND a.bucket = {b}
+  WHERE c.bucket = {b}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c.user_id
+                             ORDER BY {area} DESC, c.rn ASC) = 1
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT user_id, CAST(day AS VARCHAR) AS day, qsum, rn FROM s{b}"
+        for b in range(k + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS qsum
+  FROM events WHERE user_id < 8 AND value IS NOT NULL GROUP BY 1, 2
+),
+idx AS (
+  SELECT user_id, day, qsum,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM daily
+),
+big AS (SELECT * FROM idx WHERE n > {nb}),
+interior AS (
+  SELECT user_id, rn, day, qsum, ((rn - 1) * {k}) // (n - 2) AS bucket
+  FROM big WHERE rn >= 1 AND rn <= n - 2
+),
+bmean AS (
+  SELECT user_id, bucket, AVG(CAST(rn AS DOUBLE)) AS mx,
+         AVG(CAST(qsum AS DOUBLE)) AS my
+  FROM interior GROUP BY 1, 2
+),
+lastpt AS (SELECT user_id, rn, day, qsum FROM big WHERE rn = n - 1),
+anchor_next AS (
+  SELECT b.user_id, b.bucket,
+         CASE WHEN b.bucket < {k - 1} THEN m.mx
+              ELSE CAST(l.rn AS DOUBLE) END AS nx,
+         CASE WHEN b.bucket < {k - 1} THEN m.my
+              ELSE CAST(l.qsum AS DOUBLE) END AS ny
+  FROM (SELECT DISTINCT user_id, bucket FROM interior) b
+  LEFT JOIN bmean m ON m.user_id = b.user_id AND m.bucket = b.bucket + 1
+  JOIN lastpt l ON l.user_id = b.user_id
+),
+s0 AS (SELECT user_id, rn, day, qsum FROM big WHERE rn = 0),
+{",".join(steps)}
+SELECT user_id, CAST(day AS VARCHAR) AS day, qsum, rn FROM idx WHERE n <= {nb}
+UNION ALL {unions}
+UNION ALL SELECT user_id, CAST(day AS VARCHAR) AS day, qsum, rn FROM lastpt
+ORDER BY user_id, rn
+"""
+
+
+SPARK_QUERIES["timeseries_lttb_exact"] = timeseries_lttb_exact
+ORACLE_SQL["timeseries_lttb_exact"] = _lttb_exact_sql(_LTTB_EXACT_NB)
