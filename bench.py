@@ -257,14 +257,23 @@ def main() -> None:
         "sim_ivf_recall",  # k-means fit collects at construction (r6)
     }
 
-    # The parse plane's generated projection is enormous; HotSpot's C2
-    # OSR compile of it runs for tens of seconds, during which the 32
-    # executor threads execute interpreted at 10-20x slow-down — cold
-    # runs measured 5-80s for a 5s steady-state query, pure JIT noise
-    # (steal time ~0, no cgroup throttling, codegen-off is slower AND
-    # still erratic), and the compile queue sometimes outlasts a fixed
-    # warmup count.  For these queries run best-of-N at the target sf
-    # (every run is a full real execution; min is the standard
+    # The parse plane's generated projection is enormous; HotSpot's
+    # tiered compilation of it stalls executor threads for tens of
+    # seconds at unpredictable points — runs measured 2.6-35s for a
+    # ~2.6s steady-state query, pure JIT noise (steal time ~0, no
+    # cgroup throttling, codegen-off is slower AND still erratic).
+    # r8 root-cause attempt (fresh-JVM A/B, 3 runs x 5+ JVMs each):
+    # LogCompilation shows NO single huge method — the projection
+    # splits into hundreds of SpecificUnsafeProjection methods, each
+    # compiling in 0.5-1.2s, and the slowdown is their C2 scheduling
+    # racing the 32 executor threads, striking any run (including
+    # re-executions) with ~1/3 probability per JVM.  Measured and
+    # rejected: methodSplitThreshold 128/256 (storm moves, stays),
+    # CICompilerCount=16 + 512m code cache (no change), 3x warmup +
+    # 2s compile-queue drain (worse — more recompilation churn).
+    # TieredStopAtLevel would stabilize it but slows every OTHER
+    # query's steady state session-wide.  So best-of-N stays for these
+    # queries (every run is a full real execution; min is the standard
     # noise-robust throughput estimator) — everything else keeps the
     # single-run window.
     best_of = {

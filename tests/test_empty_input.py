@@ -35,6 +35,9 @@ _PINNED = [
     "tpch_q21_waiting_supplier", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "tpch_q19_discounted_revenue", "tpch_q20_dominant_supplier",
+    # round-8 additions (the histogram's 1-row total over zero rows, the
+    # funnel prefix over an empty window, lttb with no series)
+    "skew_key_histogram", "funnel_steps_capped", "timeseries_lttb_exact",
 ]
 
 

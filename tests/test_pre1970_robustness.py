@@ -28,6 +28,9 @@ _PINNED = [
     # representative calendar/window shapes
     "agg_by_day", "timeseries_ohlc", "sessionize_events", "win_rank",
     "stream_tumbling", "cdc_scd2", "funnel_strict_order",
+    # round-8 additions: lttb buckets by day, funnel prefixes by ts —
+    # both must survive negative epochs
+    "skew_key_histogram", "funnel_steps_capped", "timeseries_lttb_exact",
 ]
 
 @pytest.fixture(scope="module")

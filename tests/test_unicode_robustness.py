@@ -26,6 +26,8 @@ _TEXT_PLANE = [
     "text_quality_gopher", "text_repetition", "dedup_exact",
     "dedup_minhash_lsh", "text_pmi_pairs", "corpus_vocab", "chunk_docs",
     "sample_dsir",
+    # round-8 additions (lttb/funnel are text-free but ride the same twin)
+    "skew_key_histogram", "funnel_steps_capped", "timeseries_lttb_exact",
 ]
 
 @pytest.fixture(scope="module")
