@@ -119,11 +119,11 @@ def skew_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "n_keys",
             "rows_held",
-            F.expr("(rows_held * 1000000) DIV total").alias("share_ppm"),
+            F.expr("CAST(FLOOR(CAST(rows_held AS DOUBLE) * 1000000.0 / total) AS BIGINT)").alias("share_ppm"),
         )
     )
     top = (
-        counts.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        counts.orderBy(F.col("cnt").desc(), F.col("user_id").asc_nulls_last())
         .limit(_SKEW_TOP_N)
         .crossJoin(F.broadcast(total))
         .select(
@@ -131,7 +131,7 @@ def skew_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("k"),
             F.lit(1).cast("long").alias("n_keys"),
             F.col("cnt").alias("rows_held"),
-            F.expr("(cnt * 1000000) DIV total").alias("share_ppm"),
+            F.expr("CAST(FLOOR(CAST(cnt AS DOUBLE) * 1000000.0 / total) AS BIGINT)").alias("share_ppm"),
         )
     )
     return hist.unionByName(top)
@@ -144,11 +144,13 @@ WITH counts AS (
 tot AS (SELECT SUM(cnt) AS total FROM counts)
 SELECT 'hist' AS kind, CAST(length(bin(cnt)) - 1 AS BIGINT) AS k,
        COUNT(*) AS n_keys, SUM(cnt) AS rows_held,
-       (SUM(cnt) * 1000000) // (SELECT total FROM tot) AS share_ppm
+       CAST(FLOOR(CAST(SUM(cnt) AS DOUBLE) * 1000000.0
+                  / (SELECT total FROM tot)) AS BIGINT) AS share_ppm
 FROM counts GROUP BY 2
 UNION ALL
 SELECT 'hot_key', user_id, CAST(1 AS BIGINT), cnt,
-       (cnt * 1000000) // (SELECT total FROM tot)
+       CAST(FLOOR(CAST(cnt AS DOUBLE) * 1000000.0
+            / (SELECT total FROM tot)) AS BIGINT)
 FROM (SELECT * FROM counts ORDER BY cnt DESC, user_id ASC LIMIT {_SKEW_TOP_N})
 """
 

@@ -82,7 +82,7 @@ WITH RECURSIVE docs AS (
   SELECT doc_id, text, source, n_chars FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text, source, n_chars
-  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+  FROM (SELECT * FROM documents WHERE doc_id < 20)
 ),
 tok AS (
   SELECT doc_id, source, n_chars, UNNEST(list_distinct(string_split(text, ' '))) AS tok

@@ -59,7 +59,7 @@ WITH docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text
-  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+  FROM (SELECT * FROM documents WHERE doc_id < 20)
 )
 SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM docs GROUP BY text ORDER BY keep_id
@@ -82,7 +82,7 @@ _DOCS_PLANTED_CTE = """docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text
-  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+  FROM (SELECT * FROM documents WHERE doc_id < 20)
 )"""
 
 # md5-derived 60-bit integer — the DuckDB twin of dedup.md5_hash60
@@ -568,7 +568,7 @@ WITH docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, text
-  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+  FROM (SELECT * FROM documents WHERE doc_id < 20)
 ),
 normed AS (
   SELECT doc_id, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm

@@ -818,8 +818,6 @@ def timeseries_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("qsum"))
 
     def _lttb(pdf):
-        import pandas as pd
-
         pdf = pdf.sort_values("day").reset_index(drop=True)
         n = len(pdf)
         day = pdf["day"].astype("string")

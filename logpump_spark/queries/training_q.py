@@ -392,7 +392,7 @@ WITH docs AS (
   SELECT doc_id, text, lang, source, n_chars FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
-  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20)
+  FROM (SELECT * FROM documents WHERE doc_id < 20)
 ),
 splits AS (
   SELECT doc_id,

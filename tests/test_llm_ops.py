@@ -92,7 +92,9 @@ def test_brute_force_topk_selfcluster(emb):
     assert len(by_q[0]) == 3 and len(by_q[1]) == 3
     # neighbors of query 0 (cluster 0) should be even ids (same cluster)
     assert all(r.neighbor_id % 2 == 0 for r in by_q[0])
-    assert all(r.rank == i + 1 for i, r in enumerate(by_q[0]))
+    # collect() order is incidental (no final sort in the operator):
+    # assert the rank SET, not positional order
+    assert sorted(r.rank for r in by_q[0]) == [1, 2, 3]
 
 
 def test_ivf_matches_brute_force_when_cluster_aligned(emb):
