@@ -597,12 +597,18 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-doc fold rides one doc-key shuffle."""
     from ..llmdata.dedup import md5_hash60
 
-    docs = load(spark, sf_dir, "documents")
+    # token array materialized ONCE before the transform — interpreted
+    # higher-order functions get no CSE, so a lambda over split(text)
+    # re-splits per ELEMENT (SCALING.md §7, same fix as fn_array2_suite
+    # and text_pmi_pairs)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("toks")
+    )
     bg = F.when(
-        F.size(F.split(F.col("text"), " ")) >= 2,
+        F.size("toks") >= 2,
         F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1),"
-            " i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i]))"
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat(toks[i-1], ' ', toks[i]))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = docs.select(

@@ -139,19 +139,24 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram counts; the two count joins shuffle on the token (bounded
     by vocabulary, not corpus); the global bigram total rides in as a
     broadcast 1-row cross join."""
-    docs = load(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
+    # materialize the token array ONCE as a named column before the
+    # transform: interpreted higher-order functions get no CSE, so a
+    # lambda referencing split(text) re-splits per ELEMENT — ~|tokens|
+    # splits per row (the SCALING.md §7 rule that fixed fn_array2_suite)
+    docs = load(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("toks")
+    )
     bg = F.when(
-        F.size(t) >= 2,
+        F.size("toks") >= 2,
         F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1),"
-            " i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2))"
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bigrams = docs.select(F.explode(bg).alias("b")).select("b.w1", "b.w2")
     c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (
-        docs.select(F.explode(t).alias("w"))
+        docs.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
