@@ -345,9 +345,14 @@ def source_overlap_matrix(
     division."""
     from .dedup import ordered_pair_structs, shingles_col, tokens_col
 
-    sh = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(group_col).alias("src"),
-        F.explode(shingles_col(tokens_col(text_col), k)).alias("sh"),
+    # materialize the token array before shingles_col: its transform
+    # lambda slices the array per shingle, and an inline split(text)
+    # would re-split once per ELEMENT (the SCALING.md §7 interpreted-HOF
+    # rule; same fix as text_pmi_pairs / sample_dsir)
+    sh = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(group_col).alias("src"), tokens_col(text_col).alias("toks"))
+        .select("src", F.explode(shingles_col(F.col("toks"), k)).alias("sh"))
     )
     # ONE corpus shuffle total: collect_set dedups (src, shingle)
     # occurrences itself — partial aggregation dedups map-side — so no
