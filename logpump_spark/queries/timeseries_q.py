@@ -805,6 +805,43 @@ ORACLE_SQL["timeseries_decay"] = _TS_DECAY_SQL
 _LTTB_EXACT_NB = 12  # target points per series, endpoints included
 
 
+def lttb_select_indices(y: list[float], nb: int) -> list[int]:
+    """Canonical sequential LTTB over one series: x = index, ``y`` =
+    values (exact-integer doubles in the query's use).  Returns the
+    selected row indices (all of them when len <= nb).  Module-level so
+    the property suite can drive it against an independent reference
+    model without a Spark round-trip; the applyInPandas closure below
+    and the DuckDB CTE chain both replay exactly this arithmetic."""
+    n = len(y)
+    if n <= nb:
+        return list(range(n))
+    # interior point j (1..n-2) -> bucket ((j-1)*(nb-2)) DIV (n-2);
+    # with n-2 >= nb-2+1 every bucket is non-empty
+    k = nb - 2
+    members: list[list[int]] = [[] for _ in range(k)]
+    for j in range(1, n - 1):
+        members[((j - 1) * k) // (n - 2)].append(j)
+    sel = [0]
+    ax, ay = 0.0, y[0]
+    for b in range(k):
+        if b + 1 < k:
+            nxt = members[b + 1]
+            # means of exact-integer doubles: any sum order is exact
+            mx = sum(float(j) for j in nxt) / len(nxt)
+            my = sum(y[j] for j in nxt) / len(nxt)
+        else:
+            mx, my = float(n - 1), y[n - 1]
+        best_j, best_a = members[b][0], -1.0
+        for j in members[b]:
+            area = abs((ax - mx) * (y[j] - ay) - (ax - float(j)) * (my - ay))
+            if area > best_a:  # strict: ties keep the lower rn
+                best_a, best_j = area, j
+        sel.append(best_j)
+        ax, ay = float(best_j), y[best_j]
+    sel.append(n - 1)
+    return sel
+
+
 def timeseries_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample each user's daily quantized-sum series to exactly
     ``_LTTB_EXACT_NB`` points (series with <= NB days pass through) with
@@ -819,39 +856,10 @@ def timeseries_lttb_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _lttb(pdf):
         pdf = pdf.sort_values("day").reset_index(drop=True)
-        n = len(pdf)
         day = pdf["day"].astype("string")
-        qsum = pdf["qsum"]
-        if n <= nb:
-            sel = list(range(n))
-        else:
-            # interior point j (1..n-2) -> bucket ((j-1)*(nb-2)) DIV (n-2);
-            # with n-2 >= nb-2+1 every bucket is non-empty
-            y = [float(v) for v in qsum]  # exact: int64 < 2^53
-            k = nb - 2
-            members: list[list[int]] = [[] for _ in range(k)]
-            for j in range(1, n - 1):
-                members[((j - 1) * k) // (n - 2)].append(j)
-            sel = [0]
-            ax, ay = 0.0, y[0]
-            for b in range(k):
-                if b + 1 < k:
-                    nxt = members[b + 1]
-                    # means of exact-integer doubles: any sum order is exact
-                    mx = sum(float(j) for j in nxt) / len(nxt)
-                    my = sum(y[j] for j in nxt) / len(nxt)
-                else:
-                    mx, my = float(n - 1), y[n - 1]
-                best_j, best_a = members[b][0], -1.0
-                for j in members[b]:
-                    area = abs(
-                        (ax - mx) * (y[j] - ay) - (ax - float(j)) * (my - ay)
-                    )
-                    if area > best_a:  # strict: ties keep the lower rn
-                        best_a, best_j = area, j
-                sel.append(best_j)
-                ax, ay = float(best_j), y[best_j]
-            sel.append(n - 1)
+        sel = lttb_select_indices(
+            [float(v) for v in pdf["qsum"]], nb  # exact: int64 < 2^53
+        )
         out = pdf.iloc[sel].copy()
         out["day"] = day.iloc[sel]
         out["rn"] = sel

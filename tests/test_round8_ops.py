@@ -182,3 +182,33 @@ def test_lttb_exact_passthrough_short_series(spark, tmp_path):
 
     got = timeseries_lttb_exact(spark, d).collect()
     assert [r["rn"] for r in got] == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# Property: the module-level LTTB core (what applyInPandas and the
+# DuckDB CTE chain both replay) equals the independent sequential
+# reference above on arbitrary integer-valued series.
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ys=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=120
+    ),
+    nb=st.integers(min_value=3, max_value=20),
+)
+def test_lttb_core_matches_reference_model(ys, nb):
+    from logpump_spark.queries.timeseries_q import lttb_select_indices
+
+    y = [float(v) for v in ys]
+    xs = [float(i) for i in range(len(y))]
+    got = lttb_select_indices(y, nb)
+    want = _seq_lttb(xs, y, nb)
+    assert got == want
+    # structural invariants: endpoints pinned, strictly increasing,
+    # exactly nb points when the series is long enough
+    assert got[0] == 0 and got[-1] == len(y) - 1 if len(y) > 1 else True
+    assert all(a < b for a, b in zip(got, got[1:]))
+    assert len(got) == (len(y) if len(y) <= nb else nb)

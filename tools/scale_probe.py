@@ -214,6 +214,18 @@ def _hot_shapes():
         )
         return interval_union_length(iv)
 
+    def key_histogram(ev):
+        # r8: the skew_key_histogram pre-flight itself — a grouped count
+        # with map-side partials, so the hot key folds locally and the
+        # DETECTOR must run flat under the very skew it detects
+        counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        total = counts.agg(F.sum("cnt").alias("total"))
+        return (
+            counts.groupBy((F.length(F.bin("cnt")) - 1).cast("long").alias("k"))
+            .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("rows_held"))
+            .crossJoin(F.broadcast(total))
+        )
+
     return {
         "funnel_strict": funnel,
         "sequence_count": seqcount,
@@ -221,6 +233,7 @@ def _hot_shapes():
         "running_distinct": running_distinct,
         "sessionize": sessionize,
         "union_length": union_length,
+        "key_histogram": key_histogram,
     }
 
 
