@@ -398,3 +398,56 @@ def test_interval_max_concurrent_two_stage_scan(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skew_histogram_takeordered_and_broadcast_total(spark):
+    """The hot-key pre-flight must itself be scale-safe: the top-N is a
+    TakeOrderedAndProject (never a global sort of the key-count table),
+    the 1-row total rides in as a broadcast nested-loop against bounded
+    sides, and the only exchanges are the two grouped aggregations."""
+    from logpump_spark.queries.analytics_q import skew_key_histogram
+
+    df = skew_key_histogram(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    # map-side partial aggregation on the corpus pass
+    assert "partial_count" in plan
+
+
+def test_funnel_capped_prefix_reuses_user_partitioning(spark):
+    """The opt-in cap adds a row_number prefix on the user key; the
+    funnel's chained per-key aggregates must then REUSE that hash
+    partitioning — the cap must not introduce extra corpus shuffles
+    beyond the funnel's single user-key exchange family."""
+    from logpump_spark.queries.analytics_q import funnel_steps, funnel_steps_capped
+
+    capped = funnel_steps_capped(spark, SF_SMALL)
+    capped.collect()
+    plan_c = _plan(capped)
+    base = funnel_steps(spark, SF_SMALL)
+    base.collect()
+    plan_b = _plan(base)
+    n_ex_c = plan_c.split("== Initial Plan ==")[0].count("Exchange hashpartitioning")
+    n_ex_b = plan_b.split("== Initial Plan ==")[0].count("Exchange hashpartitioning")
+    # one extra exchange budget for the prefix window, no more
+    assert n_ex_c <= n_ex_b + 1, (n_ex_c, n_ex_b)
+    assert "CartesianProduct" not in plan_c
+
+
+def test_lttb_exact_aggregates_before_pandas_shuffle(spark):
+    """The sequential-LTTB pass must shuffle the DAILY AGGREGATE to the
+    per-series pandas stage, never raw events: a partial aggregation
+    sits below the exchange feeding FlatMapGroupsInPandas."""
+    from logpump_spark.queries.timeseries_q import timeseries_lttb_exact
+
+    df = timeseries_lttb_exact(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "partial_sum" in plan  # daily pre-aggregation below the shuffle
+    final = plan.split("== Initial Plan ==")[0]
+    # the pandas stage's input exchange hashes on the series key
+    assert "Exchange hashpartitioning(user_id" in final
