@@ -64,6 +64,10 @@ PROBES = [
     "timeseries_lttb",             # per-user bucket means + argmax join
     "timeseries_decay",            # one grouped pass + per-type endpoint window
     "seq_match_window",            # anchor-carry window + per-user flag fold
+    # r8 probes
+    "skew_key_histogram",          # grouped count + bounded hist + TakeOrdered
+    "funnel_steps_capped",         # prefix window + chained per-key agg
+    "timeseries_lttb_exact",       # daily agg below a per-series pandas pass
 ]
 
 _OFFSETS = {
