@@ -54,7 +54,6 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
-        .orderBy(id_col, "rank")
     )
 
 

@@ -222,5 +222,4 @@ def pq_adc_topk(
         .select(
             "query_id", F.col("_id").alias("neighbor_id"), "adc_dist", "rank"
         )
-        .orderBy("query_id", "rank")
     )

@@ -51,7 +51,14 @@ def window_funnel(
     if max_events_per_user is not None:
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+        # asc_nulls_last on both sort keys: Spark's bare ASC is NULLS
+        # FIRST while the DuckDB oracle's ROW_NUMBER ... ORDER BY ts,
+        # event_id defaults to NULLS LAST — without this, NULL-ts rows
+        # would land at opposite ends of the first-N prefix the moment a
+        # robustness twin nullifies either column.
+        w = W.partitionBy(user_col).orderBy(
+            F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
+        )
         events = (
             events.withColumn("_fn_rn", F.row_number().over(w))
             .filter(F.col("_fn_rn") <= max_events_per_user)

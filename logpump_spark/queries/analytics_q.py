@@ -20,7 +20,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase",
     ]
     out = window_funnel(ev, steps, window_hours=24)
-    return out.select("user_id", "t1", "t2", "t3", "level").orderBy("user_id")
+    return out.select("user_id", "t1", "t2", "t3", "level")
 
 
 _FUNNEL_SQL = """
@@ -61,7 +61,7 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click",
         F.col("event_type") == "purchase",
     ]
-    return retention(ev, conds).orderBy("user_id")
+    return retention(ev, conds)
 
 
 _RETENTION_SQL = """
@@ -143,7 +143,7 @@ WITH counts AS (
 ),
 tot AS (SELECT SUM(cnt) AS total FROM counts)
 SELECT 'hist' AS kind, CAST(length(bin(cnt)) - 1 AS BIGINT) AS k,
-       COUNT(*) AS n_keys, SUM(cnt) AS rows_held,
+       COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS rows_held,
        CAST(FLOOR(CAST(SUM(cnt) AS DOUBLE) * 1000000.0
                   / (SELECT total FROM tot)) AS BIGINT) AS share_ppm
 FROM counts GROUP BY 2
@@ -441,7 +441,6 @@ def seq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.select("user_id", F.col("n_matches").alias("n_view_click"))
         .filter(F.col("n_view_click") > 0)
-        .orderBy("user_id")
     )
 
 
@@ -558,7 +557,6 @@ def cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance"),
             F.coalesce(F.col("op"), F.lit("K")).alias("applied_op"),
         )
-        .orderBy("key")
     )
 
 
@@ -605,7 +603,7 @@ def funnel_strict_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase",
     ]
     out = window_funnel_strict_dedup(ev, steps, window_hours=24)
-    return out.select("user_id", "t1", "level").orderBy("user_id")
+    return out.select("user_id", "t1", "level")
 
 
 _FUNNEL_DEDUP_SQL = """
@@ -691,7 +689,6 @@ def seq_match_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("has_anchor") == 1)
         .select("user_id", "matched")
-        .orderBy("user_id")
     )
 
 

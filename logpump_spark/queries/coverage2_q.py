@@ -162,7 +162,6 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
             F.bool_or(F.col("value") > 400).alias("any_gt400"),
         )
-        .orderBy("event_type", "bucket")
     )
 
 
@@ -333,7 +332,6 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, a["bucket"].eqNullSafe(b["bucket"]))
         .select(a["bucket"].alias("bucket"), "n_a", "n_b")
-        .orderBy(F.col("bucket").asc_nulls_first())
     )
 
 
@@ -542,7 +540,6 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias("cume_ppm"),
         )
         .filter(F.col("c_custkey") % 7 == 0)
-        .orderBy("c_custkey")
     )
 
 

@@ -224,7 +224,7 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "cohort",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
-    ).orderBy("cohort")
+    )
 
 
 _PIVOT_SQL = f"""
@@ -349,7 +349,6 @@ def chat_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(dialog).alias("dialog_len"),
             F.md5(dialog).alias("dialog_md5"),
         )
-        .orderBy("user_id")
     )
 
 

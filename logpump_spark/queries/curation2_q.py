@@ -45,9 +45,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     eval_docs = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
-    return decontaminate_ngram_overlap(corpus, eval_docs, k=_SHINGLE_K).orderBy(
-        "doc_id"
-    )
+    return decontaminate_ngram_overlap(corpus, eval_docs, k=_SHINGLE_K)
 
 
 _SHINGLES = (
@@ -144,7 +142,6 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("keep_n_chars"),
             "n_members",
         )
-        .orderBy("component")
     )
 
 
@@ -214,7 +211,7 @@ def sample_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmdata.curation import top_p_by_score
 
     docs = load(spark, sf_dir, "documents")
-    return top_p_by_score(docs, p_pct=_TOPP_PCT).orderBy("doc_id")
+    return top_p_by_score(docs, p_pct=_TOPP_PCT)
 
 
 # the oracle states the SPEC (global rank); the Spark side implements
@@ -264,7 +261,7 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_docs=_BP_MIN_DOCS,
         top_k=_BP_TOP,
         max_frac=_BP_MAX_FRAC,
-    ).orderBy("doc_id")
+    )
 
 
 # shingles WITH multiplicity (no list_distinct): every window counts
@@ -366,7 +363,6 @@ def corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         source_overlap_matrix(docs.unionByName(mirror))
         .filter(F.col("n_common") >= 3)
-        .orderBy("src_a", "src_b")
     )
 
 
@@ -502,7 +498,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmdata.curation import oov_rate
 
     docs = load(spark, sf_dir, "documents")
-    return oov_rate(docs, vocab_k=100).orderBy("doc_id")
+    return oov_rate(docs, vocab_k=100)
 
 
 _TEXT_OOV_SQL = """

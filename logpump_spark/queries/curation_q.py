@@ -71,7 +71,6 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _dup_cluster_labels(spark, sf_dir)
         .select("doc_id", "component")
-        .orderBy("doc_id")
     )
 
 
@@ -199,7 +198,7 @@ def sim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=_SRP_BANDS,
         dim=_SRP_DIM,
         max_bucket_size=_SRP_CAP,
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def _srp_sql() -> str:
@@ -295,7 +294,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gaps-and-islands sessionization of the event stream: 30-min
     timeout, per-session bounds / counts / exact-µs durations."""
     ev = load(spark, sf_dir, "events")
-    return session_stats(ev, gap_minutes=30).orderBy("user_id", "session_no")
+    return session_stats(ev, gap_minutes=30)
 
 
 _SESSIONIZE_SQL = """
@@ -360,7 +359,6 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_clusters"),
             F.sum("csize").alias("n_docs"),
         )
-        .orderBy("csize")
     )
 
 

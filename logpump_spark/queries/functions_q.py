@@ -238,7 +238,6 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n") >= 10)
-        .orderBy(F.col("n").desc(), F.col("tok").asc())
     )
 
 

@@ -1,9 +1,10 @@
 """Driver-facing queries for the LLM-data operators (north star).
 
-Oracle-checked wherever the computation is SQL-expressible with
-engine-exact math; MinHash/SimHash candidate generation uses Spark's
-xxhash64 (no DuckDB twin exists), so those two take the rows-only check
-with planted duplicates proving they actually detect near-dups.
+Every id here carries a full DuckDB value oracle (the MinHash/SimHash
+rows-only exemption was retired in round 4 — both engines now derive
+signatures from the same portable MD5-based hash, so the oracles
+re-compute identical bands/signatures in SQL), with planted duplicates
+proving the dedup family actually detects near-dups.
 """
 
 from __future__ import annotations
@@ -50,7 +51,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact_dedup(docs, ["text"], "doc_id")
         .select("keep_id", "n_copies")
-        .orderBy("keep_id")
     )
 
 
@@ -75,7 +75,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with est_jaccard 1.0; tests/test_llm_ops.py asserts recall on
     planted near-dups too."""
     docs = _docs_with_planted_dups(spark, sf_dir)
-    return minhash_lsh_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(docs, threshold=0.5)
 
 
 _DOCS_PLANTED_CTE = """docs AS (
@@ -156,7 +156,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distances exactly (halves sidestep 1<<63, which ANSI
     engines reject)."""
     docs = _docs_with_planted_dups(spark, sf_dir)
-    return simhash_neardup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_neardup_pairs(docs, max_hamming=3)
 
 
 def _simhash_oracle_sql(
@@ -227,7 +227,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard over a deterministic candidate space
     (same source, |n_chars| within 20) — fully oracle-checked."""
     docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.2).orderBy("id_a", "id_b")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
 
 
 _DEDUP_NGRAM_SQL = """
@@ -560,7 +560,7 @@ def corpus_prepare_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_planted_dups(spark, sf_dir)
     return corpus_prepare(docs).select(
         "doc_id", "n_tokens", "stopword_ratio", "bpe_tokens", "fp_md5"
-    ).orderBy("doc_id")
+    )
 
 
 _CORPUS_PREPARE_SQL = r"""
@@ -802,7 +802,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmdata.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.35).orderBy("vec_id")
+    return semantic_dedup(emb, threshold=0.35)
 
 
 _DEDUP_SEMANTIC_SQL = f"""
@@ -848,7 +848,6 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         substring_fingerprint_pairs(docs.unionByName(twins))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -1029,7 +1028,6 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("i_nid").alias("n_overlap"),
             (F.count("i_nid").cast("double") / 5).alias("recall_at_5"),
         )
-        .orderBy("query_id")
     )
 
 

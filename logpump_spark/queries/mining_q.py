@@ -680,7 +680,6 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_purchases"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        .orderBy("status")
     )
 
 
@@ -768,7 +767,7 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.unpersist()
     return spark.createDataFrame(
         selected, "center_rank int, vec_id long, dist_to_set long"
-    ).orderBy("center_rank")
+    )
 
 
 def _kcenter_sql() -> str:

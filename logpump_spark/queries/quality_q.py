@@ -247,7 +247,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity gate, integer-exact — see llmdata/quality.bigram_lm_score
     for why integers instead of log-space)."""
     docs = load(spark, sf_dir, "documents")
-    return bigram_lm_score(docs).orderBy("doc_id")
+    return bigram_lm_score(docs)
 
 
 _TEXT_LM_SQL = """

@@ -220,7 +220,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = load(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("status")
     ).distinct()
-    return region.crossJoin(F.broadcast(status)).orderBy("r_name", "status")
+    return region.crossJoin(F.broadcast(status))
 
 
 _JOIN_CROSS_SQL = """
@@ -383,7 +383,6 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
         )
-        .orderBy("event_type")
     )
 
 

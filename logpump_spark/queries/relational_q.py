@@ -264,7 +264,6 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
             dsum("p_retailprice").alias("total_price"),
         )
-        .orderBy("band")
     )
 
 
@@ -462,7 +461,7 @@ def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
     auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
-    return rich.union(auto).distinct().orderBy("c_custkey")
+    return rich.union(auto).distinct()
 
 
 _SETOP_UNION_SQL = """
@@ -482,7 +481,7 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
         F.col("o_custkey").alias("custkey")
     )
-    return o_cust.intersect(f_cust).orderBy("custkey")
+    return o_cust.intersect(f_cust)
 
 
 _SETOP_INTERSECT_SQL = """
@@ -500,7 +499,7 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_cust = orders.filter(F.col("o_orderstatus") == "O").select(
         F.col("o_custkey").alias("custkey")
     )
-    return all_cust.exceptAll(open_cust).orderBy("custkey")
+    return all_cust.exceptAll(open_cust)
 
 
 _SETOP_EXCEPT_SQL = """

@@ -174,7 +174,7 @@ def agg_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return est.select(
         "event_type", "n", "p50_est", "p90_est", "p99_est"
-    ).orderBy("event_type")
+    )
 
 
 def _quantile_hist_oracle_sql() -> str:
@@ -332,7 +332,7 @@ def agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in _UUT_CAPS
         ],
     )
-    return out.orderBy("event_type", "dow")
+    return out
 
 
 _UNIQ_UPTO_SQL = f"""

@@ -55,7 +55,7 @@ ORDER BY window_start, event_type
 
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    return session_agg(ev, gap="6 hours").orderBy("user_id", "session_start")
+    return session_agg(ev, gap="6 hours")
 
 
 # gaps-and-islands replication of session_window semantics: a new session
@@ -99,7 +99,6 @@ def route_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("event_type").alias("n_components"),
         )
-        .orderBy("sink_table")
     )
 
 
@@ -224,7 +223,6 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         replayed.filter(F.col("user_id") < 50)
         .dropDuplicates(["user_id", "event_type", "ts"])
-        .orderBy("user_id", "event_type", "ts")
     )
 
 

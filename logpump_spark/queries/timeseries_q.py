@@ -100,7 +100,7 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'n_customers', n_customers, 'acctbal_floor', acctbal_floor)"
         ).alias("metric", "value"),
     )
-    return long.orderBy("c_nationkey", "metric")
+    return long
 
 
 _UNPIVOT_SQL = """
@@ -403,7 +403,6 @@ def timeseries_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("start_day").alias("first_day"),
             F.max("end_day").alias("last_day"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -499,7 +498,8 @@ SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        CAST(SUM(CASE WHEN prev IS NULL THEN 0
                      WHEN c >= prev THEN c - prev
                      ELSE c END) AS DOUBLE) / 10000 AS increase,
-       SUM(CASE WHEN prev IS NOT NULL AND c < prev THEN 1 ELSE 0 END) AS n_resets,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND c < prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resets,
        COUNT(*) AS n_samples
 FROM d
 GROUP BY user_id, CAST(ts AS DATE)

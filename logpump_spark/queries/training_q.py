@@ -88,7 +88,7 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail languages keep a larger share than their raw proportion."""
     docs = load(spark, sf_dir, "documents")
     kept = temperature_resample(docs, alpha=0.5, keep_frac=0.5)
-    return kept.select("doc_id", "lang", "target_l").orderBy("doc_id")
+    return kept.select("doc_id", "lang", "target_l")
 
 
 _TEMPERATURE_SQL = f"""
@@ -133,7 +133,7 @@ def seq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "error",
         ],
         pattern=_SEQ_PATTERN,
-    ).orderBy("user_id")
+    )
 
 
 _SEQ_MATCH_SQL = f"""

@@ -200,7 +200,6 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_q"),
         )
-        .orderBy("c_nationkey", "tile")
     )
 
 

@@ -56,13 +56,187 @@ def test_no_query_plans_a_cartesian_product(spark):
 # debug-order sort is free; a filter on any non-identity column (user_id,
 # event_type, ...) bounds nothing — rows per key grow with the corpus —
 # and gets no excuse.
+#
+# Round 9 closes the r8 blind spots (r8 verdict "what's wrong" #4):
+#   - a reducer now only excuses a fact scan when it sits on that scan's
+#     OWN ancestor path to the exchange (a keyless count on a broadcast
+#     side-branch used to excuse the whole subtree — text_tfidf hid
+#     behind exactly that);
+#   - an aggregate only counts as a reducer when its GROUPING KEYS bound
+#     cardinality (enumerable whitelist, calendar-derived, literal-CASE,
+#     literal-capped, or value-domain columns — NOT row-identity keys
+#     like doc_id/user_id, whose group count grows with the corpus);
+#   - `Scan ExistingRDD` (localCheckpoint re-entry) and the sf-scaling
+#     customer/supplier/part dims count as fact scans.
 
+# `Scan ExistingRDD` is fact-EQUIVALENT: it is how a localCheckpoint
+# boundary re-enters the plan, and whatever flowed into the checkpoint
+# (usually a corpus-proportional intermediate) flows out of it — a
+# checkpoint must not launder lineage past this sweep (r8 verdict: this
+# is exactly how dedup_components/dedup_canonical's sorts hid).
+# customer/supplier/part scale with SF too (only region/nation are
+# fixed-size dimensions), so they are fact scans for this purpose.
 _FACT_SCAN = ("lineitem.parquet", "orders.parquet", "events.parquet",
-              "documents.parquet", "embeddings.parquet")
-_REDUCERS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
-             "GlobalLimit", "LocalLimit", "CollectLimit",
-             "TakeOrderedAndProject", "AggregateInPandas",
-             "FlatMapGroupsInPandas", "Deduplicate")
+              "documents.parquet", "embeddings.parquet",
+              "customer.parquet", "supplier.parquet", "part.parquet",
+              "Scan ExistingRDD")
+
+# Reducers that bound output cardinality UNCONDITIONALLY (a constant or
+# cluster-shaped number of rows regardless of corpus size).
+_HARD_REDUCERS = ("GlobalLimit", "LocalLimit", "CollectLimit",
+                  "TakeOrderedAndProject")
+
+# Reducers that bound cardinality ONLY IF their grouping keys do: an
+# aggregate keyed on doc_id/user_id has corpus-proportional output — it
+# reduces rows-per-group, not groups — so it earns no excuse (r8 verdict
+# "what's wrong" #4: the old blanket `any(reducer)` pass is how ~29
+# post-aggregate corpus-proportional sorts shipped).
+_KEYED_REDUCERS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+                   "AggregateInPandas", "FlatMapGroupsInPandas",
+                   "FlatMapGroupsInArrow", "Deduplicate",
+                   "WindowGroupLimit")
+
+# Key-class partition for grouped reducers.  An aggregate bounds output
+# cardinality iff its grouping keys do.  Keys fall in three classes:
+#   1. _BOUNDED_KEYS — enumerable-domain columns whose cardinality is
+#      fixed by the schema/world (types, flags, calendar, TPC-H dims):
+#      definitely bounded.
+#   2. _IDENTITY_KEY — row-identity-class names (ids, keys, raw content,
+#      hashes, timestamps): grouping by these yields corpus-proportional
+#      output — the aggregate reduces rows-per-group, not groups (the r8
+#      blanket any(reducer) excuse shipped ~29 cosmetic sorts this way).
+#   3. everything else — value-domain columns (quantized scores, counts,
+#      sizes, histogram bins): cardinality bounded by the VALUE domain,
+#      not corpus row count.  This is the legitimate "histogram walk"
+#      pattern (sample_topp's score histogram, agg_mannwhitney's rank
+#      histogram, tpch_q13's orders-per-customer distribution).
+_BOUNDED_KEYS = frozenset({
+    "event_type", "kind", "level", "lang", "language", "label", "source",
+    "day", "week", "month", "hour", "o_year", "l_year", "d",
+    "l_returnflag", "l_linestatus", "l_shipmode", "o_orderpriority",
+    "o_orderstatus", "c_mktsegment", "p_brand", "p_container", "p_type",
+    "p_size", "n_name", "n_nationkey", "r_name", "r_regionkey",
+    "c_nationkey", "s_nationkey",
+    "nation", "region", "cust_nation", "supp_nation", "step", "bucket",
+})
+
+_IDENTITY_KEY = __import__("re").compile(
+    r"(^|_)(id|ids|key|keys)$"
+    r"|^(text|body|term|token|tok|shingle|h|hx|hash|fp|md5|component"
+    r"|embedding|vec|ts|time|timestamp|us|event_time|url|path)$"
+)
+
+_KEYS_ATTR = __import__("re").compile(r"keys=\[([^\]]*)\]")
+_FIRST_BRACKET = __import__("re").compile(r"\[([^\]]*)\]")
+_IDENT = __import__("re").compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+# Calendar/window-derived keys have domain bounded by TIME, not corpus
+# row count (days, months, tumbling windows): a group-by on them is a
+# bounded reducer no matter which column feeds them.
+_CALENDAR_FN = __import__("re").compile(
+    r" as date\)|date_trunc|\byear\(|\bmonth\(|\bquarter\(|"
+    r"\bwindow\b|to_date\(|\bhour\(|weekofyear\(|dayofweek\(|unix_date\("
+)
+
+# A CASE whose every THEN/ELSE payload is a literal has a domain bounded
+# by its branch count no matter what the WHEN conditions reference.
+_CASE_OUT = __import__("re").compile(r"(?:THEN|ELSE)\s+(.*?)(?=\s+(?:WHEN|ELSE|END))")
+
+# A pushed literal equality/upper bound/IN-set on a column pins that
+# column's DOMAIN to a constant, so grouping by it is bounded even when
+# the column itself is identity-class (the `user_id < 30` probe family).
+_PUSHED_CAP = __import__("re").compile(
+    r"(?:LessThan|LessThanOrEqual|EqualTo|In)\((\w+)[,)]"
+)
+
+
+def _capped_columns(subtree: list[str]) -> set[str]:
+    cols: set[str] = set()
+    for t in subtree:
+        m = _PUSHED.search(t)
+        if m:
+            cols.update(_PUSHED_CAP.findall(m.group(1)))
+    return cols
+
+
+def _split_toplevel(s: str) -> list[str]:
+    """Split a plan `keys=[...]` payload on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur)); cur = []
+            continue
+        depth += ch in "(["
+        depth -= ch in ")]"
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _resolve_groupingexpr(ref: str, subtree: list[str]) -> str:
+    """Find the expression that a `_groupingexpression#N` alias names
+    (defined in a Project below the aggregate) — paren-aware backward
+    scan from the `AS _groupingexpression#N` marker to the enclosing
+    top-level boundary."""
+    marker = f"AS {ref}"
+    for t in subtree:
+        idx = t.find(marker)
+        if idx < 0:
+            continue
+        depth, start = 0, 0
+        for j in range(idx - 1, -1, -1):
+            ch = t[j]
+            if ch in ")]":
+                depth += 1
+            elif ch in "([":
+                if depth == 0:
+                    start = j + 1
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                start = j + 1
+                break
+        return t[start:idx].strip()
+    return ""
+
+
+def _key_bounded(seg: str, subtree: list[str], capped: set[str]) -> bool:
+    if _CALENDAR_FN.search(seg):
+        return True
+    if "CASE WHEN" in seg:
+        outs = _CASE_OUT.findall(seg)
+        if outs and all(not _IDENT.search(o) for o in outs):
+            return True
+    idents = _IDENT.findall(seg)
+    for name in idents:
+        if name in _BOUNDED_KEYS or name == "spark_grouping_id" or name in capped:
+            continue
+        if name == "_groupingexpression":
+            m = __import__("re").search(r"_groupingexpression#\d+", seg)
+            defn = _resolve_groupingexpr(m.group(0), subtree) if m else ""
+            if defn and _key_bounded(defn, subtree, capped):
+                continue
+            return False  # unresolvable grouping expression: assume worst
+        if _IDENTITY_KEY.search(name):
+            return False  # row-identity key: groups grow with the corpus
+        # value-domain column: bounded by its domain, not corpus size
+    return True
+
+
+def _bounded_reducer(text: str, subtree: list[str], capped: set[str]) -> bool:
+    """True iff this plan node provably bounds output cardinality."""
+    if any(r in text for r in _HARD_REDUCERS):
+        return True
+    if not any(r in text for r in _KEYED_REDUCERS):
+        return False
+    m = _KEYS_ATTR.search(text) or _FIRST_BRACKET.search(text)
+    if m is None:
+        return True  # keyless global aggregate: one output row
+    return all(
+        _key_bounded(seg, subtree, capped)
+        for seg in _split_toplevel(m.group(1))
+    )
 
 # row-identity columns per fact table: a pushed literal upper bound or
 # literal IN-set on one of these pins the subtree's cardinality to a
@@ -89,28 +263,48 @@ def _tree_lines(plan: str) -> list[tuple[int, str]]:
     return out
 
 
+def _ancestors(sub: list[tuple[int, str]], j: int):
+    """Ancestor node texts of sub[j] within the subtree (preorder list):
+    walking backwards, a node is an ancestor iff its depth strictly
+    undercuts everything seen since j."""
+    cur = sub[j][0]
+    for k in range(j - 1, -1, -1):
+        if sub[k][0] < cur:
+            yield sub[k][1]
+            cur = sub[k][0]
+
+
 def _unreduced_funnel(plan: str, marker: str, allow_id_cap: bool = False) -> bool:
+    """True iff some `marker` exchange funnels a corpus-proportional row
+    set: at least one fact scan below it reaches the exchange without
+    passing through a bounded-cardinality reducer ON ITS OWN PATH (a
+    reducer on a sibling branch — e.g. a broadcast scalar count — must
+    not excuse the main flow), and without a pushed row-identity literal
+    cap on the scan itself."""
     lines = _tree_lines(plan)
     for i, (d, text) in enumerate(lines):
         if marker not in text:
             continue
-        subtree = []
+        sub = []
         for d2, t2 in lines[i + 1:]:
             if d2 <= d:
                 break
-            subtree.append(t2)
-        fact_scans = [t for t in subtree if any(f in t for f in _FACT_SCAN)]
-        reduced = any(any(r in t for r in _REDUCERS) for t in subtree)
-        if not fact_scans or reduced:
-            continue
-        if allow_id_cap:
-            capped = all(
-                (m := _PUSHED.search(t)) is not None and _ROW_ID_BOUND.search(m.group(1))
-                for t in fact_scans
-            )
-            if capped:
+            sub.append((d2, t2))
+        subtexts = [t for _, t in sub]
+        capped_cols = _capped_columns(subtexts)
+        for j, (dj, tj) in enumerate(sub):
+            if not any(f in tj for f in _FACT_SCAN):
                 continue
-        return True
+            if any(
+                _bounded_reducer(a, subtexts, capped_cols)
+                for a in _ancestors(sub, j)
+            ):
+                continue
+            if allow_id_cap:
+                m = _PUSHED.search(tj)
+                if m is not None and _ROW_ID_BOUND.search(m.group(1)):
+                    continue
+            return True
     return False
 
 
@@ -122,9 +316,27 @@ def _unreduced_range_sort(plan: str) -> bool:
     return _unreduced_funnel(plan, "Exchange rangepartitioning", allow_id_cap=True)
 
 
+# Documented residual funnels — names the sweep tolerates, each with the
+# reason a one-task stage is irreducible there.  Kept deliberately tiny;
+# anything new landing here needs the same level of justification.
+_KNOWN_FUNNELS = {
+    # Exact top-p% selection must admit exactly ceil(n*p/100) rows; the
+    # histogram walk (llmdata/curation.py:top_p_by_score) bounds every
+    # other stage to |distinct scores| rows, but the docs TIED AT the
+    # cutoff score still need an id-order rank to fill the remainder
+    # deterministically — that one window is order-dependent by SPEC, so
+    # no aggregate can bound it first.  Expected payload is one score
+    # bin (~corpus/|distinct scores|); the degenerate all-docs-one-score
+    # corpus is the only case where it approaches corpus size.
+    "sample_topp",
+}
+
+
 def test_no_unreduced_single_partition_exchange(spark):
     offenders = []
     for name, fn in se.queries().items():
+        if name in _KNOWN_FUNNELS:
+            continue
         df = fn(spark, SF_SMALL)
         plan = df._jdf.queryExecution().executedPlan().toString()
         if _unreduced_single_partition(plan):
@@ -185,6 +397,41 @@ def test_range_sort_detector_catches_a_planted_offender(spark):
     cap_plan = ok_cap._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" in cap_plan
     assert not _unreduced_range_sort(cap_plan)
+
+
+def test_range_sort_detector_rejects_unbounded_aggregate_excuse(spark):
+    """r8 blind spot #1: an aggregate keyed on a row-identity-class
+    column (doc_id/user_id) does NOT bound cardinality — its output
+    grows with the corpus — so a global sort above it must still fire.
+    The same sort above a bounded-key aggregate stays excused."""
+    from pyspark.sql import functions as F
+
+    from logpump_spark.tables import load
+
+    ev = load(spark, SF_SMALL, "events")
+    bad = ev.groupBy("user_id").count().orderBy("user_id")
+    assert _unreduced_range_sort(
+        bad._jdf.queryExecution().executedPlan().toString()
+    )
+
+    ok = ev.groupBy("event_type").count().orderBy("event_type")
+    assert not _unreduced_range_sort(
+        ok._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_range_sort_detector_sees_through_checkpoints(spark):
+    """r8 blind spot #2: localCheckpoint re-enters the plan as `Scan
+    ExistingRDD`, which the old sweep did not recognize as a fact scan —
+    a checkpoint boundary must not launder a corpus-proportional global
+    sort (dedup_components/dedup_canonical escaped exactly this way)."""
+    from logpump_spark.tables import load
+
+    ev = load(spark, SF_SMALL, "events").select("event_id", "user_id")
+    bad = ev.localCheckpoint(eager=False).orderBy("event_id")
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert _unreduced_range_sort(plan)
 
 
 def test_single_partition_detector_catches_a_planted_offender(spark):

@@ -98,15 +98,42 @@ def canon_rows_native(cols: list[str], rows) -> list[tuple[str, ...]]:
     return out
 
 
+def _diff_msg(path: str, cols, srows, orows) -> str:
+    ndiff = sum(1 for a, b in zip(srows, orows) if a != b)
+    example = next((a, b) for a, b in zip(srows, orows) if a != b)
+    return (
+        f"[{path}] value mismatch in {ndiff}/{len(srows)} rows; cols={cols};"
+        f" first diff:\n  spark : {example[0]}\n  oracle: {example[1]}"
+    )
+
+
 def compare_one(name: str, spark, con, sf_dir: str, queries, oracles) -> tuple[bool, str]:
-    sdf = queries[name](spark, sf_dir)
-    srows_raw = sdf.collect()
+    """Compare Spark vs DuckDB through BOTH materialization paths.
+
+    native  — Spark collect() vs DuckDB fetchall(): full NULL fidelity
+              (an int column with NULLs stays int on both sides).
+    bridge  — Spark toPandas() vs DuckDB .df(): mirrors the external
+              driver, which hashes through pandas.  This is the path
+              that exposes asymmetric type widening — e.g. an uncast
+              DuckDB SUM(BIGINT) is HUGEINT, which .df() renders as
+              float64 (0.0) while Spark's long stays int64 (0); the
+              native path is structurally blind to that class (the r8
+              timeseries_rate / skew_key_histogram driver reds).
+    Both must agree for a pass.
+    """
+    sdf = queries[name](spark, sf_dir).persist()
+    try:
+        srows_raw = sdf.collect()
+        s_pdf = sdf.toPandas()
+    finally:
+        sdf.unpersist()
     s_cols = list(sdf.columns)
     if name not in oracles:
         return True, f"rows-only ({len(srows_raw)} rows)"
     cur = con.execute(oracles[name])
     o_cols = [d[0] for d in cur.description]
     orows_raw = cur.fetchall()
+    o_pdf = con.execute(oracles[name]).df()
     if sorted(s_cols) != sorted(o_cols):
         return False, (
             f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
@@ -118,15 +145,13 @@ def compare_one(name: str, spark, con, sf_dir: str, queries, oracles) -> tuple[b
     s_cols_sorted = sorted(s_cols)
     srows = canon_rows_native(s_cols, srows_raw)
     orows = canon_rows_native(o_cols, orows_raw)
-    s_cols = s_cols_sorted
-    if srows == orows:
-        return True, f"OK ({len(srows)} rows)"
-    ndiff = sum(1 for a, b in zip(srows, orows) if a != b)
-    example = next((a, b) for a, b in zip(srows, orows) if a != b)
-    return False, (
-        f"value mismatch in {ndiff}/{len(srows)} rows; cols={s_cols};"
-        f" first diff:\n  spark : {example[0]}\n  oracle: {example[1]}"
-    )
+    if srows != orows:
+        return False, _diff_msg("native", s_cols_sorted, srows, orows)
+    srows_b = canon_rows(s_pdf)
+    orows_b = canon_rows(o_pdf)
+    if srows_b != orows_b:
+        return False, _diff_msg("bridge", s_cols_sorted, srows_b, orows_b)
+    return True, f"OK ({len(srows)} rows, native+bridge)"
 
 
 def main() -> int:
