@@ -503,7 +503,11 @@ def label_purity(
         "clabel",
         F.round(np_cosine()(F.col(vec_col), F.col("cv")), 6).alias("cos"),
     )
-    w = W.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("clabel").asc())
+    # clabel inherits label's NULLs; asc_nulls_last matches DuckDB's
+    # ASC default so cosine ties pick the same centroid in both engines
+    w = W.partitionBy(id_col).orderBy(
+        F.col("cos").desc(), F.col("clabel").asc_nulls_last()
+    )
     assigned = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)

@@ -239,7 +239,11 @@ def trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").cast("string").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
     w_lag = W.partitionBy("event_type").orderBy("day")
-    w_rank = W.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type"))
+    # event_type carries NULLs under the null robustness twin; pin the
+    # rank tiebreak to DuckDB's ASC NULLS LAST default
+    w_rank = W.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("event_type").asc_nulls_last()
+    )
     return (
         daily.withColumn("prev_n", F.lag("n").over(w_lag))
         .withColumn("delta", F.col("n") - F.coalesce("prev_n", F.col("n")))

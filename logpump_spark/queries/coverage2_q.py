@@ -527,8 +527,11 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking-window family beside rank/percent_rank/ntile); the fraction
     is count-derived, so both engines produce identical doubles."""
     cust = load(spark, sf_dir, "customer")
+    # asc_nulls_last: DuckDB's ASC default is NULLS LAST, Spark's is
+    # NULLS FIRST — bare asc() flips every rank below a NULLed balance
+    # the moment the null robustness twin touches c_acctbal (10 permille)
     w = W.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+        F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc()
     )
     return (
         cust.select(

@@ -190,8 +190,11 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cohort sampling.  ORDER BY carries c_custkey as a unique
     tiebreaker so tile assignment is deterministic in both engines."""
     cust = load(spark, sf_dir, "customer")
+    # asc_nulls_last: DuckDB's ASC default is NULLS LAST, Spark's is
+    # NULLS FIRST — bare asc() flips every rank below a NULLed balance
+    # the moment the null robustness twin touches c_acctbal (10 permille)
     w = W.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+        F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc()
     )
     return (
         cust.withColumn("tile", F.ntile(4).over(w))
