@@ -85,7 +85,7 @@ _WINDOW_PRIORITY = [
     "dedup_exact", "dedup_components", "dedup_canonical",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster_stats",
     "text_tfidf", "sample_topp", "sample_temperature", "text_lm_score",
-    "text_decontaminate", "corpus_prepare", "funnel_steps",
+    "text_decontaminate", "funnel_steps",
     "funnel_strict_dedup", "sessionize_events", "retention_cohort",
     "seq_match_window", "chat_assemble", "stream_dedup", "stream_session",
     "setop_except", "cdc_upsert_apply", "win_cume_dist", "sim_pq_adc",
@@ -115,6 +115,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     missing = [n for n in _WINDOW_PRIORITY if n not in merged]
     if missing:
         raise ValueError(f"window priority ids not registered: {missing}")
+    # the driver gate checks exactly the FIRST 50 registry entries; a
+    # 51st priority id would silently fall outside the round's window
+    if len(_WINDOW_PRIORITY) != 50 or len(set(_WINDOW_PRIORITY)) != 50:
+        raise ValueError(
+            f"window priority must be 50 unique ids, got "
+            f"{len(_WINDOW_PRIORITY)} ({len(set(_WINDOW_PRIORITY))} unique)"
+        )
     prioritized = {n: merged[n] for n in _WINDOW_PRIORITY}
     prioritized.update((n, f) for n, f in merged.items() if n not in prioritized)
     return prioritized

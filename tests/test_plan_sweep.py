@@ -120,8 +120,12 @@ _BOUNDED_KEYS = frozenset({
     "nation", "region", "cust_nation", "supp_nation", "step", "bucket",
 })
 
+# bare `key$`/`id$` suffixes (no underscore) cover the TPC-H naming
+# style (c_custkey, o_orderkey, s_suppkey, p_partkey); the genuinely
+# bounded *key columns (nation/region FKs) are caught by the whitelist
+# FIRST, so they never reach this blacklist
 _IDENTITY_KEY = __import__("re").compile(
-    r"(^|_)(id|ids|key|keys)$"
+    r"(id|ids|key|keys)$"
     r"|^(text|body|term|token|tok|shingle|h|hx|hash|fp|md5|component"
     r"|embedding|vec|ts|time|timestamp|us|event_time|url|path)$"
 )
@@ -145,18 +149,35 @@ _CASE_OUT = __import__("re").compile(r"(?:THEN|ELSE)\s+(.*?)(?=\s+(?:WHEN|ELSE|E
 # A pushed literal equality/upper bound/IN-set on a column pins that
 # column's DOMAIN to a constant, so grouping by it is bounded even when
 # the column itself is identity-class (the `user_id < 30` probe family).
+# The negative lookbehind rejects `Not(In(...))` — a NOT-IN keeps nearly
+# the whole domain and caps nothing.
 _PUSHED_CAP = __import__("re").compile(
-    r"(?:LessThan|LessThanOrEqual|EqualTo|In)\((\w+)[,)]"
+    r"(?<!Not\()(?:LessThan|LessThanOrEqual|EqualTo|In)\((\w+)[,)]"
 )
 
 
 def _capped_columns(subtree: list[str]) -> set[str]:
-    cols: set[str] = set()
-    for t in subtree:
-        m = _PUSHED.search(t)
-        if m:
-            cols.update(_PUSHED_CAP.findall(m.group(1)))
-    return cols
+    """Columns literal-capped at EVERY fact scan in the subtree.
+
+    Intersection, not union: a cap pushed into one join branch says
+    nothing about the same-named column flowing from an uncapped branch
+    (events.filter(user_id < 30) joined to raw events must not excuse a
+    user_id aggregate over the raw side)."""
+    per_scan = [
+        set(_PUSHED_CAP.findall(m.group(1)))
+        for t in subtree
+        if any(f in t for f in _FACT_SCAN)
+        for m in [_PUSHED.search(t)]
+        if m is not None
+    ]
+    # scans with no PushedFilters contribute an empty set (cap nothing)
+    n_scans = sum(1 for t in subtree if any(f in t for f in _FACT_SCAN))
+    if n_scans == 0 or len(per_scan) < n_scans:
+        return set()
+    out = per_scan[0]
+    for s in per_scan[1:]:
+        out &= s
+    return out
 
 
 def _split_toplevel(s: str) -> list[str]:
@@ -415,6 +436,39 @@ def test_range_sort_detector_rejects_unbounded_aggregate_excuse(spark):
     )
 
     ok = ev.groupBy("event_type").count().orderBy("event_type")
+    assert not _unreduced_range_sort(
+        ok._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # TPC-H-style key names (no underscore before 'key') are identity
+    # too: customer count scales with SF
+    cust = load(spark, SF_SMALL, "customer")
+    bad2 = cust.groupBy("c_custkey").count().orderBy("c_custkey")
+    assert _unreduced_range_sort(
+        bad2._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_not_in_pushed_filter_caps_nothing(spark):
+    """`~col.isin(...)` pushes as Not(In(col, ...)) — the complement of
+    a literal set keeps nearly the whole domain, so it must NOT land in
+    the capped-column excuse the way a positive In(...) does."""
+    from pyspark.sql import functions as F
+
+    from logpump_spark.tables import load
+
+    ev = load(spark, SF_SMALL, "events")
+    bad = (
+        ev.filter(~F.col("user_id").isin(1, 2, 3))
+        .groupBy("user_id").count().orderBy("user_id")
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert _unreduced_range_sort(plan)
+
+    ok = (
+        ev.filter(F.col("user_id").isin(1, 2, 3))
+        .groupBy("user_id").count().orderBy("user_id")
+    )
     assert not _unreduced_range_sort(
         ok._jdf.queryExecution().executedPlan().toString()
     )

@@ -124,29 +124,31 @@ def compare_one(name: str, spark, con, sf_dir: str, queries, oracles) -> tuple[b
     sdf = queries[name](spark, sf_dir).persist()
     try:
         srows_raw = sdf.collect()
+        s_cols = list(sdf.columns)
+        if name not in oracles:
+            return True, f"rows-only ({len(srows_raw)} rows)"
+        cur = con.execute(oracles[name])
+        o_cols = [d[0] for d in cur.description]
+        orows_raw = cur.fetchall()
+        if sorted(s_cols) != sorted(o_cols):
+            return False, (
+                f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+            )
+        if len(srows_raw) != len(orows_raw):
+            return False, (
+                f"row count mismatch: spark={len(srows_raw)} oracle={len(orows_raw)}"
+            )
+        s_cols_sorted = sorted(s_cols)
+        srows = canon_rows_native(s_cols, srows_raw)
+        orows = canon_rows_native(o_cols, orows_raw)
+        if srows != orows:
+            return False, _diff_msg("native", s_cols_sorted, srows, orows)
+        # bridge path only when the cheap checks pass: toPandas and the
+        # oracle re-execution are the expensive half
         s_pdf = sdf.toPandas()
     finally:
         sdf.unpersist()
-    s_cols = list(sdf.columns)
-    if name not in oracles:
-        return True, f"rows-only ({len(srows_raw)} rows)"
-    cur = con.execute(oracles[name])
-    o_cols = [d[0] for d in cur.description]
-    orows_raw = cur.fetchall()
     o_pdf = con.execute(oracles[name]).df()
-    if sorted(s_cols) != sorted(o_cols):
-        return False, (
-            f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
-        )
-    if len(srows_raw) != len(orows_raw):
-        return False, (
-            f"row count mismatch: spark={len(srows_raw)} oracle={len(orows_raw)}"
-        )
-    s_cols_sorted = sorted(s_cols)
-    srows = canon_rows_native(s_cols, srows_raw)
-    orows = canon_rows_native(o_cols, orows_raw)
-    if srows != orows:
-        return False, _diff_msg("native", s_cols_sorted, srows, orows)
     srows_b = canon_rows(s_pdf)
     orows_b = canon_rows(o_pdf)
     if srows_b != orows_b:
