@@ -15,16 +15,26 @@ introduces a cartesian that the static plan lacks.
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as se
 
 from .conftest import SF_SMALL
 
 
-def test_no_query_plans_a_cartesian_product(spark):
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    """Build every registered query's static physical plan ONCE for the
+    three registry-wide sweeps below (plan build only, no execution)."""
+    return {
+        name: fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        for name, fn in se.queries().items()
+    }
+
+
+def test_no_query_plans_a_cartesian_product(all_plans):
     offenders = []
-    for name, fn in se.queries().items():
-        df = fn(spark, SF_SMALL)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    for name, plan in all_plans.items():
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, (
@@ -353,13 +363,11 @@ _KNOWN_FUNNELS = {
 }
 
 
-def test_no_unreduced_single_partition_exchange(spark):
+def test_no_unreduced_single_partition_exchange(all_plans):
     offenders = []
-    for name, fn in se.queries().items():
+    for name, plan in all_plans.items():
         if name in _KNOWN_FUNNELS:
             continue
-        df = fn(spark, SF_SMALL)
-        plan = df._jdf.queryExecution().executedPlan().toString()
         if _unreduced_single_partition(plan):
             offenders.append(name)
     assert not offenders, (
@@ -369,11 +377,9 @@ def test_no_unreduced_single_partition_exchange(spark):
     )
 
 
-def test_no_unreduced_global_range_sort(spark):
+def test_no_unreduced_global_range_sort(all_plans):
     offenders = []
-    for name, fn in se.queries().items():
-        df = fn(spark, SF_SMALL)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    for name, plan in all_plans.items():
         if _unreduced_range_sort(plan):
             offenders.append(name)
     assert not offenders, (
