@@ -163,6 +163,13 @@ def corpus_vocab_topk(
     )
 
 
+# id-bucket width for the at-cut tie rank: each ranking task handles at
+# most this many rows, and the per-bucket carry table is |id range|/width
+# rows (8-byte aggregates), the same factor-B reduction as the hour
+# buckets in operators/intervals.py max_concurrent_intervals.
+_TIE_BUCKET = 4096
+
+
 def top_p_by_score(
     df: DataFrame,
     p_pct: int = 10,
@@ -176,9 +183,20 @@ def top_p_by_score(
     1. build the score HISTOGRAM (|distinct scores| rows — tiny);
     2. walk it once (window over the histogram, not the corpus) to find
        the cutoff score and how many rows to admit AT the cutoff;
-    3. broadcast the 1-row cutoff: rows above it pass outright, and only
-       the cutoff-value rows — the single heavy-tie group — are ranked
-       by id to fill the remainder.
+    3. broadcast the 1-row cutoff: rows above it pass outright, and the
+       cutoff-value rows — the single heavy-tie group — fill the
+       remainder in id-ASC order via a two-stage prefix scan (below),
+       so even the degenerate all-docs-one-score corpus never funnels
+       through one task.
+
+    The tie rank is the textbook two-stage parallel prefix scan (same
+    shape as operators/intervals.py max_concurrent_intervals): bucket
+    the tied rows by ``id DIV _TIE_BUCKET``, aggregate per-bucket
+    counts, run the exclusive carry over the bounded bucket table, and
+    broadcast back the ONE boundary bucket where the carry crosses
+    ``k_at_cut``.  Buckets before it pass whole, buckets after it drop,
+    and only the boundary bucket (<= _TIE_BUCKET rows, any input
+    distribution) is ranked row-by-row.
 
     target = ceil(n * p/100) in exact integer arithmetic, so any SQL
     engine replays the identical selection."""
@@ -199,14 +217,37 @@ def top_p_by_score(
     )
     j = df.crossJoin(F.broadcast(cut))
     above = j.filter(F.col(score_col) > F.col("cut_score")).select(id_col, score_col)
-    w_cut = W.orderBy(F.col(id_col).asc())
-    at_cut = (
-        j.filter(F.col(score_col) == F.col("cut_score"))
-        .withColumn("_rn", F.row_number().over(w_cut))
-        .filter(F.col("_rn") <= F.col("k_at_cut"))
+
+    at_cut = j.filter(F.col(score_col) == F.col("cut_score")).withColumn(
+        "bucket", F.expr(f"CAST({id_col} DIV {_TIE_BUCKET} AS BIGINT)")
+    )
+    per_bucket = at_cut.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("k_at_cut").alias("k")
+    )
+    # exclusive carry over the per-bucket aggregate (bounded reducer:
+    # |id range|/_TIE_BUCKET rows, never raw corpus rows)
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    carried = per_bucket.withColumn(
+        "carry", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+    )
+    # exactly one bucket straddles the k_at_cut admission boundary
+    # (prefix counts are strictly increasing), so this broadcast is 1 row
+    boundary = carried.filter(
+        (F.col("carry") < F.col("k")) & (F.col("carry") + F.col("cnt") >= F.col("k"))
+    ).select(
+        F.col("bucket").alias("b_bucket"),
+        (F.col("k") - F.col("carry")).alias("take"),
+    )
+    ab = at_cut.crossJoin(F.broadcast(boundary))
+    whole = ab.filter(F.col("bucket") < F.col("b_bucket")).select(id_col, score_col)
+    w_edge = W.partitionBy("bucket").orderBy(F.col(id_col).asc())
+    edge = (
+        ab.filter(F.col("bucket") == F.col("b_bucket"))
+        .withColumn("_rn", F.row_number().over(w_edge))
+        .filter(F.col("_rn") <= F.col("take"))
         .select(id_col, score_col)
     )
-    return above.unionByName(at_cut)
+    return above.unionByName(whole).unionByName(edge)
 
 
 def boilerplate_flag(

@@ -207,7 +207,8 @@ def sample_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10% of docs by (n_chars DESC, doc_id ASC) via the
     histogram-cutoff shape (llmdata/curation.py top_p_by_score) — the
     scale-safe alternative to a global rank the quality-decile docstring
-    points at."""
+    points at.  Since r10 the at-cut tie rank is a two-stage prefix
+    scan, so even an all-one-score corpus never runs one-task."""
     from ..llmdata.curation import top_p_by_score
 
     docs = load(spark, sf_dir, "documents")

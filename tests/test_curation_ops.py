@@ -192,6 +192,25 @@ def test_top_p_exact_selection_with_cutoff_ties(spark):
     assert top_p_by_score(df, p_pct=100).count() == 20
 
 
+def test_top_p_degenerate_one_score_corpus_spanning_buckets(spark):
+    """The r10 funnel retirement: the ENTIRE corpus tied at one score —
+    the case the old unpartitioned tie-rank window funnelled one-task.
+    Ids span three _TIE_BUCKET buckets so the prefix scan exercises a
+    whole-admitted bucket, the boundary bucket (partial take), and a
+    dropped bucket."""
+    from logpump_spark.llmdata.curation import _TIE_BUCKET, top_p_by_score
+
+    ids = (
+        list(range(1, 11))
+        + list(range(_TIE_BUCKET + 1, _TIE_BUCKET + 11))
+        + list(range(2 * _TIE_BUCKET + 1, 2 * _TIE_BUCKET + 11))
+    )
+    df = spark.createDataFrame([(i, 50) for i in ids], "doc_id long, n_chars long")
+    # target = ceil(30 * 50 / 100) = 15 -> the 15 smallest ids
+    got = sorted(r.doc_id for r in top_p_by_score(df, p_pct=50).collect())
+    assert got == sorted(ids)[:15]
+
+
 def test_dedup_canonical_picks_biggest_then_smallest_id(spark):
     from logpump_spark.queries.curation2_q import dedup_canonical
 

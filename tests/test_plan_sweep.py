@@ -350,17 +350,12 @@ def _unreduced_range_sort(plan: str) -> bool:
 # Documented residual funnels — names the sweep tolerates, each with the
 # reason a one-task stage is irreducible there.  Kept deliberately tiny;
 # anything new landing here needs the same level of justification.
-_KNOWN_FUNNELS = {
-    # Exact top-p% selection must admit exactly ceil(n*p/100) rows; the
-    # histogram walk (llmdata/curation.py:top_p_by_score) bounds every
-    # other stage to |distinct scores| rows, but the docs TIED AT the
-    # cutoff score still need an id-order rank to fill the remainder
-    # deterministically — that one window is order-dependent by SPEC, so
-    # no aggregate can bound it first.  Expected payload is one score
-    # bin (~corpus/|distinct scores|); the degenerate all-docs-one-score
-    # corpus is the only case where it approaches corpus size.
-    "sample_topp",
-}
+# EMPTY since r10: the last entry (sample_topp's at-cut id-order tie
+# rank) was rebuilt on the two-stage prefix-scan shape already proven in
+# interval_max_concurrent — per-id-bucket counts, exclusive carry over
+# the bounded bucket table, single boundary bucket broadcast back — so
+# no input distribution can funnel the corpus through one task.
+_KNOWN_FUNNELS: set[str] = set()
 
 
 def test_no_unreduced_single_partition_exchange(all_plans):
