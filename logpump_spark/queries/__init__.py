@@ -68,40 +68,41 @@ _MODULES = (
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
-# registry entries per round.  Round-9 window: the 2 ids that went red
-# in r8 on the (now fixed) DuckDB HUGEINT oracle casts lead — green
-# rows here complete driver coverage of all 249 registry ids.  Then the
-# r9-changed code: ~25 representatives of the global-sort purge (the
-# cosmetic corpus-proportional orderBy tails dropped this round — values
-# are order-insensitively hashed, so these must stay green) and the 4
-# TPC-H shapes whose Spark-side tail ORDER BY was stripped.  The
-# remaining slots rotate families whose last driver row dates to r1-r5
-# (sources/scan, scalar suites, the early TPC-H matrix) so stale-green
-# rot can't accumulate unseen (r8 verdict item 5).
+# registry entries per round.  Round-10 window: the one id whose code
+# changed this round leads (sample_topp — at-cut tie rank rebuilt as a
+# two-stage prefix scan, _KNOWN_FUNNELS retired), then the staleness
+# rotation the r9 verdict ordered: all 36 ids whose most recent
+# driver-green row dates to ROUND 1, plus 13 of the 26 round-3 ids
+# (judge's named starters first).  After this round the staleness floor
+# rises from r1 to r3; the remaining 13 r3 ids (agg_by_day, agg_collect,
+# agg_histogram, agg_min_max_by, filter_valid_rows, route_group_by_key,
+# setop_union_by_name, sink_insert_schema, sort_time,
+# stream_interval_join, stream_sliding, stream_tumbling,
+# xform_project_sink) are the r11 window's scheduled rotation.
 _WINDOW_PRIORITY = [
-    # r8 reds, oracle CAST fixed this round — must go green
-    "timeseries_rate", "skew_key_histogram",
-    # r9 purge re-pins: Spark-side tail sort dropped (values unchanged)
-    "dedup_exact", "dedup_components", "dedup_canonical",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_cluster_stats",
-    "text_tfidf", "sample_topp", "sample_temperature", "text_lm_score",
-    "text_decontaminate", "funnel_steps",
-    "funnel_strict_dedup", "sessionize_events", "retention_cohort",
-    "seq_match_window", "chat_assemble", "stream_dedup", "stream_session",
-    "setop_except", "cdc_upsert_apply", "win_cume_dist", "sim_pq_adc",
-    "agg_mannwhitney", "sql_lateral", "sketch_kmv_overlap",
-    # r9 TPC-H template split (oracle keeps canonical ORDER BY)
-    "tpch_q11_important_stock", "tpch_q13_cust_distribution",
-    "tpch_q15_top_supplier", "tpch_q20_dominant_supplier",
-    # stale-family rotation: sources/scan (last green r3)
-    "scan_glob", "records_explode", "fn_string_clean", "scan_csv",
-    "scan_jsonl",
-    # stale-family rotation: scalar suites (last green r1/r3)
-    "fn_string_suite", "fn_date_suite", "fn_cast_suite", "fn_math_suite",
-    "fn_regexp_suite", "fn_json", "fn_array", "fn_map",
-    # stale-family rotation: early TPC-H matrix (last green r5)
-    "q1_pricing_summary", "tpch_q3_shipping", "tpch_q5_nation_volume",
-    "tpch_q6_revenue_delta", "tpch_q10_returns",
+    # r10 code change — the prefix-scan rebuild must re-verify
+    "sample_topp",
+    # last driver-green r1: aggregate family
+    "agg_approx_distinct", "agg_corr", "agg_cube", "agg_distinct",
+    "agg_grouping_sets", "agg_metrics", "agg_percentile", "agg_pivot",
+    "agg_rollup", "agg_stats",
+    # last driver-green r1: join family
+    "join_anti", "join_asof", "join_broadcast", "join_cross",
+    "join_full_outer", "join_left", "join_range", "join_semi",
+    # last driver-green r1: window family
+    "win_first_last", "win_lag", "win_percent_rank", "win_range_frame",
+    # last driver-green r1: SQL shapes / setops / sort / scan
+    "sql_cte", "sql_in_subquery", "sql_scalar_subquery",
+    "setop_intersect", "setop_union", "sort_limit_topk",
+    "filter_pushdown",
+    # last driver-green r1: scalar suites
+    "fn_bitwise", "fn_conditional", "fn_date_suite2", "fn_decimal",
+    "fn_explode", "fn_json_roundtrip", "fn_string_suite2",
+    # last driver-green r3: judge-named starters + scalar stragglers
+    "doc_fingerprint", "multimodal_decode", "multimodal_audio",
+    "corpus_prepare", "udf_pandas_demo", "udf_grouped_map",
+    "fn_generators", "fn_null_columns", "fn_safe_cast", "fn_sql_scrub",
+    "text_lang_id", "text_token_bpe", "xform_filename_date",
 ]
 
 
