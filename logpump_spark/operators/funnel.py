@@ -51,11 +51,13 @@ def window_funnel(
     if max_events_per_user is not None:
         from pyspark.sql import Window as W
 
-        # asc_nulls_last on both sort keys: Spark's bare ASC is NULLS
-        # FIRST while the DuckDB oracle's ROW_NUMBER ... ORDER BY ts,
-        # event_id defaults to NULLS LAST — without this, NULL-ts rows
-        # would land at opposite ends of the first-N prefix the moment a
-        # robustness twin nullifies either column.
+        # asc_nulls_last on both sort keys: defensive parity with the
+        # DuckDB oracle's ROW_NUMBER ... ORDER BY ts, event_id default
+        # (NULLS LAST) vs Spark's bare-ASC NULLS FIRST.  Today's
+        # perturbation twins never NULL events.ts or event_id
+        # (tools/perturb.py NULL_PLAN keeps the identity key intact), so
+        # no current twin exercises the divergence — the pin guards the
+        # day one does.
         w = W.partitionBy(user_col).orderBy(
             F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
         )

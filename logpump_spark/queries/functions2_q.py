@@ -90,7 +90,7 @@ FROM events WHERE event_id < 2000 ORDER BY event_id
 
 
 def fn_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """\b/\w are engine-divergent OUTSIDE ASCII (Java's \b is
+    r"""\b/\w are engine-divergent OUTSIDE ASCII (Java's \b is
     Unicode-aware, RE2's is ASCII — 'straße' matches differently), so
     the word-boundary surface is pinned to an explicitly ASCII-sanitized
     projection (identity on ASCII text; non-ASCII maps to space in both

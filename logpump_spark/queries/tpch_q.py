@@ -554,8 +554,21 @@ def _no_tail_sort(template: str) -> str:
     documents the canonical query text).  Bounded-output TPC-H sorts
     (constant group domains like returnflag/shipmode/nation) keep theirs
     on both sides.
+
+    Fails loudly (assert) unless exactly one substitution occurred: a
+    future edit that leaves the template no longer ending in a bare
+    ORDER BY line (a trailing LIMIT, semicolon, or whitespace) would
+    otherwise silently reintroduce the corpus-scale tail sort — and for
+    Q13 the plan sweep would not catch it, since its sort key classifies
+    as value-domain.
     """
-    return re.sub(r"\nORDER BY[^\n]*(\n?)$", r"\1", template)
+    stripped, n = re.subn(r"\nORDER BY[^\n]*(\n?)$", r"\1", template)
+    assert n == 1, (
+        f"_no_tail_sort expects the template to end with a bare ORDER BY "
+        f"line, found {n} matches — tail sort NOT stripped; template ends: "
+        f"{template[-80:]!r}"
+    )
+    return stripped
 
 
 def _run_tpch_sql(spark: SparkSession, sf_dir: str, template: str) -> DataFrame:

@@ -38,7 +38,10 @@ def table_routing_column(
     if not table_map:
         return F.lit(default_table)
     routing = F.create_map(*[F.lit(x) for x in chain.from_iterable(table_map.items())])
-    return F.coalesce(routing.getItem(comp), F.lit(default_table))
+    # try_element_at, not getItem(Column) (deprecated since 3.0) and not
+    # element_at (throws on missing keys under Spark 4's default ANSI
+    # mode) — missing component must coalesce to the default table
+    return F.coalesce(F.try_element_at(routing, comp), F.lit(default_table))
 
 
 def route_and_write(

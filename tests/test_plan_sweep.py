@@ -130,12 +130,19 @@ _BOUNDED_KEYS = frozenset({
     "nation", "region", "cust_nation", "supp_nation", "step", "bucket",
 })
 
-# bare `key$`/`id$` suffixes (no underscore) cover the TPC-H naming
-# style (c_custkey, o_orderkey, s_suppkey, p_partkey); the genuinely
-# bounded *key columns (nation/region FKs) are caught by the whitelist
-# FIRST, so they never reach this blacklist
+# id/key suffixes need a word-ish boundary (start or underscore) so
+# ordinary words that merely END in those letters (valid, paid, grid,
+# monkeys) are not misclassified as row identity; the TPC-H bare-suffix
+# naming style (c_custkey, o_orderkey, ps_suppkey, p_partkey) is covered
+# by the explicit (cust|order|supp|part)key alternation instead.  The
+# genuinely bounded *key columns (nation/region FKs) are caught by the
+# whitelist FIRST, so they never reach this blacklist.  Residual
+# direction of error is FALSE POSITIVE (a bounded column misread as
+# identity fails the sweep loudly and gets whitelisted) — never a
+# silently excused funnel.
 _IDENTITY_KEY = __import__("re").compile(
-    r"(id|ids|key|keys)$"
+    r"(^|_)(id|ids|key|keys)$"
+    r"|(cust|order|supp|part)keys?$"
     r"|^(text|body|term|token|tok|shingle|h|hx|hash|fp|md5|component"
     r"|embedding|vec|ts|time|timestamp|us|event_time|url|path)$"
 )
