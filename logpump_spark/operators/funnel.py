@@ -25,6 +25,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# fan-out of the capped-prefix pre-filter (window_funnel stage 1): the
+# hot key's sort splits this many ways, and stage 2's exact rank sees at
+# most _CAP_SHARDS * N rows per user.  32 matches local[32]; on a real
+# cluster anything ~default-parallelism works — the value only trades
+# stage-1 parallelism against stage-2 payload, never correctness.
+_CAP_SHARDS = 32
+
 
 def window_funnel(
     events: DataFrame,
@@ -42,9 +49,29 @@ def window_funnel(
     ``max_events_per_user``: OPT-IN hot-key guard (SCALING.md §4.1) —
     restrict the funnel to each user's first N events (by ts, tiebreak).
     This deliberately CHANGES semantics (a step completed after a user's
-    N-th event no longer counts), which is why the default is uncapped;
-    it bounds the per-key straggler cost at N·log N when one bot/test-rig
-    key owns a corpus-scale share of the events."""
+    N-th event no longer counts), which is why the default is uncapped.
+
+    The cap itself is skew-proof (r10; the r8 single-window form was
+    not — its row_number sorted the WHOLE hot partition before
+    filtering, so at 98% skew the cap was the straggler it claimed to
+    guard).  Count-gated two stages, exact first-N either way:
+
+    0. one grouped count finds the users whose volume EXCEEDS the cap
+       (map-side partials — the hot key folds locally, same property
+       as skew_key_histogram).  Everyone else skips ranking entirely:
+       a user with <= N events has all of them in its first N.  On a
+       uniform corpus the over-cap set is empty and the cap costs one
+       cheap aggregate, no sort at all.
+    1. over-cap rows only: shard by a deterministic tiebreak hash and
+       take the first N WITHIN each (user, shard) — parallel, and a
+       row outside its shard's first N cannot be in the user's global
+       first N (its global rank >= its shard rank), so no survivor is
+       lost;
+    2. rank the survivors (<= _CAP_SHARDS * N rows per user, any input
+       distribution) with the exact per-user window.
+
+    The heavy sort is stage 1, split _CAP_SHARDS ways; stage 2's
+    single-task payload is bounded by the cap, not the corpus."""
     window_us = window_hours * 3600 * 1_000_000
     us = F.unix_micros(F.col(ts_col))
 
@@ -58,14 +85,45 @@ def window_funnel(
         # (tools/perturb.py NULL_PLAN keeps the identity key intact), so
         # no current twin exercises the divergence — the pin guards the
         # day one does.
-        w = W.partitionBy(user_col).orderBy(
-            F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
+        order = [
+            F.col(ts_col).asc_nulls_last(),
+            F.col(tiebreak_col).asc_nulls_last(),
+        ]
+        # stage 0: over-cap users (bots/test rigs — each holds > N rows,
+        # so the set is bounded by corpus/N; broadcast hint is advisory
+        # and AQE falls back to a skew-split shuffle join if it grows)
+        over = (
+            events.groupBy(user_col)
+            .agg(F.count(F.lit(1)).alias("_fn_cnt"))
+            .filter(F.col("_fn_cnt") > max_events_per_user)
+            .select(
+                F.col(user_col).alias("_fn_over_user"),
+                F.lit(True).alias("_fn_over"),
+            )
         )
-        events = (
-            events.withColumn("_fn_rn", F.row_number().over(w))
+        # eqNullSafe: the oracle's PARTITION BY groups NULL users into
+        # one capped partition, so a NULL user over the cap must route
+        # through the ranked branch too
+        flagged = events.join(
+            F.broadcast(over),
+            F.col(user_col).eqNullSafe(F.col("_fn_over_user")),
+            "left",
+        )
+        under = flagged.filter(
+            ~F.coalesce(F.col("_fn_over"), F.lit(False))
+        ).drop("_fn_over_user", "_fn_over")
+        shard = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(_CAP_SHARDS))
+        w_shard = W.partitionBy(F.col(user_col), shard).orderBy(*order)
+        w_exact = W.partitionBy(user_col).orderBy(*order)
+        capped = (
+            flagged.filter(F.coalesce(F.col("_fn_over"), F.lit(False)))
+            .withColumn("_fn_srn", F.row_number().over(w_shard))
+            .filter(F.col("_fn_srn") <= max_events_per_user)
+            .withColumn("_fn_rn", F.row_number().over(w_exact))
             .filter(F.col("_fn_rn") <= max_events_per_user)
-            .drop("_fn_rn")
+            .drop("_fn_over_user", "_fn_over", "_fn_srn", "_fn_rn")
         )
+        events = under.unionByName(capped)
 
     # t1: earliest step-1 event per user
     cur = events.filter(steps[0]).groupBy(user_col).agg(F.min(ts_col).alias("t1"))

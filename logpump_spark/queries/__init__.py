@@ -74,14 +74,16 @@ _MODULES = (
 # rotation the r9 verdict ordered: all 36 ids whose most recent
 # driver-green row dates to ROUND 1, plus 13 of the 26 round-3 ids
 # (judge's named starters first).  After this round the staleness floor
-# rises from r1 to r3; the remaining 13 r3 ids (agg_by_day, agg_collect,
+# rises from r1 to r3; the remaining 14 r3 ids (agg_by_day, agg_collect,
 # agg_histogram, agg_min_max_by, filter_valid_rows, route_group_by_key,
 # setop_union_by_name, sink_insert_schema, sort_time,
 # stream_interval_join, stream_sliding, stream_tumbling,
-# xform_project_sink) are the r11 window's scheduled rotation.
+# xform_project_sink, xform_filename_date) are the r11 window's
+# scheduled rotation.
 _WINDOW_PRIORITY = [
-    # r10 code change — the prefix-scan rebuild must re-verify
-    "sample_topp",
+    # r10 code changes — the sample_topp prefix-scan rebuild and the
+    # two-stage skew-proof cap under funnel_steps_capped must re-verify
+    "sample_topp", "funnel_steps_capped",
     # last driver-green r1: aggregate family
     "agg_approx_distinct", "agg_corr", "agg_cube", "agg_distinct",
     "agg_grouping_sets", "agg_metrics", "agg_percentile", "agg_pivot",
@@ -102,7 +104,7 @@ _WINDOW_PRIORITY = [
     "doc_fingerprint", "multimodal_decode", "multimodal_audio",
     "corpus_prepare", "udf_pandas_demo", "udf_grouped_map",
     "fn_generators", "fn_null_columns", "fn_safe_cast", "fn_sql_scrub",
-    "text_lang_id", "text_token_bpe", "xform_filename_date",
+    "text_lang_id", "text_token_bpe",
 ]
 
 

@@ -63,6 +63,29 @@ def test_funnel_cap_prefix_is_by_time_then_tiebreak(spark):
     assert {r["user_id"]: r["level"] for r in got} == {1: 1}
 
 
+def test_funnel_cap_two_stage_matches_single_window_spec(spark):
+    """r10 count-gated two-stage cap vs the naive one-window spec it
+    replaced: a hot user far over the cap (ranked branch, survivors
+    gathered across every tiebreak-hash shard), an under-cap user (the
+    no-window passthrough branch), and a cap landing mid-tie-second so
+    the exact second-stage rank decides the prefix boundary."""
+    # hot user 1: 200 events over rising minutes; view/click planted
+    # inside the first-50 prefix at strictly increasing ts, purchase
+    # planted past the prefix (must count uncapped, not capped)
+    rows = [(1, _ts(i // 10), i, "error") for i in range(200)]
+    rows[30] = (1, _ts(3), 30, "view")
+    rows[41] = (1, _ts(4), 41, "click")
+    rows[150] = (1, _ts(15), 150, "purchase")
+    rows += [(2, _ts(0), 1000, "view"), (2, _ts(1), 1001, "click"),
+             (2, _ts(2), 1002, "purchase")]
+    ev = _mk_events(spark, rows)
+    uncapped = {r["user_id"]: r["level"] for r in window_funnel(ev, _steps()).collect()}
+    capped = {r["user_id"]: r["level"]
+              for r in window_funnel(ev, _steps(), max_events_per_user=50).collect()}
+    assert uncapped == {1: 3, 2: 3}
+    assert capped == {1: 2, 2: 3}  # purchase at event 150 is past the prefix
+
+
 def test_skew_histogram_surfaces_a_planted_hot_key(spark, tmp_path):
     """One user owning 32 of 40 rows must show up as the top hot key
     with floor(32e6/40) ppm, and the histogram buckets must be the

@@ -158,6 +158,7 @@ def _hot_shapes():
 
     from logpump_spark.operators.funnel import (
         sequence_count_adjacent,
+        window_funnel,
         window_funnel_strict,
     )
 
@@ -169,6 +170,18 @@ def _hot_shapes():
 
     def funnel(ev):
         return window_funnel_strict(ev, types)
+
+    # capped/uncapped twins of the SAME operator (window_funnel) so the
+    # r10 straggler-penalty table can state what the opt-in
+    # max_events_per_user cap buys at a given skew, not infer it across
+    # different operators.  N=10_000: far above any organic per-user
+    # volume at sf0.1 (so breadth results are unchanged), far below the
+    # hot user's k-times share (so the cap BINDS on the straggler).
+    def funnel_uncapped(ev):
+        return window_funnel(ev, types)
+
+    def funnel_capped(ev):
+        return window_funnel(ev, types, max_events_per_user=10_000)
 
     def seqcount(ev):
         return sequence_count_adjacent(ev, types[0], types[1])
@@ -232,6 +245,8 @@ def _hot_shapes():
 
     return {
         "funnel_strict": funnel,
+        "funnel_uncapped": funnel_uncapped,
+        "funnel_capped_10k": funnel_capped,
         "sequence_count": seqcount,
         "moving_avg_rows7": moving_avg,
         "running_distinct": running_distinct,
