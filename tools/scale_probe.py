@@ -68,6 +68,14 @@ PROBES = [
     "skew_key_histogram",          # grouped count + bounded hist + TakeOrdered
     "funnel_steps_capped",         # prefix window + chained per-key agg
     "timeseries_lttb_exact",       # daily agg below a per-series pandas pass
+    # r10 probes: the heaviest of the 85 ids bench first timed this
+    # round — each a family the breadth sweep had no representative for
+    "parse_context",               # parse plane, Context tail extraction
+    "sim_neardup",                 # capped within-cell cosine pairs
+    "dedup_simhash",               # 64-bit simhash + banded buckets
+    "dedup_edit_distance",         # bucketed levenshtein pairs
+    "sql_recursive_cte",           # engine-owned UnionLoop fixpoint
+    "join_skew_salted",            # deterministic salt + two-stage fold
 ]
 
 _OFFSETS = {
