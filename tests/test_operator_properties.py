@@ -113,3 +113,81 @@ def test_pagerank_mass_and_positivity(spark, nodes):
     vals = {r.pr for r in pr}
     assert len(vals) == 1
     assert vals.pop() > 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**7), st.integers(0, 4)),
+        min_size=1,
+        max_size=150,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 100),
+)
+def test_top_p_matches_sorted_prefix_reference(spark, rows, p):
+    """r10 prefix-scan tie rank vs the brute-force spec: sort by
+    (score DESC, id ASC), take ceil(n*p/100).  The 0-4 score domain
+    forces heavy cutoff ties; ids up to 10^7 span many _TIE_BUCKET
+    buckets, so whole/boundary/dropped bucket paths all fire."""
+    from logpump_spark.llmdata.curation import top_p_by_score
+
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = sorted(
+        (r.doc_id, r.n_chars)
+        for r in top_p_by_score(df, p_pct=p).collect()
+    )
+    target = -(-len(rows) * p // 100)  # ceil
+    want = sorted(
+        sorted(rows, key=lambda t: (-t[1], t[0]))[:target]
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),      # user
+            st.integers(0, 300),    # minute
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 30),
+)
+def test_funnel_cap_equals_funnel_on_reference_prefix(spark, rows, cap):
+    """The count-gated two-stage cap must equal running the UNCAPPED
+    funnel on each user's reference first-N prefix (computed in plain
+    Python by (ts, event_id) sort) — semantics by construction, any
+    distribution, caps that bind mid-stream or not at all."""
+    from datetime import datetime, timedelta
+
+    from logpump_spark.operators.funnel import window_funnel
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (u, base + timedelta(minutes=m), i, t)
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    got = {
+        r.user_id: r.level
+        for r in window_funnel(df, steps, max_events_per_user=cap).collect()
+    }
+    prefix = []
+    byu = {}
+    for row in data:
+        byu.setdefault(row[0], []).append(row)
+    for u, evs in byu.items():
+        evs.sort(key=lambda r: (r[1], r[2]))
+        prefix += evs[:cap]
+    pdf = spark.createDataFrame(
+        prefix, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    want = {r.user_id: r.level for r in window_funnel(pdf, steps).collect()}
+    assert got == want
