@@ -79,3 +79,19 @@ def test_oracle_discipline():
         f"{sorted(rows_only - ROWS_ONLY_ALLOWED)}"
     )
     assert oracles <= qs, f"orphan oracles: {sorted(oracles - qs)}"
+
+
+def test_bench_covers_the_whole_registry():
+    """r10 invariant: every registry id is benchmarked (the r9 verdict
+    found 85 ids no round had ever timed — a regression there was
+    invisible to the bench gate).  A future id added to the registry
+    without a HEADLINE entry must fail here, not silently skip."""
+    import bench
+
+    qs = set(se.queries())
+    headline = set(bench.HEADLINE)
+    unbenched = qs - headline
+    assert not unbenched, f"registry ids missing from bench: {sorted(unbenched)}"
+    ghosts = headline - qs
+    assert not ghosts, f"bench ids not in the registry: {sorted(ghosts)}"
+    assert len(bench.HEADLINE) == len(headline), "duplicate HEADLINE ids"
