@@ -25,12 +25,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# fan-out of the capped-prefix pre-filter (window_funnel stage 1): the
-# hot key's sort splits this many ways, and stage 2's exact rank sees at
-# most _CAP_SHARDS * N rows per user.  32 matches local[32]; on a real
-# cluster anything ~default-parallelism works — the value only trades
-# stage-1 parallelism against stage-2 payload, never correctness.
+# fan-out FLOOR of the capped-prefix pre-filter (window_funnel stage 1):
+# the hot key's sort splits shard-count ways, and stage 2's exact rank
+# sees at most shards * N rows per user.  The effective count scales
+# with the session's default parallelism (a 1000-executor cluster gets
+# 1000+ shards, local[32] gets 32) — the value only trades stage-1
+# parallelism against stage-2 payload, never correctness: the exact
+# first-N output is salt-invariant for any shard count >= 1.
 _CAP_SHARDS = 32
+
+
+def _cap_shards(events: DataFrame) -> int:
+    try:
+        return max(
+            _CAP_SHARDS, events.sparkSession.sparkContext.defaultParallelism
+        )
+    except Exception:  # Connect sessions expose no sparkContext
+        return _CAP_SHARDS
 
 
 def window_funnel(
@@ -67,10 +78,12 @@ def window_funnel(
        row outside its shard's first N cannot be in the user's global
        first N (its global rank >= its shard rank), so no survivor is
        lost;
-    2. rank the survivors (<= _CAP_SHARDS * N rows per user, any input
-       distribution) with the exact per-user window.
+    2. rank the survivors (<= shards * N rows per user, any input
+       distribution) with the exact per-user window.  The shard count
+       is max(32, defaultParallelism), so a wide cluster fans the hot
+       sort out wider while stage 2 stays cap-bounded.
 
-    The heavy sort is stage 1, split _CAP_SHARDS ways; stage 2's
+    The heavy sort is stage 1, split shard-count ways; stage 2's
     single-task payload is bounded by the cap, not the corpus."""
     window_us = window_hours * 3600 * 1_000_000
     us = F.unix_micros(F.col(ts_col))
@@ -112,7 +125,7 @@ def window_funnel(
         under = flagged.filter(
             ~F.coalesce(F.col("_fn_over"), F.lit(False))
         ).drop("_fn_over_user", "_fn_over")
-        shard = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(_CAP_SHARDS))
+        shard = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(_cap_shards(events)))
         w_shard = W.partitionBy(F.col(user_col), shard).orderBy(*order)
         w_exact = W.partitionBy(user_col).orderBy(*order)
         capped = (
