@@ -268,3 +268,55 @@ def test_http_insert_decodes_back_to_source_rows(spark, mock_server):
     ]
     assert len(decoded) == len(expected)
     assert sorted(decoded, key=repr) == sorted(expected, key=repr)
+
+
+def test_tsv_roundtrip_fuzz_random_hazard_strings(spark):
+    """Hypothesis fuzz of the TabSeparated wire format (r10): random
+    unicode strings — biased toward the escape hazards (tab, newline,
+    CR, backslash runs, literal "\\N", NULs, emoji/CJK) — placed in
+    every string column, encoded by the production codegen projection
+    (techlog_tsv_lines) and decoded by the raw-split-then-unescape
+    parser above.  Any leaked separator breaks the per-line cell-count
+    assert; any escape asymmetry breaks value equality."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from logpump_spark.sources.clickhouse import techlog_tsv_lines
+
+    hazard = st.sampled_from(
+        ["\t", "\n", "\r", "\\", "\\\\", "\\N", "\\n", "N", "\x00", "✓𝄞",
+         "汉字", "tab\there", "trailing\\"]
+    )
+    cell = st.one_of(
+        st.none(),
+        st.text(max_size=12),
+        st.builds(lambda a, b, c: a + b + c, hazard, st.text(max_size=6), hazard),
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(st.tuples(*[cell] * 10), min_size=1, max_size=8))
+    def run(string_rows):
+        rows = [
+            (
+                dt.date(2025, 1, 2),
+                dt.datetime(2025, 1, 2, 3, 4, 5, 678901),
+                s[0], 7, s[1], s[2], 1, 2, 3, s[3], s[4], s[5], s[6], s[7],
+                s[8], s[9],
+            )
+            for s in string_rows
+        ]
+        df = spark.createDataFrame(rows, _techlog_rows(spark).schema)
+        body = "".join(
+            r.line + "\n" for r in techlog_tsv_lines(df).collect()
+        )
+        decoded = _decode_tsv_body(body) if body else []
+        expected = [
+            tuple(row[c] for c in TECHLOG_INSERT_COLUMNS) for row in df.collect()
+        ]
+        assert sorted(decoded, key=repr) == sorted(expected, key=repr)
+
+    run()
