@@ -68,7 +68,9 @@ _MODULES = (
 )
 
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
-# registry entries per round.  Round-10 window: the one id whose code
+# registry entries per round.  `python -m tools.staleness` prints the
+# per-id latest driver-green round so each rotation can target the
+# stalest cohort mechanically.  Round-10 window: the one id whose code
 # changed this round leads (sample_topp — at-cut tie rank rebuilt as a
 # two-stage prefix scan, _KNOWN_FUNNELS retired), then the staleness
 # rotation the r9 verdict ordered: all 36 ids whose most recent
