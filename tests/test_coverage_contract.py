@@ -95,3 +95,24 @@ def test_bench_covers_the_whole_registry():
     ghosts = headline - qs
     assert not ghosts, f"bench ids not in the registry: {sorted(ghosts)}"
     assert len(bench.HEADLINE) == len(headline), "duplicate HEADLINE ids"
+
+
+def test_staleness_latest_green_reads_driver_rows(tmp_path):
+    """tools/staleness.py feeds the window rotation; pin its green rule
+    (rows_match AND no err; later rounds win; reds don't advance)."""
+    import json
+
+    from tools.staleness import latest_green
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "err": None},
+        "b": {"rows_match": True, "err": None},
+        "c": {"rows_match": False, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "a": {"rows_match": True, "err": None},
+        "b": {"rows_match": True, "err": "boom"},
+        "c": {"rows_match": True, "err": None},
+    }))
+    got = latest_green(str(tmp_path))
+    assert got == {"a": 3, "b": 1, "c": 3}
