@@ -199,7 +199,27 @@ def top_p_by_score(
     distribution) is ranked row-by-row.
 
     target = ceil(n * p/100) in exact integer arithmetic, so any SQL
-    engine replays the identical selection."""
+    engine replays the identical selection.
+
+    PRECONDITION: ``id_col`` must be an integral column — the tie-bucket
+    key is ``id DIV _TIE_BUCKET``, which throws on strings under Spark 4
+    ANSI mode and (worse) yields NULL buckets under non-ANSI, silently
+    dropping every at-cut row.  Fails fast here instead.  Non-integral
+    ids need a monotone integral encoding first (the at-cut order is
+    (score DESC, id ASC), so the encoding must preserve id order —
+    xxhash64 does NOT qualify)."""
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"top_p_by_score requires an integral id_col for the tie "
+            f"bucket (id DIV {_TIE_BUCKET}); {id_col!r} is "
+            f"{id_type.simpleString()} — pre-encode it to a monotone "
+            f"integer first"
+        )
     hist = df.groupBy(F.col(score_col).alias("s")).agg(F.count(F.lit(1)).alias("cnt"))
     w_desc = W.orderBy(F.col("s").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
     total = hist.agg(F.sum("cnt").alias("n"))

@@ -103,8 +103,14 @@ def window_funnel(
             F.col(tiebreak_col).asc_nulls_last(),
         ]
         # stage 0: over-cap users (bots/test rigs — each holds > N rows,
-        # so the set is bounded by corpus/N; broadcast hint is advisory
-        # and AQE falls back to a skew-split shuffle join if it grows)
+        # so the set is bounded by corpus/N).  No broadcast HINT here:
+        # an explicit F.broadcast() is honored regardless of size and
+        # AQE never demotes it, so with a very small cap on a wide
+        # many-user corpus (over-set ~ corpus/N users) a forced
+        # broadcast could OOM the driver.  Left unhinted, AQE converts
+        # the join to broadcast when the over-set is actually small
+        # (the common case) and keeps a skew-splittable shuffle join
+        # when it is not.
         over = (
             events.groupBy(user_col)
             .agg(F.count(F.lit(1)).alias("_fn_cnt"))
@@ -118,7 +124,7 @@ def window_funnel(
         # one capped partition, so a NULL user over the cap must route
         # through the ranked branch too
         flagged = events.join(
-            F.broadcast(over),
+            over,
             F.col(user_col).eqNullSafe(F.col("_fn_over_user")),
             "left",
         )

@@ -74,7 +74,7 @@ _MODULES = (
 # changed this round leads (sample_topp — at-cut tie rank rebuilt as a
 # two-stage prefix scan, _KNOWN_FUNNELS retired), then the staleness
 # rotation the r9 verdict ordered: all 36 ids whose most recent
-# driver-green row dates to ROUND 1, plus 13 of the 26 round-3 ids
+# driver-green row dates to ROUND 1, plus 12 of the 26 round-3 ids
 # (judge's named starters first).  After this round the staleness floor
 # rises from r1 to r3; the remaining 14 r3 ids (agg_by_day, agg_collect,
 # agg_histogram, agg_min_max_by, filter_valid_rows, route_group_by_key,

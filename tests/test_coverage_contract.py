@@ -99,7 +99,10 @@ def test_bench_covers_the_whole_registry():
 
 def test_staleness_latest_green_reads_driver_rows(tmp_path):
     """tools/staleness.py feeds the window rotation; pin its green rule
-    (rows_match AND no err; later rounds win; reds don't advance)."""
+    (rows_match AND no err AND no explicit hash/schema mismatch; later
+    rounds win; reds don't advance).  The hash_match=False case is the
+    r10-advice regression: rows can match on COUNT while the values
+    mismatch (r8's timeseries_rate), and such a row must not advance."""
     import json
 
     from tools.staleness import latest_green
@@ -108,11 +111,17 @@ def test_staleness_latest_green_reads_driver_rows(tmp_path):
         "a": {"rows_match": True, "err": None},
         "b": {"rows_match": True, "err": None},
         "c": {"rows_match": False, "err": None},
+        "d": {"rows_match": True, "err": None, "hash_match": True},
+        "e": {"rows_match": True, "err": None},
     }))
     (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
         "a": {"rows_match": True, "err": None},
         "b": {"rows_match": True, "err": "boom"},
         "c": {"rows_match": True, "err": None},
+        # count matched but values did not: must NOT advance d past r1
+        "d": {"rows_match": True, "err": None, "hash_match": False},
+        # schema drifted: must NOT advance e past r1
+        "e": {"rows_match": True, "err": None, "schema_match": False},
     }))
     got = latest_green(str(tmp_path))
-    assert got == {"a": 3, "b": 1, "c": 3}
+    assert got == {"a": 3, "b": 1, "c": 3, "d": 1, "e": 1}

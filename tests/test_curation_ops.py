@@ -211,6 +211,21 @@ def test_top_p_degenerate_one_score_corpus_spanning_buckets(spark):
     assert got == sorted(ids)[:15]
 
 
+def test_top_p_rejects_non_integral_id(spark):
+    """r10-advice pin: the tie bucket is `id DIV _TIE_BUCKET`, which on a
+    string id throws under ANSI and silently NULL-buckets (dropping every
+    at-cut row) under non-ANSI — so the operator must fail fast instead."""
+    import pytest
+
+    from logpump_spark.llmdata.curation import top_p_by_score
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "doc_id string, n_chars long"
+    )
+    with pytest.raises(TypeError, match="integral id_col"):
+        top_p_by_score(df, p_pct=50)
+
+
 def test_dedup_canonical_picks_biggest_then_smallest_id(spark):
     from logpump_spark.queries.curation2_q import dedup_canonical
 

@@ -3,8 +3,13 @@ recent round whose CORRECTNESS_r*.json carries a green row, so each
 round's `_WINDOW_PRIORITY` rotation (queries/__init__.py) can target
 the stalest cohort mechanically instead of re-deriving it by hand.
 
-Green = rows_match and no err (hash_match implies rows_match; ids under
-the rows-only check have no hash field).
+Green = rows_match, no err, AND neither hash_match nor schema_match is
+explicitly False.  rows_match does NOT imply hash_match — a row can
+match on count but mismatch on values (CORRECTNESS_r08.json's
+timeseries_rate / skew_key_histogram did exactly that), and such a row
+must NOT advance the id's latest-green round.  Ids under the weaker
+rows-only check simply have no hash/schema fields; absent fields stay
+green.
 
 Run: python -m tools.staleness [--repo /root/repo] [--top 60]
 Prints a round histogram and the stalest ids, oldest first.
@@ -31,7 +36,12 @@ def latest_green(repo: str) -> dict[str, int]:
         with open(path) as f:
             rows = json.load(f)
         for name, v in rows.items():
-            if v.get("rows_match") and v.get("err") is None:
+            if (
+                v.get("rows_match")
+                and v.get("err") is None
+                and v.get("hash_match") is not False
+                and v.get("schema_match") is not False
+            ):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
