@@ -25,23 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# fan-out FLOOR of the capped-prefix pre-filter (window_funnel stage 1):
-# the hot key's sort splits shard-count ways, and stage 2's exact rank
-# sees at most shards * N rows per user.  The effective count scales
-# with the session's default parallelism (a 1000-executor cluster gets
-# 1000+ shards, local[32] gets 32) — the value only trades stage-1
-# parallelism against stage-2 payload, never correctness: the exact
-# first-N output is salt-invariant for any shard count >= 1.
-_CAP_SHARDS = 32
-
-
-def _cap_shards(events: DataFrame) -> int:
-    try:
-        return max(
-            _CAP_SHARDS, events.sparkSession.sparkContext.defaultParallelism
-        )
-    except Exception:  # Connect sessions expose no sparkContext
-        return _CAP_SHARDS
+from .skewguard import first_n_per_key
 
 
 def window_funnel(
@@ -65,84 +49,17 @@ def window_funnel(
     The cap itself is skew-proof (r10; the r8 single-window form was
     not — its row_number sorted the WHOLE hot partition before
     filtering, so at 98% skew the cap was the straggler it claimed to
-    guard).  Count-gated two stages, exact first-N either way:
-
-    0. one grouped count finds the users whose volume EXCEEDS the cap
-       (map-side partials — the hot key folds locally, same property
-       as skew_key_histogram).  Everyone else skips ranking entirely:
-       a user with <= N events has all of them in its first N.  On a
-       uniform corpus the over-cap set is empty and the cap costs one
-       cheap aggregate, no sort at all.
-    1. over-cap rows only: shard by a deterministic tiebreak hash and
-       take the first N WITHIN each (user, shard) — parallel, and a
-       row outside its shard's first N cannot be in the user's global
-       first N (its global rank >= its shard rank), so no survivor is
-       lost;
-    2. rank the survivors (<= shards * N rows per user, any input
-       distribution) with the exact per-user window.  The shard count
-       is max(32, defaultParallelism), so a wide cluster fans the hot
-       sort out wider while stage 2 stays cap-bounded.
-
-    The heavy sort is stage 1, split shard-count ways; stage 2's
-    single-task payload is bounded by the cap, not the corpus."""
+    guard).  The count-gated two-stage exact first-N lives in
+    ``operators/skewguard.py:first_n_per_key`` (shared r11 with the
+    strict funnel and sequenceCount) — see its docstring for the
+    stage-by-stage shape and the no-broadcast-hint rationale."""
     window_us = window_hours * 3600 * 1_000_000
     us = F.unix_micros(F.col(ts_col))
 
     if max_events_per_user is not None:
-        from pyspark.sql import Window as W
-
-        # asc_nulls_last on both sort keys: defensive parity with the
-        # DuckDB oracle's ROW_NUMBER ... ORDER BY ts, event_id default
-        # (NULLS LAST) vs Spark's bare-ASC NULLS FIRST.  Today's
-        # perturbation twins never NULL events.ts or event_id
-        # (tools/perturb.py NULL_PLAN keeps the identity key intact), so
-        # no current twin exercises the divergence — the pin guards the
-        # day one does.
-        order = [
-            F.col(ts_col).asc_nulls_last(),
-            F.col(tiebreak_col).asc_nulls_last(),
-        ]
-        # stage 0: over-cap users (bots/test rigs — each holds > N rows,
-        # so the set is bounded by corpus/N).  No broadcast HINT here:
-        # an explicit F.broadcast() is honored regardless of size and
-        # AQE never demotes it, so with a very small cap on a wide
-        # many-user corpus (over-set ~ corpus/N users) a forced
-        # broadcast could OOM the driver.  Left unhinted, AQE converts
-        # the join to broadcast when the over-set is actually small
-        # (the common case) and keeps a skew-splittable shuffle join
-        # when it is not.
-        over = (
-            events.groupBy(user_col)
-            .agg(F.count(F.lit(1)).alias("_fn_cnt"))
-            .filter(F.col("_fn_cnt") > max_events_per_user)
-            .select(
-                F.col(user_col).alias("_fn_over_user"),
-                F.lit(True).alias("_fn_over"),
-            )
+        events = first_n_per_key(
+            events, max_events_per_user, user_col, ts_col, tiebreak_col
         )
-        # eqNullSafe: the oracle's PARTITION BY groups NULL users into
-        # one capped partition, so a NULL user over the cap must route
-        # through the ranked branch too
-        flagged = events.join(
-            over,
-            F.col(user_col).eqNullSafe(F.col("_fn_over_user")),
-            "left",
-        )
-        under = flagged.filter(
-            ~F.coalesce(F.col("_fn_over"), F.lit(False))
-        ).drop("_fn_over_user", "_fn_over")
-        shard = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(_cap_shards(events)))
-        w_shard = W.partitionBy(F.col(user_col), shard).orderBy(*order)
-        w_exact = W.partitionBy(user_col).orderBy(*order)
-        capped = (
-            flagged.filter(F.coalesce(F.col("_fn_over"), F.lit(False)))
-            .withColumn("_fn_srn", F.row_number().over(w_shard))
-            .filter(F.col("_fn_srn") <= max_events_per_user)
-            .withColumn("_fn_rn", F.row_number().over(w_exact))
-            .filter(F.col("_fn_rn") <= max_events_per_user)
-            .drop("_fn_over_user", "_fn_over", "_fn_srn", "_fn_rn")
-        )
-        events = under.unionByName(capped)
 
     # t1: earliest step-1 event per user
     cur = events.filter(steps[0]).groupBy(user_col).agg(F.min(ts_col).alias("t1"))
@@ -203,6 +120,7 @@ def window_funnel_strict(
     user_col: str = "user_id",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """ClickHouse ``windowFunnel(... , 'strict_order')`` analog: the
     step chain must be CONSECUTIVE in the user's full event stream — any
@@ -215,8 +133,19 @@ def window_funnel_strict(
     2..k" without ever materializing a per-user history — one shuffle on
     the user key, two window passes over the same sort, per-row state
     bounded by len(steps).  Returns (user_col, ts of the anchor, level).
-    """
+
+    ``max_events_per_user``: OPT-IN hot-key guard (SCALING.md §4.1) —
+    restrict the scan to each user's first N events via the shared
+    count-gated two-stage prefix (``skewguard.first_n_per_key``).
+    Changes semantics (a chain completed after the N-th event no
+    longer counts), hence default-off; exact whenever cap >= per-user
+    volume (pytest-pinned)."""
     from pyspark.sql import Window as W
+
+    if max_events_per_user is not None:
+        events = first_n_per_key(
+            events, max_events_per_user, user_col, ts_col, tiebreak_col
+        )
 
     lbl = None
     for i, s in enumerate(steps, 1):
@@ -253,6 +182,7 @@ def sequence_count_adjacent(
     user_col: str = "user_id",
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """ClickHouse ``sequenceCount`` (strict-order form): per-user count
     of events matching ``first`` IMMEDIATELY followed in the full
@@ -260,8 +190,18 @@ def sequence_count_adjacent(
     counting, where ``window_funnel_strict`` stops at the first anchor.
     One lead() over one user-partitioned sort, then a per-user
     conditional count; per-row state is one label.  Returns
-    (user_col, n_matches) for every user with at least one event."""
+    (user_col, n_matches) for every user with at least one event.
+
+    ``max_events_per_user``: OPT-IN hot-key guard — count only within
+    each user's first N events (``skewguard.first_n_per_key``, the
+    shared count-gated two-stage prefix).  Semantics-changing, hence
+    default-off; exact whenever cap >= per-user volume."""
     from pyspark.sql import Window as W
+
+    if max_events_per_user is not None:
+        events = first_n_per_key(
+            events, max_events_per_user, user_col, ts_col, tiebreak_col
+        )
 
     lbl = F.when(first, 1).when(second, 2).otherwise(0)
     w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)

@@ -1,0 +1,136 @@
+"""Shared hot-key guards for the per-user ordered-window family.
+
+SCALING.md §4.1: operators that sort WITHIN user partitions (funnel,
+sequenceCount, ROWS-frame moving averages, sessionization) are
+single-task per key — one user owning 10^7+ events becomes one
+straggler however many executors exist, and AQE's skew splitting
+cannot apply (a window frame may not be split mid-key).
+
+Two guards live here; both are count-gated so a uniform corpus pays
+one cheap aggregate and nothing else:
+
+- ``first_n_per_key``: exact first-N-events-per-key prefix (the r10
+  two-stage rebuild that replaced the r8 single-window cap after the
+  k-sweep falsified its claimed bound — a lone ``row_number() <= N``
+  sorts the WHOLE hot partition before filtering anything).  Opt-in
+  from the callers because it CHANGES semantics.
+- ``over_threshold_keys``: the stage-0 detector alone, for operators
+  (sessionize) that re-express the hot key exactly instead of capping
+  it.
+
+The reference delegates this whole surface to ClickHouse (SURVEY.md
+§2.F), whose windowFunnel/sequenceCount hold the per-key event list in
+one node's memory — the same single-task-per-key contract, without the
+guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# fan-out FLOOR of the capped-prefix pre-filter (stage 1): the hot
+# key's sort splits shard-count ways, and stage 2's exact rank sees at
+# most shards * N rows per key.  The effective count scales with the
+# session's default parallelism (a 1000-executor cluster gets 1000+
+# shards, local[32] gets 32) — the value only trades stage-1
+# parallelism against stage-2 payload, never correctness: the exact
+# first-N output is salt-invariant for any shard count >= 1.
+_CAP_SHARDS = 32
+
+
+def cap_shards(df: DataFrame) -> int:
+    try:
+        return max(_CAP_SHARDS, df.sparkSession.sparkContext.defaultParallelism)
+    except Exception:  # Connect sessions expose no sparkContext
+        return _CAP_SHARDS
+
+
+def first_n_per_key(
+    df: DataFrame,
+    n: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Exact first ``n`` rows per key by (ts, tiebreak) — skew-proof.
+
+    Count-gated two stages, exact first-N either way:
+
+    0. one grouped count finds the keys whose volume EXCEEDS the cap
+       (map-side partials — a hot key folds locally, the same property
+       as ``skew_key_histogram``).  Everyone else skips ranking
+       entirely: a key with <= N rows has all of them in its first N.
+       On a uniform corpus the over-cap set is empty and the cap costs
+       one cheap aggregate, no sort at all.
+    1. over-cap rows only: shard by a deterministic tiebreak hash and
+       take the first N WITHIN each (key, shard) — parallel, and a row
+       outside its shard's first N cannot be in the key's global first
+       N (its global rank >= its shard rank), so no survivor is lost;
+    2. rank the survivors (<= shards * N rows per key, any input
+       distribution) with the exact per-key window — single-task but
+       bounded by the cap, not the corpus.
+    """
+    # asc_nulls_last on both sort keys: defensive parity with the
+    # DuckDB oracle's ROW_NUMBER ... ORDER BY ts, tiebreak default
+    # (NULLS LAST) vs Spark's bare-ASC NULLS FIRST.  Today's
+    # perturbation twins never NULL events.ts or event_id
+    # (tools/perturb.py NULL_PLAN keeps the identity key intact), so
+    # no current twin exercises the divergence — the pin guards the
+    # day one does.
+    order = [
+        F.col(ts_col).asc_nulls_last(),
+        F.col(tiebreak_col).asc_nulls_last(),
+    ]
+    # stage 0: over-cap keys (bots/test rigs — each holds > N rows, so
+    # the set is bounded by corpus/N).  No broadcast HINT here: an
+    # explicit F.broadcast() is honored regardless of size and AQE
+    # never demotes it, so with a very small cap on a wide many-key
+    # corpus (over-set ~ corpus/N keys) a forced broadcast could OOM
+    # the driver.  Left unhinted, AQE converts the join to broadcast
+    # when the over-set is actually small (the common case) and keeps
+    # a skew-splittable shuffle join when it is not.
+    over = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_fn_cnt"))
+        .filter(F.col("_fn_cnt") > n)
+        .select(
+            F.col(key_col).alias("_fn_over_key"),
+            F.lit(True).alias("_fn_over"),
+        )
+    )
+    # eqNullSafe: an oracle's PARTITION BY groups NULL keys into one
+    # capped partition, so a NULL key over the cap must route through
+    # the ranked branch too
+    flagged = df.join(
+        over, F.col(key_col).eqNullSafe(F.col("_fn_over_key")), "left"
+    )
+    under = flagged.filter(~F.coalesce(F.col("_fn_over"), F.lit(False))).drop(
+        "_fn_over_key", "_fn_over"
+    )
+    shard = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(cap_shards(df)))
+    w_shard = W.partitionBy(F.col(key_col), shard).orderBy(*order)
+    w_exact = W.partitionBy(key_col).orderBy(*order)
+    capped = (
+        flagged.filter(F.coalesce(F.col("_fn_over"), F.lit(False)))
+        .withColumn("_fn_srn", F.row_number().over(w_shard))
+        .filter(F.col("_fn_srn") <= n)
+        .withColumn("_fn_rn", F.row_number().over(w_exact))
+        .filter(F.col("_fn_rn") <= n)
+        .drop("_fn_over_key", "_fn_over", "_fn_srn", "_fn_rn")
+    )
+    return under.unionByName(capped)
+
+
+def over_threshold_keys(
+    df: DataFrame, threshold: int, key_col: str = "user_id"
+) -> DataFrame:
+    """Stage-0 detector alone: (key) rows for every key holding MORE
+    than ``threshold`` input rows.  One grouped count with map-side
+    partials; the result is bounded by corpus/threshold rows."""
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_sg_cnt"))
+        .filter(F.col("_sg_cnt") > threshold)
+        .select(key_col)
+    )

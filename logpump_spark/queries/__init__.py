@@ -70,43 +70,35 @@ _MODULES = (
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  `python -m tools.staleness` prints the
 # per-id latest driver-green round so each rotation can target the
-# stalest cohort mechanically.  Round-10 window: the one id whose code
-# changed this round leads (sample_topp — at-cut tie rank rebuilt as a
-# two-stage prefix scan, _KNOWN_FUNNELS retired), then the staleness
-# rotation the r9 verdict ordered: all 36 ids whose most recent
-# driver-green row dates to ROUND 1, plus 12 of the 26 round-3 ids
-# (judge's named starters first).  After this round the staleness floor
-# rises from r1 to r3; the remaining 14 r3 ids (agg_by_day, agg_collect,
-# agg_histogram, agg_min_max_by, filter_valid_rows, route_group_by_key,
-# setop_union_by_name, sink_insert_schema, sort_time,
-# stream_interval_join, stream_sliding, stream_tumbling,
-# xform_project_sink, xform_filename_date) are the r11 window's
-# scheduled rotation.
+# stalest cohort mechanically.  Round-11 window: the six ids whose code
+# changed this round lead (the segmented-prefix-sum sessionize rebuild
+# and the skewguard extraction that rewired the funnel/seq family),
+# then the staleness rotation the r10 verdict ordered: all 14 ids whose
+# most recent driver-green row dates to ROUND 3, plus 30 of the 35
+# round-5 ids (oldest-first by the staleness tool's listing).  After
+# this round the staleness floor rises from r3 to r5; the remaining
+# 5 r5 ids (timeseries_ohlc, training_prepare, trending_topk,
+# udtf_sentences, win_ntile) are the r12 window's scheduled rotation.
 _WINDOW_PRIORITY = [
-    # r10 code changes — the sample_topp prefix-scan rebuild and the
-    # two-stage skew-proof cap under funnel_steps_capped must re-verify
-    "sample_topp", "funnel_steps_capped",
-    # last driver-green r1: aggregate family
-    "agg_approx_distinct", "agg_corr", "agg_cube", "agg_distinct",
-    "agg_grouping_sets", "agg_metrics", "agg_percentile", "agg_pivot",
-    "agg_rollup", "agg_stats",
-    # last driver-green r1: join family
-    "join_anti", "join_asof", "join_broadcast", "join_cross",
-    "join_full_outer", "join_left", "join_range", "join_semi",
-    # last driver-green r1: window family
-    "win_first_last", "win_lag", "win_percent_rank", "win_range_frame",
-    # last driver-green r1: SQL shapes / setops / sort / scan
-    "sql_cte", "sql_in_subquery", "sql_scalar_subquery",
-    "setop_intersect", "setop_union", "sort_limit_topk",
-    "filter_pushdown",
-    # last driver-green r1: scalar suites
-    "fn_bitwise", "fn_conditional", "fn_date_suite2", "fn_decimal",
-    "fn_explode", "fn_json_roundtrip", "fn_string_suite2",
-    # last driver-green r3: judge-named starters + scalar stragglers
-    "doc_fingerprint", "multimodal_decode", "multimodal_audio",
-    "corpus_prepare", "udf_pandas_demo", "udf_grouped_map",
-    "fn_generators", "fn_null_columns", "fn_safe_cast", "fn_sql_scrub",
-    "text_lang_id", "text_token_bpe",
+    # r11 code changes — segmented sessionize + shared skew guard
+    "sessionize_events", "interval_length_sum", "funnel_steps",
+    "funnel_steps_capped", "funnel_strict_order", "seq_count",
+    # last driver-green r3: the full remaining cohort
+    "agg_by_day", "agg_collect", "agg_histogram", "agg_min_max_by",
+    "filter_valid_rows", "route_group_by_key", "setop_union_by_name",
+    "sink_insert_schema", "sort_time", "stream_interval_join",
+    "stream_sliding", "stream_tumbling", "xform_filename_date",
+    "xform_project_sink",
+    # last driver-green r5: first 30 of 35 (staleness-tool order)
+    "agg_bitmap_distinct", "agg_bool", "agg_entropy", "agg_mode",
+    "agg_quantile_hist", "agg_regr", "agg_skew_kurt", "agg_ttest",
+    "cdc_latest_wins", "chunk_docs", "corpus_merge", "corpus_overlap",
+    "curation_pipeline", "dedup_semantic", "dedup_substring",
+    "embed_label_purity", "embed_quantize_sq8", "fn_hash_suite",
+    "fn_url_suite", "fn_variant", "freq_heavy_hitters", "graph_pagerank",
+    "join_null_safe", "scan_orc", "sim_hardneg", "sql_recursive_cte",
+    "text_boilerplate", "text_oov_rate", "timeseries_ewma",
+    "timeseries_gaps",
 ]
 
 

@@ -1,0 +1,107 @@
+"""The r11 shared skew guard (operators/skewguard.py): the count-gated
+two-stage exact first-N, now wired through the strict funnel and
+sequenceCount alongside the r10 funnel cap.  Pins: (1) first_n_per_key
+is EXACT first-N vs a plain row_number oracle, bound or not; (2) each
+capped operator reproduces its uncapped result whenever cap >= per-user
+volume; (3) each cap BINDS correctly when it doesn't."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from logpump_spark.operators.funnel import (
+    sequence_count_adjacent,
+    window_funnel_strict,
+)
+from logpump_spark.operators.skewguard import first_n_per_key
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+
+def _rand_rows(seed, n_users=12, hot_rows=90):
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    types = ["view", "click", "purchase", "error"]
+    for u in range(1, n_users + 1):
+        for _ in range(rng.randint(1, 9)):
+            rows.append((u, _ts(rng.randint(0, 5000)), eid, rng.choice(types)))
+            eid += 1
+    for _ in range(hot_rows):  # user 0 is hot, with equal-ts ties
+        rows.append((0, _ts(rng.randint(0, 200)), eid, rng.choice(types)))
+        eid += 1
+    rng.shuffle(rows)
+    return rows
+
+
+def _oracle_first_n(df, n):
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= n
+    ).drop("_rn")
+
+
+def _rowset(df):
+    return sorted(map(tuple, df.select("user_id", "event_id").collect()))
+
+
+def test_first_n_per_key_exact_vs_row_number_oracle(spark):
+    df = _mk(spark, _rand_rows(1))
+    for n in (1, 5, 37, 1000):
+        got = first_n_per_key(df, n)
+        want = _oracle_first_n(df, n)
+        assert _rowset(got) == _rowset(want), f"n={n}"
+
+
+def test_strict_funnel_cap_noop_above_volume(spark):
+    df = _mk(spark, _rand_rows(2))
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    uncapped = window_funnel_strict(df, steps).collect()
+    capped = window_funnel_strict(df, steps, max_events_per_user=10_000).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+
+def test_strict_funnel_cap_binds_on_prefix(spark):
+    # user 1: anchor chain sits at events 3..5; a cap of 2 removes it
+    rows = [(1, _ts(0), 0, "error"), (1, _ts(1), 1, "error"),
+            (1, _ts(2), 2, "view"), (1, _ts(3), 3, "click"),
+            (1, _ts(4), 4, "purchase")]
+    df = _mk(spark, rows)
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    full = window_funnel_strict(df, steps).collect()
+    assert full[0].level == 3
+    capped = window_funnel_strict(df, steps, max_events_per_user=2).collect()
+    assert capped == []  # no step-1 anchor inside the first 2 events
+
+
+def test_seq_count_cap_noop_above_volume(spark):
+    df = _mk(spark, _rand_rows(3))
+    a, b = F.col("event_type") == "view", F.col("event_type") == "click"
+    uncapped = sequence_count_adjacent(df, a, b).collect()
+    capped = sequence_count_adjacent(
+        df, a, b, max_events_per_user=10_000
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+
+def test_seq_count_cap_binds(spark):
+    rows = [(1, _ts(0), 0, "view"), (1, _ts(1), 1, "click"),
+            (1, _ts(2), 2, "view"), (1, _ts(3), 3, "click")]
+    df = _mk(spark, rows)
+    a, b = F.col("event_type") == "view", F.col("event_type") == "click"
+    assert sequence_count_adjacent(df, a, b).collect()[0].n_matches == 2
+    got = sequence_count_adjacent(df, a, b, max_events_per_user=2).collect()
+    assert got[0].n_matches == 1  # only the first adjacent pair survives

@@ -179,6 +179,26 @@ def _hot_shapes():
     def funnel(ev):
         return window_funnel_strict(ev, types)
 
+    # r11: capped twins of the strict funnel / sequenceCount / moving
+    # average (the r10 verdict's remaining stragglers) — same N=10_000
+    # rationale as funnel_capped below: invisible on breadth data,
+    # binding on the hot user
+    def funnel_strict_capped(ev):
+        return window_funnel_strict(ev, types, max_events_per_user=10_000)
+
+    def seqcount_capped(ev):
+        return sequence_count_adjacent(
+            ev, types[0], types[1], max_events_per_user=10_000
+        )
+
+    def moving_avg_capped(ev):
+        from logpump_spark.operators.skewguard import first_n_per_key
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+        return first_n_per_key(ev, 10_000).select(
+            "user_id", "event_id", F.avg("value").over(w).alias("m7")
+        )
+
     # capped/uncapped twins of the SAME operator (window_funnel) so the
     # r10 straggler-penalty table can state what the opt-in
     # max_events_per_user cap buys at a given skew, not infer it across
@@ -214,10 +234,19 @@ def _hot_shapes():
 
     def sessionize(ev):
         # the exact operator production runs — measuring a hand-rolled
-        # twin would silently drift if the gap/tie-break ever changed
+        # twin would silently drift if the gap/tie-break ever changed.
+        # r11: defaults now count-gate into the segmented prefix-sum
+        # path when a key exceeds HOT_KEY_THRESHOLD rows
         from logpump_spark.operators.sessionize import sessionize as op
 
         return op(ev)
+
+    def sessionize_plain(ev):
+        # r11 control: the pre-rebuild single-window formulation, so
+        # the sweep states what the segmented path buys directly
+        from logpump_spark.operators.sessionize import sessionize as op
+
+        return op(ev, hot_key_threshold=None)
 
     def union_length(ev):
         # r7: the intervalLengthSum sweep — per-(user, type) sessions
@@ -253,18 +282,22 @@ def _hot_shapes():
 
     return {
         "funnel_strict": funnel,
+        "funnel_strict_capped_10k": funnel_strict_capped,
         "funnel_uncapped": funnel_uncapped,
         "funnel_capped_10k": funnel_capped,
         "sequence_count": seqcount,
+        "sequence_count_capped_10k": seqcount_capped,
         "moving_avg_rows7": moving_avg,
+        "moving_avg_capped_10k": moving_avg_capped,
         "running_distinct": running_distinct,
         "sessionize": sessionize,
+        "sessionize_plain": sessionize_plain,
         "union_length": union_length,
         "key_histogram": key_histogram,
     }
 
 
-def run_hot_probe(spark, sf_dir: str, k: int) -> dict:
+def run_hot_probe(spark, sf_dir: str, k: int, only=None) -> dict:
     breadth_dir = tempfile.mkdtemp(prefix="scale_breadth_")
     hot_dir = tempfile.mkdtemp(prefix="scale_hot_")
     try:
@@ -277,7 +310,10 @@ def run_hot_probe(spark, sf_dir: str, k: int) -> dict:
 
         n_hot = ev_h.filter(F.col("user_id") == 42).count()
         results = {}
-        for name, shape in _hot_shapes().items():
+        shapes = _hot_shapes()
+        if only:
+            shapes = {n: s for n, s in shapes.items() if n in set(only)}
+        for name, shape in shapes.items():
 
             def timed(ev):
                 t0 = time.perf_counter()
@@ -321,7 +357,7 @@ def main() -> None:
     spark = get_spark("scale_probe")
 
     if args.mode == "hot":
-        print(json.dumps(run_hot_probe(spark, args.sf, args.k)))
+        print(json.dumps(run_hot_probe(spark, args.sf, args.k, args.only)))
         return
     queries = se.queries()
     out_dir = tempfile.mkdtemp(prefix="scale_probe_")
