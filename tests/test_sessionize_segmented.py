@@ -113,9 +113,10 @@ def test_count_gate_compiles_plain_plan_when_no_hot_key(spark):
     df = _mk(spark, _rand_events(4, n_users=20, hot_rows=0))
     out = sessionize(df)  # default threshold 1M; nothing is hot
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # the segmented branch's signature operators must be absent
-    assert "percentile_approx" not in plan
-    assert "Union" not in plan
+    # the segmented path's signature operators must be absent: the
+    # sampled range repartition and its partition-id block column
+    assert "SPARK_PARTITION_ID" not in plan.upper()
+    assert "RepartitionByExpression" not in plan
     assert _collect(out) == _collect(sessionize(df, hot_key_threshold=None))
 
 
