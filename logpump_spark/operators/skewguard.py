@@ -61,8 +61,12 @@ def first_n_per_key(
        (map-side partials — a hot key folds locally, the same property
        as ``skew_key_histogram``).  Everyone else skips ranking
        entirely: a key with <= N rows has all of them in its first N.
-       On a uniform corpus the over-cap set is empty and the cap costs
-       one cheap aggregate, no sort at all.
+       On a uniform corpus the over-cap set is EMPTY and the gate
+       short-circuits at plan-build time (``isEmpty`` — the same
+       cardinality-bounded routing pattern as the sessionize gate,
+       r11): the returned frame IS the input, so the cap's only cost
+       is the detector aggregate — no flag join, no union, no plan
+       change for every plan downstream.
     1. over-cap rows only: shard by a deterministic tiebreak hash and
        take the first N WITHIN each (key, shard) — parallel, and a row
        outside its shard's first N cannot be in the key's global first
@@ -99,6 +103,10 @@ def first_n_per_key(
             F.lit(True).alias("_fn_over"),
         )
     )
+    if over.isEmpty():
+        # no key over the cap -> first-N is the identity; compile the
+        # caller's plan as if the cap were never requested
+        return df
     # eqNullSafe: an oracle's PARTITION BY groups NULL keys into one
     # capped partition, so a NULL key over the cap must route through
     # the ranked branch too
