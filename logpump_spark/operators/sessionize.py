@@ -40,8 +40,17 @@ Why per-key work was the last scale-killer: a window frame may not be
 split mid-key, so AQE skew handling never applies — one user owning
 10^7+ events is one straggler task however many executors exist
 (measured 6.25x at 98% single-key skew, SCALING.md §4.1).  The
-segmented path splits that one sort ``max(32, defaultParallelism)``
-ways; the carry table is bounded by hot_keys x n_blocks rows.
+segmented path splits that one sort ``4 * max(32, defaultParallelism)``
+ways (the 4x oversubscription smooths balls-into-bins collisions when
+(key, block) hash-shuffles into the final window); the carry table is
+bounded by keys-spanning-blocks + n_blocks rows.
+
+CONTRACT: the plain-vs-segmented routing is frozen when the DataFrame
+is BUILT (one detector job at construction — even a plan that is only
+EXPLAINed pays it).  A long-lived plan executed after the underlying
+table grows a new hot key keeps the plain plan (exact, but
+single-task on that key again); build plans per run, as the driver
+contract does.
 """
 
 from __future__ import annotations

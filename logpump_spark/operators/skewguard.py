@@ -38,6 +38,13 @@ from pyspark.sql import functions as F
 # first-N output is salt-invariant for any shard count >= 1.
 _CAP_SHARDS = 32
 
+# over-cap key sets up to this size route through driver-held literal
+# isin predicates (pushable, join-free); larger sets — only reachable
+# when cap << corpus/keys, i.e. a deliberately tiny cap on a wide
+# corpus — fall back to the lazy flag join.  1024 longs/strings is
+# trivially driver-safe and far above any organic bot population.
+_LITERAL_KEY_LIMIT = 1024
+
 
 def cap_shards(df: DataFrame) -> int:
     try:
@@ -58,15 +65,27 @@ def first_n_per_key(
     Count-gated two stages, exact first-N either way:
 
     0. one grouped count finds the keys whose volume EXCEEDS the cap
-       (map-side partials — a hot key folds locally, the same property
-       as ``skew_key_histogram``).  Everyone else skips ranking
-       entirely: a key with <= N rows has all of them in its first N.
-       On a uniform corpus the over-cap set is EMPTY and the gate
-       short-circuits at plan-build time (``isEmpty`` — the same
-       cardinality-bounded routing pattern as the sessionize gate,
-       r11): the returned frame IS the input, so the cap's only cost
-       is the detector aggregate — no flag join, no union, no plan
-       change for every plan downstream.
+       (``over_threshold_keys`` — map-side partials, so a hot key
+       folds locally, the same property as ``skew_key_histogram``).
+       Everyone else skips ranking entirely: a key with <= N rows has
+       all of them in its first N.  The detector's result routes the
+       plan at BUILD time (the same cardinality-bounded routing
+       pattern as the sessionize gate, r11):
+       - empty over-set (uniform corpus): the returned frame IS the
+         input — the cap's only cost is the one detector aggregate;
+       - over-set <= 1024 keys (every realistic bot/test-rig corpus):
+         the keys become LITERAL isin predicates — no flag join, no
+         second detector pass in the executed plan, and the hot/cold
+         split pushes down to the scans;
+       - larger over-set (adversarial cap-to-corpus ratio): fall back
+         to the lazy flag join, whose build side stays a bounded
+         aggregate at any corpus size.
+       CONTRACT: routing is frozen when the DataFrame is BUILT.  A
+       long-lived plan executed after the underlying table grows a
+       new over-cap key will not re-gate (build plans per run — the
+       driver contract constructs every query per invocation); and
+       constructing a capped plan costs one small Spark job even if
+       the plan is only ever EXPLAINed.
     1. over-cap rows only: shard by a deterministic tiebreak hash and
        take the first N WITHIN each (key, shard) — parallel, and a row
        outside its shard's first N cannot be in the key's global first
@@ -87,45 +106,64 @@ def first_n_per_key(
         F.col(tiebreak_col).asc_nulls_last(),
     ]
     # stage 0: over-cap keys (bots/test rigs — each holds > N rows, so
-    # the set is bounded by corpus/N).  No broadcast HINT here: an
-    # explicit F.broadcast() is honored regardless of size and AQE
-    # never demotes it, so with a very small cap on a wide many-key
-    # corpus (over-set ~ corpus/N keys) a forced broadcast could OOM
-    # the driver.  Left unhinted, AQE converts the join to broadcast
-    # when the over-set is actually small (the common case) and keeps
-    # a skew-splittable shuffle join when it is not.
-    over = (
-        df.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("_fn_cnt"))
-        .filter(F.col("_fn_cnt") > n)
-        .select(
-            F.col(key_col).alias("_fn_over_key"),
-            F.lit(True).alias("_fn_over"),
-        )
+    # the set is bounded by corpus/N)
+    sample = (
+        over_threshold_keys(df, n, key_col)
+        .limit(_LITERAL_KEY_LIMIT + 1)
+        .collect()
     )
-    if over.isEmpty():
+    if not sample:
         # no key over the cap -> first-N is the identity; compile the
         # caller's plan as if the cap were never requested
         return df
-    # eqNullSafe: an oracle's PARTITION BY groups NULL keys into one
-    # capped partition, so a NULL key over the cap must route through
-    # the ranked branch too
+
+    shard = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(cap_shards(df)))
+    w_shard = W.partitionBy(F.col(key_col), shard).orderBy(*order)
+    w_exact = W.partitionBy(key_col).orderBy(*order)
+
+    def _rank(hot_rows: DataFrame) -> DataFrame:
+        return (
+            hot_rows.withColumn("_fn_srn", F.row_number().over(w_shard))
+            .filter(F.col("_fn_srn") <= n)
+            .withColumn("_fn_rn", F.row_number().over(w_exact))
+            .filter(F.col("_fn_rn") <= n)
+            .drop("_fn_srn", "_fn_rn")
+        )
+
+    if len(sample) <= _LITERAL_KEY_LIMIT:
+        # literal route: the collected keys split the corpus with a
+        # pushable predicate — no join, and the executed plan never
+        # re-runs the detector.  NULL over-cap keys (an oracle's
+        # PARTITION BY groups NULLs into one capped partition) get an
+        # explicit isNull arm because isin never matches NULL.
+        keys = [r[0] for r in sample]
+        non_null = [k for k in keys if k is not None]
+        cond = F.col(key_col).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) < len(keys):
+            cond = cond | F.col(key_col).isNull()
+        is_hot = F.coalesce(cond, F.lit(False))
+        return df.filter(~is_hot).unionByName(_rank(df.filter(is_hot)))
+
+    # adversarial over-set (> _LITERAL_KEY_LIMIT keys): lazy flag join.
+    # No broadcast HINT here: an explicit F.broadcast() is honored
+    # regardless of size and AQE never demotes it, so a forced
+    # broadcast of a corpus/N-sized build side could OOM the driver;
+    # unhinted, AQE still broadcasts when it is actually small and
+    # keeps a skew-splittable shuffle join when it is not.  eqNullSafe
+    # routes a NULL over-cap key through the ranked branch too.
+    over = over_threshold_keys(df, n, key_col).select(
+        F.col(key_col).alias("_fn_over_key"), F.lit(True).alias("_fn_over")
+    )
     flagged = df.join(
         over, F.col(key_col).eqNullSafe(F.col("_fn_over_key")), "left"
     )
     under = flagged.filter(~F.coalesce(F.col("_fn_over"), F.lit(False))).drop(
         "_fn_over_key", "_fn_over"
     )
-    shard = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(cap_shards(df)))
-    w_shard = W.partitionBy(F.col(key_col), shard).orderBy(*order)
-    w_exact = W.partitionBy(key_col).orderBy(*order)
-    capped = (
-        flagged.filter(F.coalesce(F.col("_fn_over"), F.lit(False)))
-        .withColumn("_fn_srn", F.row_number().over(w_shard))
-        .filter(F.col("_fn_srn") <= n)
-        .withColumn("_fn_rn", F.row_number().over(w_exact))
-        .filter(F.col("_fn_rn") <= n)
-        .drop("_fn_over_key", "_fn_over", "_fn_srn", "_fn_rn")
+    capped = _rank(
+        flagged.filter(F.coalesce(F.col("_fn_over"), F.lit(False))).drop(
+            "_fn_over_key", "_fn_over"
+        )
     )
     return under.unionByName(capped)
 

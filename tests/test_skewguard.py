@@ -55,7 +55,8 @@ def _oracle_first_n(df, n):
 
 
 def _rowset(df):
-    return sorted(map(tuple, df.select("user_id", "event_id").collect()))
+    rows = [tuple(r) for r in df.select("user_id", "event_id").collect()]
+    return sorted(rows, key=lambda t: ((t[0] is None, t[0] or 0), t[1]))
 
 
 def test_first_n_per_key_exact_vs_row_number_oracle(spark):
@@ -105,3 +106,37 @@ def test_seq_count_cap_binds(spark):
     assert sequence_count_adjacent(df, a, b).collect()[0].n_matches == 2
     got = sequence_count_adjacent(df, a, b, max_events_per_user=2).collect()
     assert got[0].n_matches == 1  # only the first adjacent pair survives
+
+
+def test_first_n_null_key_routes_through_literal_arm(spark):
+    # a NULL key over the cap must be capped too (isin never matches
+    # NULL, so the literal route adds an explicit isNull arm)
+    rows = [(None, _ts(i), i, "view") for i in range(30)]
+    rows += [(5, _ts(i), 100 + i, "view") for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = first_n_per_key(df, 10)
+    want = _oracle_first_n(df, 10)
+    assert _rowset(got) == _rowset(want)
+    n_null = got.filter(F.col("user_id").isNull()).count()
+    assert n_null == 10  # the cap bound the NULL key
+
+
+def test_first_n_join_fallback_above_literal_limit(spark, monkeypatch):
+    # force the adversarial route: pretend even 1 literal is too many,
+    # so the lazy flag join carries the split — result must stay exact
+    from logpump_spark.operators import skewguard
+
+    monkeypatch.setattr(skewguard, "_LITERAL_KEY_LIMIT", 0)
+    df = _mk(spark, _rand_rows(9))
+    got = first_n_per_key(df, 7)
+    want = _oracle_first_n(df, 7)
+    assert _rowset(got) == _rowset(want)
+
+
+def test_first_n_identity_when_cap_never_binds(spark):
+    df = _mk(spark, _rand_rows(11, hot_rows=20))
+    out = first_n_per_key(df, 10_000)
+    # the gate returns the input frame itself — plan untouched
+    assert out is df

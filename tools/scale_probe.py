@@ -312,6 +312,12 @@ def run_hot_probe(spark, sf_dir: str, k: int, only=None) -> dict:
         results = {}
         shapes = _hot_shapes()
         if only:
+            unknown = set(only) - shapes.keys()
+            if unknown:
+                raise SystemExit(
+                    f"unknown hot shapes {sorted(unknown)}; "
+                    f"valid: {sorted(shapes)}"
+                )
             shapes = {n: s for n, s in shapes.items() if n in set(only)}
         for name, shape in shapes.items():
 
@@ -360,6 +366,13 @@ def main() -> None:
         print(json.dumps(run_hot_probe(spark, args.sf, args.k, args.only)))
         return
     queries = se.queries()
+    if args.only:
+        unknown = set(args.only) - queries.keys()
+        if unknown:
+            raise SystemExit(
+                f"unknown registry ids {sorted(unknown)} (breadth mode "
+                f"probes any queries() id; see PROBES for the default set)"
+            )
     out_dir = tempfile.mkdtemp(prefix="scale_probe_")
     try:
         build_scaled(spark, args.sf, out_dir, args.k)
