@@ -137,3 +137,27 @@ def test_plain_helper_matches_public_default(spark):
     a = _collect(_sessionize_plain(df, "user_id", "ts", "event_id", 30 * 60 * 10**6))
     b = _collect(sessionize(df, hot_key_threshold=None))
     assert a == b
+
+
+def test_segmented_string_keys_like_intervals_family(spark):
+    # interval_length_sum composes sessionize over a concat'd STRING
+    # key ("user|event_type"); the segmented path must range-split and
+    # carry string keys identically to the plain window
+    rng = random.Random(13)
+    rows, eid = [], 0
+    for u in ("7|click", "7|view", "bot|click"):
+        t = T0
+        n = 300 if u == "bot|click" else 25
+        for _ in range(n):
+            t = t + dt.timedelta(seconds=rng.choice([0, 30, 1800, 1801]))
+            rows.append((eid, t, u, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, uk string, value double"
+    )
+    got = sessionize(df, user_col="uk", hot_key_threshold=100)
+    want = sessionize(df, user_col="uk", hot_key_threshold=None)
+    key = lambda r: (r.uk, r.event_id)  # noqa: E731
+    g = sorted(got.select("uk", "event_id", "session_no").collect(), key=key)
+    w = sorted(want.select("uk", "event_id", "session_no").collect(), key=key)
+    assert [tuple(r) for r in g] == [tuple(r) for r in w]
