@@ -70,19 +70,23 @@ _MODULES = (
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  `python -m tools.staleness` prints the
 # per-id latest driver-green round so each rotation can target the
-# stalest cohort mechanically.  Round-11 window: the six ids whose code
-# changed this round lead (the segmented-prefix-sum sessionize rebuild
-# and the skewguard extraction that rewired the funnel/seq family),
+# stalest cohort mechanically.  Round-11 window: the seven ids whose
+# code changed this round lead (the segmented-prefix-sum sessionize
+# rebuild, the skewguard extraction that rewired the funnel/seq
+# family, and win_moving_avg's segmented ROWS-frame re-expression),
 # then the staleness rotation the r10 verdict ordered: all 14 ids whose
-# most recent driver-green row dates to ROUND 3, plus 30 of the 35
+# most recent driver-green row dates to ROUND 3, plus 29 of the 35
 # round-5 ids (oldest-first by the staleness tool's listing).  After
 # this round the staleness floor rises from r3 to r5; the remaining
-# 5 r5 ids (timeseries_ohlc, training_prepare, trending_topk,
-# udtf_sentences, win_ntile) are the r12 window's scheduled rotation.
+# 6 r5 ids (timeseries_gaps, timeseries_ohlc, training_prepare,
+# trending_topk, udtf_sentences, win_ntile) are the r12 window's
+# scheduled rotation.
 _WINDOW_PRIORITY = [
-    # r11 code changes — segmented sessionize + shared skew guard
+    # r11 code changes — segmented sessionize + shared skew guard +
+    # segmented ROWS-frame moving average
     "sessionize_events", "interval_length_sum", "funnel_steps",
     "funnel_steps_capped", "funnel_strict_order", "seq_count",
+    "win_moving_avg",
     # last driver-green r3: the full remaining cohort
     "agg_by_day", "agg_collect", "agg_histogram", "agg_min_max_by",
     "filter_valid_rows", "route_group_by_key", "setop_union_by_name",
@@ -98,7 +102,6 @@ _WINDOW_PRIORITY = [
     "fn_url_suite", "fn_variant", "freq_heavy_hitters", "graph_pagerank",
     "join_null_safe", "scan_orc", "sim_hardneg", "sql_recursive_cte",
     "text_boilerplate", "text_oov_rate", "timeseries_ewma",
-    "timeseries_gaps",
 ]
 
 

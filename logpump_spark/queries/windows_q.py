@@ -354,30 +354,26 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_range_frame's time-based lookback.  ROWS frames depend on the
     physical order, so the ORDER BY carries the unique event_id
     tiebreak; the mean is one division of a quantized integer sum by
-    the frame row count, engine-exact."""
+    the frame row count, engine-exact.
+
+    r11: expressed through ``operators/segwin.py:moving_rows_frame`` —
+    on hot-key-free corpora (this fixture) the count gate compiles the
+    identical plain window plan; a key over 10⁶ rows takes the exact
+    segmented-carry path instead of a single-task sort
+    (SCALING.md §4.1)."""
+    from ..operators.segwin import moving_rows_frame
+
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     qv = F.floor(F.col("value") * 10000).cast("long")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-6, 0)
-    )
-    return (
-        ev.select(
-            "user_id",
-            "event_id",
-            "ts",
-            qv.alias("qv"),
-        )
-        .select(
-            "user_id",
-            "event_id",
-            (
-                F.sum("qv").over(w).cast("double")
-                / (F.count(F.lit(1)).over(w) * 10000)
-            ).alias("mov_avg7"),
-            F.count(F.lit(1)).over(w).alias("frame_n"),
-        )
+    base = ev.select("user_id", "event_id", "ts", qv.alias("qv"))
+    out = moving_rows_frame(base, "qv", frame_rows=7)
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.col("frame_sum").cast("double") / (F.col("frame_n") * 10000)).alias(
+            "mov_avg7"
+        ),
+        "frame_n",
     )
 
 

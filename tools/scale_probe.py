@@ -199,6 +199,23 @@ def _hot_shapes():
             "user_id", "event_id", F.avg("value").over(w).alias("m7")
         )
 
+    def moving_avg_segmented(ev):
+        # r11: the production segmented ROWS-frame operator (the exact
+        # quantized form win_moving_avg ships) — transparent hot-key
+        # parallelization, vs the cap's semantic truncation above
+        from logpump_spark.operators.segwin import moving_rows_frame
+
+        base = ev.select(
+            "user_id", "event_id", "ts",
+            F.floor(F.col("value") * 10000).cast("long").alias("qv"),
+        )
+        out = moving_rows_frame(base, "qv", frame_rows=7)
+        return out.select(
+            "user_id", "event_id",
+            (F.col("frame_sum").cast("double") / (F.col("frame_n") * 10000)
+             ).alias("m7"),
+        )
+
     # capped/uncapped twins of the SAME operator (window_funnel) so the
     # r10 straggler-penalty table can state what the opt-in
     # max_events_per_user cap buys at a given skew, not infer it across
@@ -289,6 +306,7 @@ def _hot_shapes():
         "sequence_count_capped_10k": seqcount_capped,
         "moving_avg_rows7": moving_avg,
         "moving_avg_capped_10k": moving_avg_capped,
+        "moving_avg_segmented": moving_avg_segmented,
         "running_distinct": running_distinct,
         "sessionize": sessionize,
         "sessionize_plain": sessionize_plain,
