@@ -116,9 +116,11 @@ def _moving_segmented(
         .filter(F.col("_mw_rev") <= k1)
         .groupBy(key_col, "_mw_blk")
         .agg(
-            # sort_array on (ts NULLS-FIRST asc, id asc) structs
-            # reproduces the window order; ts is kept as the struct's
-            # leading field for exactly that
+            # array_sort over (ts, id, v) structs compares field-wise
+            # (ts first — it leads the struct for exactly that), and a
+            # NULL ts FIELD sorts first, matching the window's asc
+            # NULLS FIRST; note array_sort's non-sort_array treatment
+            # of NULL ELEMENTS never applies (structs are non-null)
             F.array_sort(
                 F.collect_list(
                     F.struct(

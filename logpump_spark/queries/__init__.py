@@ -93,7 +93,8 @@ _WINDOW_PRIORITY = [
     "sink_insert_schema", "sort_time", "stream_interval_join",
     "stream_sliding", "stream_tumbling", "xform_filename_date",
     "xform_project_sink",
-    # last driver-green r5: first 30 of 35 (staleness-tool order)
+    # last driver-green r5: 29 of 35 (staleness-tool order;
+    # timeseries_gaps yielded its slot to win_moving_avg)
     "agg_bitmap_distinct", "agg_bool", "agg_entropy", "agg_mode",
     "agg_quantile_hist", "agg_regr", "agg_skew_kurt", "agg_ttest",
     "cdc_latest_wins", "chunk_docs", "corpus_merge", "corpus_overlap",
