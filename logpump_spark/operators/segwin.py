@@ -93,6 +93,15 @@ def _moving_segmented(
     n_blocks = 4 * cap_shards(df)
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
 
+    # EXCHANGE-REUSE DEPENDENCY: both the windowed branch and the tails
+    # branch below consume this one ranged frame, and correctness needs
+    # them to observe the SAME block assignment.  RangePartitioner bounds
+    # are sampled, so if an optimizer change ever defeated exchange/stage
+    # reuse the two branches could sample different bounds and silently
+    # disagree on _mw_blk.  tests/test_segwin.py pins exactly ONE range
+    # exchange (a ReusedExchange for the second consumer) in the physical
+    # plan; if that pin ever breaks, persist/localCheckpoint the ranged
+    # frame here instead of relying on reuse.
     ranged = df.repartitionByRange(
         n_blocks, F.col(key_col).asc(), *order
     ).withColumn("_mw_blk", F.spark_partition_id())

@@ -17,11 +17,13 @@ Two physical strategies, one semantics (r11 rebuild — SCALING.md §4.1):
   (first_us, last_us, n_boundaries) row per block carried across —
   the same two-stage scan shape as the r10 funnel cap, but EXACT: the
   output is bit-identical to plain for any block assignment that is
-  monotone in the sort order.  Block boundaries come from per-key
-  ``percentile_approx`` over the epoch-micros order key, i.e. sampled
-  range partitioning — equal ROW COUNTS per block, so a burst bot
-  cannot re-concentrate the densest block the way fixed time-width
-  blocks would (the r10-recorded obstacle).
+  monotone in the sort order.  Block ids come from Spark's NATIVE
+  sampled range repartition on the full (key, ts, id) sort key —
+  blocks are row-balanced by the RangePartitioner's own quantile
+  sampling, and because the range key includes the unique event id,
+  even a burst bot whose events share one timestamp spreads across
+  blocks by COUNT (an all-equal-(key, ts) prefix cannot collapse
+  into one block the way value-quantile boundaries would).
 
 The strategies are count-gated at plan-build time (one grouped count
 with map-side partials + ``isEmpty`` — the same cardinality-bounded
@@ -149,6 +151,19 @@ def _sessionize_segmented(
     next block's first row also re-starts — each case shared with the
     plain expression, and the property test plants them."""
     n_blocks = 4 * cap_shards(df)
+    # BLOCK-ASSIGNMENT DETERMINISM CONTRACT: the carry join below joins
+    # two subtrees that BOTH contain this sampled range exchange, and
+    # column pruning makes them canonically different, so Spark does NOT
+    # plan a ReusedExchange here — each branch runs its own exchange.
+    # Correctness therefore rests on the range sampler being
+    # deterministic given identical child data and partition layout
+    # (empirically true in this Spark version: two independent range
+    # exchanges over the same child assign identical partition ids at
+    # 2M rows / skewed composite keys).  Pinned in the SAMPLED-bounds
+    # regime (corpus larger than the sampler's exhaustive window) by
+    # tests/test_sessionize_segmented.py::
+    # test_segmented_equals_plain_in_sampled_bounds_regime; if that pin
+    # ever breaks, persist/localCheckpoint `withb` instead.
     withb = (
         df.repartitionByRange(
             n_blocks,

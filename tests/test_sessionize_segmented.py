@@ -5,8 +5,9 @@ the exact failure modes the design doc names (SCALING.md §4.1 /
 operators/sessionize.py): hot keys that force the segmented branch,
 equal-ts ties at block boundaries, gap-exactly-equal edges, NULL
 timestamps (which sort first and re-start sessions), an all-same-ts
-burst bot (degenerate quantiles -> one block), and the count gate
-itself (no hot key -> the compiled plan IS the plain plan)."""
+burst bot (the range key includes event_id, so equal-ts rows still
+spread across blocks by count), and the count gate itself (no hot
+key -> the compiled plan IS the plain plan)."""
 
 from __future__ import annotations
 
@@ -81,9 +82,9 @@ def test_segmented_handles_null_ts_like_plain(spark):
 
 
 def test_all_same_ts_burst_bot_degenerates_to_one_session(spark):
-    # degenerate quantiles: every boundary equals the single ts value,
-    # all rows land in block 0 — correct (one session), single-task by
-    # necessity (documented degenerate case)
+    # all-equal-ts burst: the range key's event_id component spreads
+    # the rows across blocks by count; the carry must still merge them
+    # into ONE session (every block gap is zero)
     rows = [(i, T0, 0, 1.0) for i in range(200)]
     rows += [(1000 + i, T0 + dt.timedelta(hours=i), 1, 1.0) for i in range(5)]
     df = _mk(spark, rows)
@@ -161,3 +162,44 @@ def test_segmented_string_keys_like_intervals_family(spark):
     g = sorted(got.select("uk", "event_id", "session_no").collect(), key=key)
     w = sorted(want.select("uk", "event_id", "session_no").collect(), key=key)
     assert [tuple(r) for r in g] == [tuple(r) for r in w]
+
+
+def test_segmented_equals_plain_in_sampled_bounds_regime(spark):
+    # BLOCK-ASSIGNMENT DETERMINISM (sessionize.py): column pruning makes
+    # the carry join's two range-exchange subtrees canonically different,
+    # so there is NO ReusedExchange — each branch samples its own bounds.
+    # Below ~38k rows the sampler is exhaustive (bounds trivially agree);
+    # this test plants a corpus LARGE enough that bounds are genuinely
+    # sampled (3 * 100 samples/out-partition * 128 blocks spread over the
+    # input partitions), so it fails loudly if Spark's range sampling
+    # ever becomes nondeterministic across plan instantiations — the
+    # documented fix then is persisting the ranged frame.
+    from pyspark.sql import functions as F2
+
+    hot = spark.range(60_000).select(
+        F2.col("id").alias("event_id"),
+        F2.timestamp_micros(
+            F2.lit(1704067200000000)
+            + F2.col("id") * F2.lit(7_000_000)
+            + (F2.col("id") % 7) * F2.lit(1_800_000_000)
+        ).alias("ts"),
+        F2.lit(0).cast("long").alias("user_id"),
+        F2.lit(1.0).alias("value"),
+    )
+    cold = spark.range(2_000).select(
+        (F2.col("id") + 10_000_000).alias("event_id"),
+        F2.timestamp_micros(
+            F2.lit(1704067200000000) + (F2.col("id") % 977) * F2.lit(3_601_000_000)
+        ).alias("ts"),
+        (F2.col("id") % 200 + 1).alias("user_id"),
+        F2.lit(1.0).alias("value"),
+    )
+    df = hot.unionByName(cold)
+    got = sessionize(df, hot_key_threshold=10_000).select(
+        "user_id", "event_id", "session_no"
+    )
+    want = sessionize(df, hot_key_threshold=None).select(
+        "user_id", "event_id", "session_no"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -371,7 +371,9 @@ def main() -> None:
     ap.add_argument("--mode", choices=["breadth", "hot"], default="breadth")
     ap.add_argument(
         "--only", nargs="*", default=None,
-        help="probe only these PROBES entries (default: all)",
+        help="restrict the probe set: breadth mode accepts any queries() "
+        "registry id (default: the PROBES list); hot mode accepts "
+        "_hot_shapes() keys (default: all shapes)",
     )
     args = ap.parse_args()
 
