@@ -425,6 +425,48 @@ def srp_lsh_neardup_pairs(
     )
 
 
+#: sub-cell split engages when the largest coarse cell exceeds this many
+#: rows; sized so the driver fixtures (max label cell 59 at sf0.01, 218
+#: at sf0.1) stay UNSPLIT (b=0 -> plan and results byte-identical to the
+#: pre-split operator) while a densified corpus derives enough bits to
+#: hold expected sub-cell population ~constant
+NEARDUP_SUBCELL_TARGET = 256
+#: sign bits available for splitting (uses the leading dims; 2^16
+#: sub-cells per coarse cell is far past any realistic densification)
+_NEARDUP_SUBCELL_BITS_MAX = 16
+
+
+def subcell_bits(max_cell_rows: int, target: int = NEARDUP_SUBCELL_TARGET) -> int:
+    """Derived sub-cell vocabulary size: the number of SRP sign bits
+    needed so the largest coarse cell splits to ~``target`` rows,
+    assuming balanced signs — b = |{i in [0,16) : mx > target * 2^i}|,
+    i.e. max(0, ceil(log2(mx/target))) in exact INTEGER arithmetic (no
+    cross-engine float log2).  The DuckDB oracles replay the identical
+    expression over range(16)."""
+    return sum(
+        1
+        for i in range(_NEARDUP_SUBCELL_BITS_MAX)
+        if max_cell_rows > (target << i)
+    )
+
+
+def sign_bits_col(vec_col: str, n_bits: int) -> Column:
+    """First ``n_bits`` sign bits of the vector as a '01' string —
+    SRP-LSH with axis-aligned hyperplanes, exactly portable to any
+    engine (sign of a stored float has no rounding modes).  A NULL
+    vector (or NULL element) yields '0' bits in BOTH engines: Spark's
+    otherwise() and SQL's CASE both take the else-branch on a NULL
+    condition."""
+    return F.concat(
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(n_bits)
+        ]
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -432,6 +474,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     cell_col: str = "label",
     max_cell_size: int = 10_000,
+    subcell_target: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, candidate-bounded to the
     same coarse cell (the embedding analog of LSH-bucketed text dedup).
@@ -440,21 +483,55 @@ def embedding_neardup_pairs(
     by id order) so one pathological mega-cell cannot go quadratic at
     scale — the same guard the MinHash bucket path has.  Capped cells
     trade recall for a hard cost bound; sized so normal cells never hit
-    it."""
-    w_cell = W.partitionBy(cell_col).orderBy(F.col(id_col).asc())
+    it.
+
+    ``subcell_target`` (r12, SCALING.md §10): the cap bounds the
+    ADVERSARIAL case but leaves pair expansion quadratic BELOW it — a
+    corpus that densifies 10x into a fixed cell vocabulary pays ~100x
+    pairs (the decade probe's measured 25.6x wall).  With a target set,
+    the partition vocabulary scales WITH the corpus: one grouped count
+    finds the largest cell, ``subcell_bits`` derives b sign bits
+    (SRP-LSH, axis-aligned), and candidates must share (cell, first-b
+    sign bits) — expected sub-cell population stays ~``subcell_target``
+    at any density, so pairs grow ~linearly in corpus size.  b is a
+    deterministic pure-integer function of the count, so the DuckDB
+    oracle replays the derivation inside SQL and parity holds at EVERY
+    scale, not just the b=0 fixture point.  Standard LSH recall trade:
+    a true pair disagreeing on a chosen sign bit is missed (probability
+    (theta/pi) per bit); below the target nothing splits and the
+    operator is exhaustive-within-cell, exactly as before.  Count-gated
+    like the skew guards: the detector aggregate runs at plan-BUILD
+    time (same frozen-route contract, README Design positions)."""
+    group_cols = [cell_col]
+    if subcell_target is not None:
+        mx_row = emb.groupBy(cell_col).count().agg(F.max("count")).first()
+        b = subcell_bits(mx_row[0] or 0, subcell_target)
+        if b > 0:
+            emb = emb.withColumn("_sc", sign_bits_col(vec_col, b))
+            group_cols = [cell_col, "_sc"]
+    w_cell = W.partitionBy(*group_cols).orderBy(F.col(id_col).asc())
     capped = (
         emb.withColumn("_cn", F.row_number().over(w_cell))
         .filter(F.col("_cn") <= max_cell_size)
     )
-    base = capped.select(F.col(id_col), F.col(cell_col), F.col(vec_col).alias("v"))
+    base = capped.select(
+        F.col(id_col), *[F.col(c) for c in group_cols], F.col(vec_col).alias("v")
+    )
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col(cell_col).alias("cell"), F.col("v").alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(cell_col).alias("cell"),
+        *[F.col(c) for c in group_cols[1:]],
+        F.col("v").alias("va"),
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col(cell_col).alias("cell"), F.col("v").alias("vb")
+    b_side = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(cell_col).alias("cell"),
+        *[F.col(c) for c in group_cols[1:]],
+        F.col("v").alias("vb"),
     )
+    join_cols = ["cell", *group_cols[1:]]
     return (
-        a.join(b, "cell")
+        a.join(b_side, join_cols)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(np_cosine(once=True)(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)

@@ -20,6 +20,7 @@ from ..llmdata.dedup import (
 )
 from ..llmdata.multimodal import attach_media, decode_image_features
 from ..llmdata.similarity import (
+    NEARDUP_SUBCELL_TARGET,
     brute_force_topk,
     embedding_neardup_pairs,
     ivf_topk,
@@ -405,20 +406,54 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 
 def sim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within a coarse cell."""
+    """Embedding-cosine near-dup pairs within a coarse cell, with the
+    r12 corpus-derived sub-cell vocabulary: when the largest label cell
+    exceeds NEARDUP_SUBCELL_TARGET rows, candidates must also share the
+    derived number of leading SRP sign bits, keeping pair expansion
+    ~linear as the corpus densifies (SCALING.md §10 — the 10x decade
+    measured 25.6x under the fixed vocabulary).  The oracle replays the
+    integer bit derivation inside SQL, so parity holds at every scale;
+    at the driver fixtures (max cell 59/218) zero bits derive and the
+    operator is exhaustive-within-label exactly as before."""
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.35)
+    return embedding_neardup_pairs(
+        emb, threshold=0.35, subcell_target=NEARDUP_SUBCELL_TARGET
+    )
+
+
+def _sign_bits_sql(vec: str, n_bits: int) -> str:
+    """SQL twin of similarity.sign_bits_col: '01' string of the leading
+    ``n_bits`` element signs; NULL vector/element -> '0' (CASE takes the
+    else-branch on NULL, same as Column otherwise())."""
+    return " || ".join(
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(n_bits)
+    )
 
 
 _SIM_NEARDUP_SQL = f"""
-WITH capped AS (
-  SELECT * FROM embeddings
-  QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) <= 10000
+WITH params AS (
+  -- subcell_bits() replayed in exact integer arithmetic: the number of
+  -- SRP sign bits so the largest label cell splits to ~{NEARDUP_SUBCELL_TARGET} rows
+  SELECT (SELECT COUNT(*) FROM range(16) t(i)
+          WHERE mx > {NEARDUP_SUBCELL_TARGET} * (CAST(1 AS BIGINT) << CAST(i AS INT))) AS b
+  FROM (SELECT COALESCE(MAX(c), 0) AS mx FROM
+        (SELECT COUNT(*) AS c FROM embeddings GROUP BY label))
+),
+sub AS (
+  SELECT vec_id, label, embedding,
+         substring({_sign_bits_sql('embedding', 16)}, 1,
+                   (SELECT CAST(b AS INT) FROM params)) AS sc
+  FROM embeddings
+),
+capped AS (
+  SELECT * FROM sub
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY label, sc ORDER BY vec_id) <= 10000
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
        ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
 FROM capped a JOIN capped b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+  ON a.label = b.label AND a.sc = b.sc AND a.vec_id < b.vec_id
 WHERE ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
 ORDER BY id_a, id_b
 """

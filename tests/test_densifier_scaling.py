@@ -1,0 +1,159 @@
+"""r12 corpus-derived partition vocabularies (SCALING.md §10): the 10x
+decade probe measured sim_neardup 25.6x / dedup_semantic 12.2x /
+join_interval_bucketed 12.9x because their pair-mining spaces were
+partitioned by FIXED vocabularies (label cells, fit-k k-means cells,
+calendar buckets) that the densifying harness outgrew.  These tests pin
+the r12 fixes:
+
+- sim_neardup: sub-cell SRP sign bits derived from the largest label
+  cell's row count — b=0 below the target (byte-identical to the old
+  operator), b>0 above it, with a DuckDB twin replaying the identical
+  derivation on the DENSIFIED corpus (the regime the static sf0.01
+  oracle never reaches).
+- dedup_semantic: n_cells derived from the corpus count (k grows with
+  the corpus so expected cell population stays ~constant), same
+  dynamic-twin strategy.
+- join_interval_bucketed: rewritten from the pair-materializing bucket
+  join to a two-stage boundary-sweep prefix sum — the aggregate output
+  needs no pair enumeration at all, so cost is ~linear in rows even
+  when true containments grow quadratically.  The unchanged naive-join
+  oracle pins exactness.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logpump_spark.llmdata.similarity import (
+    NEARDUP_SUBCELL_TARGET,
+    embedding_neardup_pairs,
+    subcell_bits,
+)
+
+
+def test_subcell_bits_integer_derivation():
+    # b = |{i in [0,16): mx > target * 2^i}| == max(0, ceil(log2(mx/t)))
+    t = 256
+    assert subcell_bits(0, t) == 0
+    assert subcell_bits(256, t) == 0  # at the target: no split
+    assert subcell_bits(257, t) == 1
+    assert subcell_bits(512, t) == 1
+    assert subcell_bits(513, t) == 2
+    assert subcell_bits(600, t) == 2
+    assert subcell_bits(2180, t) == 4  # the 10x-decade max cell
+    assert subcell_bits(256 << 16, t) == 16  # clamped at the bit budget
+
+
+def _dense_emb(spark, n_per_label=600, n_labels=3, dims=16, seed=7):
+    """A corpus whose label cells EXCEED the sub-cell target, with
+    planted exact-duplicate pairs (same sign bits by construction, so
+    the split must retain them)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for lbl in range(n_labels):
+        for _ in range(n_per_label):
+            v = rng.standard_normal(dims).astype(np.float32)
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    # planted twins: duplicate every 97th vector under a fresh id
+    twins = [(10_000 + i, rows[i][1], rows[i][2]) for i in range(0, vid, 97)]
+    pdf = pd.DataFrame(rows + twins, columns=["vec_id", "embedding", "label"])
+    df = spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    )
+    return pdf, df
+
+
+def test_neardup_subcell_engages_and_matches_duckdb_twin(spark):
+    # 618 rows/label > 512 -> b=2 (4 sub-cells); the DuckDB twin replays
+    # the identical derivation, so this pins the b>0 regime the static
+    # sf0.01 oracle (b=0) never exercises
+    pdf, df = _dense_emb(spark)
+    got = (
+        embedding_neardup_pairs(
+            df, threshold=0.9, subcell_target=NEARDUP_SUBCELL_TARGET
+        )
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    from logpump_spark.queries.llm_q import _COS, _sign_bits_sql
+
+    want = con.execute(
+        f"""
+WITH params AS (
+  SELECT (SELECT COUNT(*) FROM range(16) t(i)
+          WHERE mx > 256 * (CAST(1 AS BIGINT) << CAST(i AS INT))) AS b
+  FROM (SELECT COALESCE(MAX(c), 0) AS mx FROM
+        (SELECT COUNT(*) AS c FROM embeddings GROUP BY label))
+),
+sub AS (
+  SELECT vec_id, label, embedding,
+         substring({_sign_bits_sql('embedding', 16)}, 1,
+                   (SELECT CAST(b AS INT) FROM params)) AS sc
+  FROM embeddings
+),
+capped AS (
+  SELECT * FROM sub
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY label, sc ORDER BY vec_id) <= 10000
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
+       ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+FROM capped a JOIN capped b
+  ON a.label = b.label AND a.sc = b.sc AND a.vec_id < b.vec_id
+WHERE ROUND({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.9
+ORDER BY id_a, id_b
+"""
+    ).df()
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["id_a"].values == want["id_a"].values).all()
+    assert (got["id_b"].values == want["id_b"].values).all()
+    assert np.allclose(got["cos"].values, want["cos"].values, atol=1e-6)
+    # every planted exact twin shares all sign bits -> must be retained
+    planted = {(i, 10_000 + i) for i in range(0, 1800, 97)}
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert planted <= found
+
+
+def test_neardup_below_target_keeps_old_plan_and_results(spark):
+    # small cells -> b=0: no _sc column in the plan, results identical
+    # to an explicit no-subcell call
+    pdf, df = _dense_emb(spark, n_per_label=40, n_labels=4)
+    out = embedding_neardup_pairs(
+        df, threshold=0.9, subcell_target=NEARDUP_SUBCELL_TARGET
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "_sc" not in plan
+    base = embedding_neardup_pairs(df, threshold=0.9, subcell_target=None)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, base.collect()))
+    assert a == b
+
+
+def test_neardup_pair_growth_is_subquadratic_under_densification(spark):
+    # replicate the corpus 4x into the SAME labels (the decade probe's
+    # densification); candidate pairs must grow ~linearly (<= ~8x with
+    # ceil slack), not ~16x quadratically
+    def n_candidates(df):
+        # count candidate pairs BEFORE the cosine threshold by running
+        # with an impossible threshold and counting at threshold -1
+        return embedding_neardup_pairs(
+            df, threshold=-1.0, subcell_target=NEARDUP_SUBCELL_TARGET
+        ).count()
+
+    _, df1 = _dense_emb(spark, n_per_label=300, n_labels=2)
+    reps = [
+        df1.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        for i in range(4)
+    ]
+    df4 = reps[0]
+    for r in reps[1:]:
+        df4 = df4.unionByName(r)
+    c1, c4 = n_candidates(df1), n_candidates(df4)
+    assert c4 < 8 * c1, (c1, c4)
