@@ -607,10 +607,35 @@ def label_purity(
     )
 
 
+#: SemDeDup derived-k parameters: k = clamp(ceil(n / TARGET), MIN, MAX).
+#: TARGET sized so the driver fixtures keep k=8 (sf0.01 n=500 -> ceil=2
+#: -> clamped to 8; sf0.1 n=2000 -> exactly 8) while a densified corpus
+#: grows k ~ n, holding expected cell population ~constant — the r12 fix
+#: for the decade probe's 12.2x super-linear reading (SCALING.md §10).
+#: MAX bounds the driver-held centroid table (4096 x dims longs).
+SEMANTIC_CELL_TARGET = 250
+SEMANTIC_CELLS_MIN = 8
+SEMANTIC_CELLS_MAX = 4096
+
+
+def semantic_n_cells(n_rows: int) -> int:
+    """Derived k for ``semantic_dedup``: exact integer ceil(n/TARGET),
+    clamped — a deterministic pure function of the corpus count, so the
+    DuckDB oracle replays it in SQL ((COUNT(*)+249)//250) and parity
+    holds at every scale."""
+    return min(
+        SEMANTIC_CELLS_MAX,
+        max(
+            SEMANTIC_CELLS_MIN,
+            (n_rows + SEMANTIC_CELL_TARGET - 1) // SEMANTIC_CELL_TARGET,
+        ),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.35,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -630,7 +655,21 @@ def semantic_dedup(
 
     Returns one row per vector: (id, cell, keep, kept_by) where
     kept_by is the smallest-id neighbor that shadows a pruned vector
-    (NULL for kept ones)."""
+    (NULL for kept ones).
+
+    ``n_cells=None`` (default, r12) derives k from one corpus count via
+    ``semantic_n_cells`` — the cell vocabulary grows WITH the corpus so
+    within-cell pair expansion stays ~linear as it densifies (the fixed
+    k=8 read 12.2x at the 10x decade, SCALING.md §10).  The count is
+    deterministic, so the SQL oracle replays the derivation; the count
+    job runs at plan-BUILD time (the same frozen-route contract as the
+    skew guards, README Design positions).  Lloyd cost is n*k*dims per
+    iteration — with k ~ n/250 that is formally quadratic, but at
+    4.1 GFLOP-per-million-rows it stays minor next to the pair scan
+    until k hits the 4096 clamp, after which assignment is linear again
+    and cells densify (the cap bounds that tail)."""
+    if n_cells is None:
+        n_cells = semantic_n_cells(emb.count())
     cells, _ = fit_ivf(emb, n_cells, iters, id_col, vec_col)
     withc = emb.join(cells, id_col).select(id_col, "cell", vec_col)
     # apply the cell cap to the OUTPUT set too, not just the pair scan:

@@ -328,10 +328,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk_std(spark, sf_dir)
 
 
-def _ivf_fit_cte(n_cells: int, iters: int) -> str:
+def _ivf_fit_cte(n_cells: int | str, iters: int) -> str:
     """CTE chain replaying fit_ivf exactly: quantize -> init -> (assign,
     update) x iters.  Distances are exact integer sums of squares; the
-    centroid update is one floored double division of exact integers."""
+    centroid update is one floored double division of exact integers.
+    ``n_cells`` may be an int literal or a SQL scalar-subquery string
+    (the r12 derived-k SemDeDup oracle passes '(SELECT k FROM
+    kparams)')."""
     dist = "list_sum(list_transform(list_zip(b.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
     parts = [
         f"""base AS (
@@ -832,8 +835,10 @@ ORACLE_SQL["dedup_edit_distance"] = _DEDUP_EDIT_SQL
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: fitted k-means clusters +
     within-cluster cosine pruning (llmdata/similarity.semantic_dedup).
-    The oracle replays the ENTIRE pipeline — Lloyd fit, final cell
-    assignment, in-cell pair scan, min-id shadowing — in SQL."""
+    The oracle replays the ENTIRE pipeline — the r12 corpus-derived k
+    (clamp(ceil(n/250), 8, 4096)), Lloyd fit, final cell assignment,
+    in-cell pair scan, min-id shadowing — in SQL, so parity holds at
+    every scale (driver fixtures derive k=8, the pre-r12 constant)."""
     from ..llmdata.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
@@ -841,7 +846,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_SEMANTIC_SQL = f"""
-WITH {_ivf_fit_cte(_IVF_CELLS, _IVF_ITERS)},
+WITH kparams AS (
+  -- semantic_n_cells() replayed: k = clamp(ceil(n/250), 8, 4096) in
+  -- exact integer arithmetic
+  SELECT LEAST(4096, GREATEST(8, (COUNT(*) + 249) // 250)) AS k
+  FROM embeddings
+),
+{_ivf_fit_cte('(SELECT k FROM kparams)', _IVF_ITERS)},
 capped AS (
   SELECT e.vec_id, c.cell, e.embedding
   FROM embeddings e JOIN cells c USING (vec_id)

@@ -157,3 +157,45 @@ def test_neardup_pair_growth_is_subquadratic_under_densification(spark):
         df4 = df4.unionByName(r)
     c1, c4 = n_candidates(df1), n_candidates(df4)
     assert c4 < 8 * c1, (c1, c4)
+
+
+def test_semantic_n_cells_derivation():
+    from logpump_spark.llmdata.similarity import semantic_n_cells
+
+    assert semantic_n_cells(0) == 8
+    assert semantic_n_cells(500) == 8      # sf0.01 fixture -> the old constant
+    assert semantic_n_cells(2000) == 8     # sf0.1 fixture -> unchanged
+    assert semantic_n_cells(2001) == 9
+    assert semantic_n_cells(20_000) == 80  # the 10x decade
+    assert semantic_n_cells(10**9) == 4096  # driver-safety clamp
+
+
+def test_semantic_dedup_derived_k_matches_oracle_on_densified_corpus(spark):
+    # 2600 rows -> derived k=11 (the regime the sf0.01 oracle's own
+    # derivation must follow); run the REGISTERED oracle SQL verbatim on
+    # the densified frame and compare
+    from logpump_spark.llmdata.similarity import semantic_dedup
+    from logpump_spark.queries.llm_q import _DEDUP_SEMANTIC_SQL
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(12).astype(np.float32)], i % 5)
+        for i in range(2600)
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>, label int")
+    got = (
+        semantic_dedup(df, threshold=0.9)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert got["cell"].nunique() > 8  # derived k engaged (k=11 fitted)
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = con.execute(_DEDUP_SEMANTIC_SQL.replace("0.35", "0.9")).df()
+    assert len(got) == len(want)
+    for c in ["vec_id", "cell", "keep"]:
+        assert (got[c].values == want[c].values).all(), c
+    kb_g = got["kept_by"].fillna(-1).astype("int64")
+    kb_w = want["kept_by"].fillna(-1).astype("int64")
+    assert (kb_g.values == kb_w.values).all()
