@@ -800,61 +800,79 @@ ORACLE_SQL["sample_kcenter"] = _kcenter_sql()
 # join_interval_bucketed — fact-to-fact interval join via bucket rewrite
 # --------------------------------------------------------------------
 
-_IVB_LEN_US = 2 * 3600 * 1_000_000  # 2h windows; bucket width = window length
+_IVB_LEN_US = 2 * 3600 * 1_000_000  # 2h windows
+_IVB_BUCKET_US = 3600 * 1_000_000  # sweep carry granularity (bounded table)
 
 
 def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-to-fact INTERVAL containment join where neither side
-    broadcasts — the shape that degenerates to a nested-loop at scale
-    unless rewritten.  The rewrite: bucket time by the window length,
-    explode each interval to the (at most 2) buckets it touches, EQUI
-    join on the bucket, then apply the containment as a residual
-    filter — a hash/sort-merge join whose per-bucket cost is bounded by
-    local density, never |clicks| x |windows| (plan-pinned: no
-    BroadcastNestedLoopJoin).  join_range (relational_q) is the
-    broadcast-dimension case; this is the big-big case.
+    """Fact-to-fact INTERVAL containment AGGREGATE where neither side
+    broadcasts.  Every purchase opens a 2 h window; every click is
+    contained by ALL windows covering it (cross-user by construction);
+    output folds to daily containment counts.
 
-    Here: every purchase opens a 2 h window; every click joins to ALL
-    windows containing it (cross-user by construction, so the user key
-    can't shortcut the join); output folds to daily containment
-    counts."""
+    r12 rewrite (SCALING.md §10): the r5 bucket-equi-join rewrite
+    materialized every (click, window) pair before aggregating — and
+    under densification the TRUE pair count grows quadratically, so the
+    10x decade probe read 12.9x however the buckets were sized (the
+    prior fixed 2h bucket vocabulary only set the constant).  The
+    aggregate never needed the pairs: a click's containment count is
+    the number of windows open at its timestamp, i.e. the value of a
+    boundary PREFIX SUM (+1 at lo, -1 at hi, deltas applying before
+    clicks at equal ts — exactly [lo, hi) containment).  This is the
+    same two-stage parallel prefix scan as ``interval_max_concurrent``
+    (operators/intervals.py): per-hour net deltas -> running carry over
+    the bounded hour table -> within-hour completion with the carry
+    broadcast back.  Cost is ~linear in rows at ANY density; the
+    unchanged naive-join oracle pins exactness.
+
+    Pair-PRESERVING interval joins (when the caller needs the pairs)
+    remain Ω(output) and keep the bucket-equi-join shape — join_range
+    (relational_q) is the broadcast-dimension case; the output itself
+    is the quadratic cost there, not the plan."""
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("win_id"),
-        us.alias("lo"),
-        (us + _IVB_LEN_US).alias("hi"),
+    starts = ev.filter(F.col("event_type") == "purchase").select(
+        us.alias("us"), F.lit(1).alias("delta"), F.lit(0).alias("kind")
+    )
+    ends = ev.filter(F.col("event_type") == "purchase").select(
+        (us + _IVB_LEN_US).alias("us"),
+        F.lit(-1).alias("delta"),
+        F.lit(0).alias("kind"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), us.alias("cus")
+        us.alias("us"), F.lit(0).alias("delta"), F.lit(1).alias("kind")
     )
-    # a window of length == bucket width touches exactly buckets
-    # floor(lo/W) and floor(hi/W) (dedupped when equal)
-    wins_b = purchases.select(
-        "win_id",
-        "lo",
-        "hi",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor(F.col("lo") / _IVB_LEN_US),
-                    F.floor(F.col("hi") / _IVB_LEN_US),
-                )
-            )
-        ).alias("b"),
+    bounds = starts.unionAll(ends).unionAll(clicks).withColumn(
+        "bucket", F.expr(f"CAST(us DIV {_IVB_BUCKET_US} AS BIGINT)")
     )
-    clicks_b = clicks.withColumn("b", F.floor(F.col("cus") / _IVB_LEN_US))
-    joined = clicks_b.join(wins_b, "b").filter(
-        (F.col("cus") >= F.col("lo")) & (F.col("cus") < F.col("hi"))
+    # stage 1: per-hour net window-delta (map-side partials, one bounded
+    # shuffle); stage 2: exclusive running carry over the hour table
+    per_bucket = bounds.groupBy("bucket").agg(F.sum("delta").alias("net"))
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    carry = per_bucket.select(
+        "bucket", F.coalesce(F.sum("net").over(wb), F.lit(0)).alias("carry")
     )
-    day = F.to_date(F.timestamp_micros(F.col("cus"))).cast("string")
+    # stage 3: finish the running sum within each hour.  Order (us,
+    # kind): at equal ts every ±1 applies before a click — +1 at lo
+    # counts it (cus >= lo) and -1 at hi removes it (cus < hi); delta
+    # order within a tie is irrelevant (sums commute) and other clicks
+    # in the frame add 0
+    wi = (
+        W.partitionBy("bucket")
+        .orderBy(F.col("us").asc(), F.col("kind").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    covered = (
+        bounds.join(F.broadcast(carry), "bucket")
+        .withColumn("coverage", F.col("carry") + F.sum("delta").over(wi))
+        .filter((F.col("kind") == 1) & (F.col("coverage") > 0))
+    )
+    day = F.to_date(F.timestamp_micros(F.col("us"))).cast("string")
     return (
-        joined.select("click_id", "win_id", day.alias("day"))
-        .distinct()  # a window touching 2 buckets must not double-count
-        .groupBy("day")
+        covered.groupBy(day.alias("day"))
         .agg(
-            F.count(F.lit(1)).alias("n_containments"),
-            F.countDistinct("click_id").alias("n_clicks_covered"),
+            F.sum("coverage").cast("long").alias("n_containments"),
+            F.count(F.lit(1)).alias("n_clicks_covered"),
         )
         .orderBy("day")
     )

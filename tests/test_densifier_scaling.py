@@ -199,3 +199,56 @@ def test_semantic_dedup_derived_k_matches_oracle_on_densified_corpus(spark):
     kb_g = got["kept_by"].fillna(-1).astype("int64")
     kb_w = want["kept_by"].fillna(-1).astype("int64")
     assert (kb_g.values == kb_w.values).all()
+
+
+def test_interval_sweep_exact_on_densified_events(spark, tmp_path):
+    # 4x-densify the sf0.001 events into the SAME time span (the decade
+    # probe's growth mode: true containments grow ~16x) and pin the
+    # sweep against the naive pair join run by DuckDB on the same frame
+    src = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    reps = []
+    for i in range(4):
+        r = src.copy()
+        r["event_id"] = r["event_id"] + i * 10**8
+        reps.append(r)
+    dense = pd.concat(reps, ignore_index=True)
+    d = tmp_path / "sfdense"
+    d.mkdir()
+    dense.to_parquet(d / "events.parquet")
+
+    from logpump_spark.queries.mining_q import _IVB_LEN_US, join_interval_bucketed
+
+    got = join_interval_bucketed(spark, str(d)).toPandas()
+    con = duckdb.connect()
+    con.register("events", dense)
+    want = con.execute(
+        f"""
+WITH purchases AS (
+  SELECT event_id AS win_id, epoch_us(ts) AS lo,
+         epoch_us(ts) + {_IVB_LEN_US} AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, epoch_us(ts) AS cus
+  FROM events WHERE event_type = 'click'
+),
+joined AS (
+  SELECT c.click_id, p.win_id, c.cus
+  FROM clicks c JOIN purchases p ON c.cus >= p.lo AND c.cus < p.hi
+)
+SELECT CAST(CAST(make_timestamp(cus) AS DATE) AS VARCHAR) AS day,
+       COUNT(*) AS n_containments,
+       COUNT(DISTINCT click_id) AS n_clicks_covered
+FROM joined GROUP BY 1 ORDER BY 1
+"""
+    ).df()
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["day"].values == want["day"].values).all()
+    assert (
+        got["n_containments"].astype("int64").values
+        == want["n_containments"].astype("int64").values
+    ).all()
+    assert (
+        got["n_clicks_covered"].astype("int64").values
+        == want["n_clicks_covered"].astype("int64").values
+    ).all()

@@ -91,19 +91,21 @@ def test_q18_takeordered(spark):
 # ----- HLL sketch --------------------------------------------------------
 
 
-def test_interval_bucketed_join_is_equi_not_nlj(spark):
-    # the bucket rewrite must produce a hash/sort-merge EQUI join — a
-    # BroadcastNestedLoopJoin here means the rewrite regressed and the
-    # plan would go quadratic on two fact-sized sides
+def test_interval_bucketed_is_sweep_not_pair_join(spark):
+    # r12: the containment AGGREGATE is a two-stage boundary sweep — the
+    # only join in the plan is the broadcast of the bounded hour-carry
+    # table; a fact-fact join (sort-merge/shuffled-hash/NLJ) here means
+    # the pair-materializing rewrite crept back and cost goes quadratic
+    # under densification (SCALING.md §10)
     from logpump_spark.queries.mining_q import join_interval_bucketed
 
     df = join_interval_bucketed(spark, SF_SMALL)
     df.collect()
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the carry join, nothing else
 
 
 def test_hll_estimate_within_error_bound(spark):
