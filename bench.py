@@ -252,6 +252,24 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup costs
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Calibration canary (r12, VERDICT r11 item 3): a FIXED pure-engine
+    # workload, independent of any repo code or input data, timed before
+    # the query loop.  Concurrent driver-machine load inflates every
+    # per-id wall uniformly (the r11 driver bench read 1.17x while a
+    # clean A/B of identical code read 0.96x); the canary separates the
+    # two signals mechanically — see BASELINE.md "Canary normalization"
+    # for the rule.  Median of 3 so a single scheduler hiccup can't
+    # poison the calibration itself.
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 3 + 7) as s", "count(if(id % 97 = 0, 1, null)) as c"
+        ).collect()
+        return time.perf_counter() - t0
+
+    _canary_once()  # its own warmup
+    canary_sec = round(sorted(_canary_once() for _ in range(3))[1], 4)
+
     # Per-query JIT warmup at the smallest SF: whole-stage codegen emits
     # the same generated classes regardless of data size, so one tiny run
     # lets C2 compile the hot methods (the parse plane's generated
@@ -357,6 +375,7 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "value_headline164": total_164,
+        "canary_sec": canary_sec,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -381,6 +400,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "value_headline164": total_164,
+                "canary_sec": canary_sec,
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),

@@ -25,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .skewguard import first_n_per_key
+from .seglead import lead_ints_segmented
+from .sessionize import HOT_KEY_THRESHOLD
+from .skewguard import first_n_per_key, over_threshold_keys
 
 
 def window_funnel(
@@ -121,6 +123,7 @@ def window_funnel_strict(
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
     max_events_per_user: int | None = None,
+    hot_key_threshold: int | None = HOT_KEY_THRESHOLD,
 ) -> DataFrame:
     """ClickHouse ``windowFunnel(... , 'strict_order')`` analog: the
     step chain must be CONSECUTIVE in the user's full event stream — any
@@ -128,18 +131,28 @@ def window_funnel_strict(
     the user's earliest step-1 event (deterministic, so the oracle can
     replay it; ClickHouse scans every candidate start).
 
-    Shape: label each event with its step number, then ``lead`` over one
-    user-partitioned sort answers "are the next k-1 events exactly steps
-    2..k" without ever materializing a per-user history — one shuffle on
-    the user key, two window passes over the same sort, per-row state
-    bounded by len(steps).  Returns (user_col, ts of the anchor, level).
+    Two physical strategies, one semantics (r12 — the per-row lookahead
+    is BOUNDED by len(steps)-1, so the segmented treatment applies):
 
-    ``max_events_per_user``: OPT-IN hot-key guard (SCALING.md §4.1) —
-    restrict the scan to each user's first N events via the shared
-    count-gated two-stage prefix (``skewguard.first_n_per_key``).
-    Changes semantics (a chain completed after the N-th event no
-    longer counts), hence default-off; exact whenever cap >= per-user
-    volume (pytest-pinned)."""
+    - **plain**: label each event with its step number, then ``lead``
+      over one user-partitioned sort answers "are the next k-1 events
+      exactly steps 2..k" — one shuffle on the user key, two window
+      passes over the same sort, per-row state bounded by len(steps).
+    - **segmented** (hot keys only, count-gated like sessionize): the
+      same leads computed block-locally via ``seglead.
+      lead_ints_segmented`` with a bounded heads carry, then the
+      earliest anchor picked per key by a skew-proof min(struct)
+      aggregate instead of a per-key window — EXACT, property-pinned
+      against plain (tests/test_seglead.py).
+
+    Returns (user_col, ts of the anchor, level).
+
+    ``max_events_per_user``: OPT-IN semantics-CHANGING cap (restrict to
+    each user's first N events via ``skewguard.first_n_per_key``) —
+    retained for callers who want first-N semantics; no longer needed
+    as a scale guard now the exact segmented path exists.  A cap at or
+    below the hot threshold bounds every key, so the detector is
+    skipped and the plain plan compiles."""
     from pyspark.sql import Window as W
 
     if max_events_per_user is not None:
@@ -151,11 +164,28 @@ def window_funnel_strict(
     for i, s in enumerate(steps, 1):
         lbl = F.when(s, i) if lbl is None else lbl.when(s, i)
     lbl = lbl.otherwise(0)
+    depth = len(steps) - 1
 
-    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    df = events.withColumn("lbl", lbl.cast("int"))
-    for j in range(1, len(steps)):
-        df = df.withColumn(f"nxt{j}", F.lead("lbl", j).over(w))
+    segmented = (
+        depth >= 1
+        and hot_key_threshold is not None
+        and (max_events_per_user is None or max_events_per_user > hot_key_threshold)
+        and not over_threshold_keys(events, hot_key_threshold, user_col).isEmpty()
+    )
+
+    if segmented:
+        d = events.select(
+            user_col, ts_col, tiebreak_col, lbl.cast("int").alias("lbl")
+        )
+        df = lead_ints_segmented(
+            d, "lbl", depth, user_col, ts_col, tiebreak_col
+        )
+    else:
+        w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+        df = events.withColumn("lbl", lbl.cast("int"))
+        for j in range(1, len(steps)):
+            df = df.withColumn(f"nxt{j}", F.lead("lbl", j).over(w))
+
     # level at an anchor row: longest prefix with nxt_j == j+1
     level = F.lit(1)
     cond = F.lit(True)
@@ -163,6 +193,29 @@ def window_funnel_strict(
         cond = cond & (F.col(f"nxt{j}") == j + 1)
         level = F.when(cond, j + 1).otherwise(level)
     anchors = df.filter(F.col("lbl") == 1)
+
+    if segmented:
+        # earliest anchor per key WITHOUT a per-key window: (blk, rn) is
+        # monotone in the global (ts, id) sort, both non-null ints, so a
+        # min(struct) aggregate (map-side partials, skew-proof) picks the
+        # same row the plain row_number()==1 filter does
+        m = anchors.groupBy(user_col).agg(
+            F.min(
+                F.struct(
+                    F.col("_sl_blk"),
+                    F.col("_sl_rn"),
+                    F.col(ts_col).alias("ats"),
+                    level.cast("int").alias("lv"),
+                )
+            ).alias("m")
+        )
+        return m.select(
+            user_col,
+            F.col("m.ats").alias("anchor_ts"),
+            F.col("m.lv").alias("level"),
+        )
+
+    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     # same window spec as the lead() pass — ONE sort serves both
     return (
         anchors.withColumn("rn", F.row_number().over(w))
@@ -183,19 +236,25 @@ def sequence_count_adjacent(
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
     max_events_per_user: int | None = None,
+    hot_key_threshold: int | None = HOT_KEY_THRESHOLD,
 ) -> DataFrame:
     """ClickHouse ``sequenceCount`` (strict-order form): per-user count
     of events matching ``first`` IMMEDIATELY followed in the full
     ordered stream by an event matching ``second`` — occurrence
     counting, where ``window_funnel_strict`` stops at the first anchor.
     One lead() over one user-partitioned sort, then a per-user
-    conditional count; per-row state is one label.  Returns
+    conditional count; per-row state is one label.  A hot key routes
+    the lead through ``seglead.lead_ints_segmented`` (count-gated like
+    sessionize; exact — the lookback is a single following row) and the
+    per-user count is already a skew-proof grouped aggregate.  Returns
     (user_col, n_matches) for every user with at least one event.
 
-    ``max_events_per_user``: OPT-IN hot-key guard — count only within
-    each user's first N events (``skewguard.first_n_per_key``, the
-    shared count-gated two-stage prefix).  Semantics-changing, hence
-    default-off; exact whenever cap >= per-user volume."""
+    ``max_events_per_user``: OPT-IN semantics-CHANGING cap (count only
+    within each user's first N events via ``skewguard.
+    first_n_per_key``) — retained for first-N semantics; no longer
+    needed as a scale guard.  A cap at or below the hot threshold
+    bounds every key, so the detector is skipped and the plain plan
+    compiles."""
     from pyspark.sql import Window as W
 
     if max_events_per_user is not None:
@@ -204,10 +263,19 @@ def sequence_count_adjacent(
         )
 
     lbl = F.when(first, 1).when(second, 2).otherwise(0)
-    w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    d = events.select(
-        user_col, ts_col, tiebreak_col, lbl.alias("lbl")
-    ).withColumn("nxt", F.lead("lbl").over(w))
+    d = events.select(user_col, ts_col, tiebreak_col, lbl.alias("lbl"))
+    segmented = (
+        hot_key_threshold is not None
+        and (max_events_per_user is None or max_events_per_user > hot_key_threshold)
+        and not over_threshold_keys(d, hot_key_threshold, user_col).isEmpty()
+    )
+    if segmented:
+        d = lead_ints_segmented(
+            d, "lbl", 1, user_col, ts_col, tiebreak_col, out_prefix="nxt"
+        ).withColumnRenamed("nxt1", "nxt")
+    else:
+        w = W.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+        d = d.withColumn("nxt", F.lead("lbl").over(w))
     return d.groupBy(user_col).agg(
         F.sum(
             F.when((F.col("lbl") == 1) & (F.col("nxt") == 2), 1).otherwise(0)

@@ -8,8 +8,10 @@ trailing ROWS frame (``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW``)
 needs at most k-1 rows from earlier blocks, so a hot key's window can
 be range-split into blocks, computed block-locally, and patched at
 block heads from a tiny carry table — EXACT, like the sessionize
-rebuild, not an approximation.  (The shapes that stay cap-guarded —
-lead() chains, running distinct — need an unbounded carry.)
+rebuild, not an approximation.  (r12: the lead() chains got the same
+treatment with the carry direction reversed — ``seglead.py``; only
+running distinct, whose per-row state is the full preceding value
+set, genuinely needs an unbounded carry and stays cap-guarded.)
 
 Carry correctness: each block contributes its last k-1 rows (fewer if
 the block is smaller) to a per-key, block-ordered tail table.  For any

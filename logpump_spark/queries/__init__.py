@@ -70,39 +70,38 @@ _MODULES = (
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  `python -m tools.staleness` prints the
 # per-id latest driver-green round so each rotation can target the
-# stalest cohort mechanically.  Round-11 window: the seven ids whose
-# code changed this round lead (the segmented-prefix-sum sessionize
-# rebuild, the skewguard extraction that rewired the funnel/seq
-# family, and win_moving_avg's segmented ROWS-frame re-expression),
-# then the staleness rotation the r10 verdict ordered: all 14 ids whose
-# most recent driver-green row dates to ROUND 3, plus 29 of the 35
-# round-5 ids (oldest-first by the staleness tool's listing).  After
-# this round the staleness floor rises from r3 to r5; the remaining
-# 6 r5 ids (timeseries_gaps, timeseries_ohlc, training_prepare,
-# trending_topk, udtf_sentences, win_ntile) are the r12 window's
-# scheduled rotation.
+# stalest cohort mechanically.  Round-12 window: the five ids whose
+# code changed this round lead (the densifier trio's corpus-derived
+# partition vocabularies — sim_neardup sub-cell sign bits,
+# dedup_semantic derived k, join_interval_bucketed's boundary-sweep
+# rewrite — plus the exact segmented lead path under
+# funnel_strict_order and seq_count), then the staleness rotation the
+# r11 verdict ordered: the 6 remaining ROUND-5 ids, all 36 remaining
+# round-6 ids (join_interval_bucketed's r6 slot is covered by its
+# changed-id seat), and the 4 oldest round-7 ids.  After this round
+# the staleness floor rises from r5 to r7.
 _WINDOW_PRIORITY = [
-    # r11 code changes — segmented sessionize + shared skew guard +
-    # segmented ROWS-frame moving average
-    "sessionize_events", "interval_length_sum", "funnel_steps",
-    "funnel_steps_capped", "funnel_strict_order", "seq_count",
-    "win_moving_avg",
-    # last driver-green r3: the full remaining cohort
-    "agg_by_day", "agg_collect", "agg_histogram", "agg_min_max_by",
-    "filter_valid_rows", "route_group_by_key", "setop_union_by_name",
-    "sink_insert_schema", "sort_time", "stream_interval_join",
-    "stream_sliding", "stream_tumbling", "xform_filename_date",
-    "xform_project_sink",
-    # last driver-green r5: 29 of 35 (staleness-tool order;
-    # timeseries_gaps yielded its slot to win_moving_avg)
-    "agg_bitmap_distinct", "agg_bool", "agg_entropy", "agg_mode",
-    "agg_quantile_hist", "agg_regr", "agg_skew_kurt", "agg_ttest",
-    "cdc_latest_wins", "chunk_docs", "corpus_merge", "corpus_overlap",
-    "curation_pipeline", "dedup_semantic", "dedup_substring",
-    "embed_label_purity", "embed_quantize_sq8", "fn_hash_suite",
-    "fn_url_suite", "fn_variant", "freq_heavy_hitters", "graph_pagerank",
-    "join_null_safe", "scan_orc", "sim_hardneg", "sql_recursive_cte",
-    "text_boilerplate", "text_oov_rate", "timeseries_ewma",
+    # r12 code changes — densifier vocabulary scaling + segmented leads
+    "sim_neardup", "dedup_semantic", "join_interval_bucketed",
+    "funnel_strict_order", "seq_count",
+    # last driver-green r5: the full remaining cohort
+    "timeseries_gaps", "timeseries_ohlc", "training_prepare",
+    "trending_topk", "udtf_sentences", "win_ntile",
+    # last driver-green r6: the full remaining cohort (staleness order)
+    "agg_argmax", "agg_cond_suite", "agg_hll_distinct", "agg_hll_native",
+    "agg_hll_sliding", "agg_quantile_weighted", "agg_sum_map",
+    "dedup_bloom_probe", "fn_ip_suite", "fn_try_suite", "graph_triangles",
+    "join_scd2_pointintime", "multimodal_audio_fp", "multimodal_phash",
+    "parse_context", "parse_header_positional", "parse_kv_map",
+    "parse_sql_quoted", "pivot_wide", "pref_pairs", "quality_benford",
+    "rollup_incremental", "sample_kcenter", "setop_bag_ops",
+    "text_pmi_pairs", "timeseries_islands", "timeseries_mad",
+    "tpch_q14_promo", "tpch_q17_small_qty", "tpch_q18_big_orders",
+    "tpch_q22_global_sales", "tpch_q4_priority", "win_pct_of_total",
+    "xform_duration", "xform_event_time",
+    # oldest r7 ids fill the remaining seats
+    "agg_approx_percentile", "agg_minmax_map", "agg_uniq_upto",
+    "corpus_vocab",
 ]
 
 

@@ -389,7 +389,10 @@ def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode (operators/funnel.py:window_funnel_strict): the chain counts
     only while the user's IMMEDIATELY NEXT events continue it — any
     interleaved event breaks the run.  Anchored at the earliest view.
-    Complements funnel_steps (greedy-earliest windowed mode)."""
+    Complements funnel_steps (greedy-earliest windowed mode).  r12: a
+    hot key routes the bounded lead chain through the exact segmented
+    path (operators/seglead.py, count-gated); the driver fixture is
+    uniform, so this plan compiles plain."""
     ev = load(spark, sf_dir, "events")
     steps = [
         F.col("event_type") == "view",
@@ -435,7 +438,9 @@ def seq_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user a view is IMMEDIATELY followed by a click in the full
     event stream — occurrence counting, where funnel_strict_order stops
     at the first anchor.  One lead() over one user-partitioned sort
-    then a per-user conditional count; per-row state is one label."""
+    then a per-user conditional count; per-row state is one label.
+    r12: a hot key routes the lead(1) through the exact segmented path
+    (operators/seglead.py, count-gated)."""
     from ..operators.funnel import sequence_count_adjacent
 
     ev = load(spark, sf_dir, "events")

@@ -13,6 +13,10 @@ import random
 import duckdb
 import pandas as pd
 
+from logpump_spark.operators.funnel import (
+    sequence_count_adjacent,
+    window_funnel_strict,
+)
 from logpump_spark.operators.segwin import moving_rows_frame
 from logpump_spark.operators.sessionize import sessionize
 
@@ -97,4 +101,104 @@ def test_segmented_paths_match_duckdb_on_hot_corpus(spark):
     ).all()
     assert (
         got2["frame_n"].astype("int64") == want2["frame_n"].astype("int64")
+    ).all()
+
+
+def test_segmented_lead_family_matches_duckdb_on_hot_corpus(spark):
+    # r12: strict funnel + sequenceCount on the segmented lead path,
+    # against DuckDB's own lead() SQL — the independent-engine twin for
+    # the lead-chain family (same role as the sessionize twin above)
+    import numpy as np
+
+    pdf = _hot_corpus()
+    pdf["et"] = np.where(
+        pdf["qv"] % 4 == 0, "a",
+        np.where(pdf["qv"] % 4 == 1, "b",
+                 np.where(pdf["qv"] % 4 == 2, "c", "x")),
+    )
+    df = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("ev", pdf)
+
+    from pyspark.sql import functions as F
+
+    steps = [F.col("et") == "a", F.col("et") == "b", F.col("et") == "c"]
+    got = (
+        window_funnel_strict(df, steps, hot_key_threshold=20_000)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        con.execute(
+            """
+        WITH lbl AS (
+          SELECT user_id, ts, event_id,
+                 CASE et WHEN 'a' THEN 1 WHEN 'b' THEN 2 WHEN 'c' THEN 3
+                         ELSE 0 END AS lbl
+          FROM ev
+        ),
+        led AS (
+          SELECT *, LEAD(lbl, 1) OVER w AS n1, LEAD(lbl, 2) OVER w AS n2
+          FROM lbl WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        anchors AS (
+          SELECT user_id, ts AS anchor_ts,
+                 CASE WHEN n1 = 2 AND n2 = 3 THEN 3
+                      WHEN n1 = 2 THEN 2 ELSE 1 END AS level,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM led WHERE lbl = 1
+        )
+        SELECT user_id, anchor_ts, CAST(level AS INT) AS level
+        FROM anchors WHERE rn = 1
+        """
+        )
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (got["level"].values == want["level"].values).all()
+    assert (
+        got["anchor_ts"].values.astype("datetime64[us]")
+        == want["anchor_ts"].values.astype("datetime64[us]")
+    ).all()
+
+    got2 = (
+        sequence_count_adjacent(
+            df, F.col("et") == "a", F.col("et") == "b", hot_key_threshold=20_000
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want2 = (
+        con.execute(
+            """
+        WITH lbl AS (
+          SELECT user_id, ts, event_id,
+                 CASE et WHEN 'a' THEN 1 WHEN 'b' THEN 2 ELSE 0 END AS lbl
+          FROM ev
+        ),
+        led AS (
+          SELECT *, LEAD(lbl) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+          FROM lbl
+        )
+        SELECT user_id,
+               SUM(CASE WHEN lbl = 1 AND nxt = 2 THEN 1 ELSE 0 END) AS n_matches
+        FROM led GROUP BY user_id
+        """
+        )
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got2) == len(want2)
+    assert (got2["user_id"].values == want2["user_id"].values).all()
+    assert (
+        got2["n_matches"].astype("int64").values
+        == want2["n_matches"].astype("int64").values
     ).all()

@@ -177,7 +177,13 @@ def _hot_shapes():
     ]
 
     def funnel(ev):
+        # r12: defaults count-gate into the segmented lead path
+        # (operators/seglead.py) when a key exceeds HOT_KEY_THRESHOLD
         return window_funnel_strict(ev, types)
+
+    def funnel_strict_plain(ev):
+        # r12 control: the pre-rebuild single-window lead chain
+        return window_funnel_strict(ev, types, hot_key_threshold=None)
 
     # r11: capped twins of the strict funnel / sequenceCount / moving
     # average (the r10 verdict's remaining stragglers) — same N=10_000
@@ -229,7 +235,13 @@ def _hot_shapes():
         return window_funnel(ev, types, max_events_per_user=10_000)
 
     def seqcount(ev):
+        # r12: defaults count-gate into the segmented lead(1) path
         return sequence_count_adjacent(ev, types[0], types[1])
+
+    def seqcount_plain(ev):
+        return sequence_count_adjacent(
+            ev, types[0], types[1], hot_key_threshold=None
+        )
 
     def moving_avg(ev):
         w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
@@ -299,10 +311,12 @@ def _hot_shapes():
 
     return {
         "funnel_strict": funnel,
+        "funnel_strict_plain": funnel_strict_plain,
         "funnel_strict_capped_10k": funnel_strict_capped,
         "funnel_uncapped": funnel_uncapped,
         "funnel_capped_10k": funnel_capped,
         "sequence_count": seqcount,
+        "sequence_count_plain": seqcount_plain,
         "sequence_count_capped_10k": seqcount_capped,
         "moving_avg_rows7": moving_avg,
         "moving_avg_capped_10k": moving_avg_capped,
