@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .skewguard import cap_shards
+from .skewguard import BLOCK_OVERSUBSCRIPTION, cap_shards
 
 
 def lead_ints_segmented(
@@ -63,7 +63,7 @@ def lead_ints_segmented(
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
-    n_blocks = 4 * cap_shards(df)
+    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
     ranged = df.repartitionByRange(
         n_blocks, F.col(key_col).asc(), *order
     ).withColumn("_sl_blk", F.spark_partition_id())

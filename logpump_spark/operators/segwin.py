@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .sessionize import HOT_KEY_THRESHOLD
-from .skewguard import cap_shards, over_threshold_keys
+from .skewguard import BLOCK_OVERSUBSCRIPTION, cap_shards, over_threshold_keys
 
 
 def moving_rows_frame(
@@ -92,7 +92,7 @@ def _moving_segmented(
     id_col: str,
 ) -> DataFrame:
     k1 = frame_rows - 1  # cross-block lookback bound
-    n_blocks = 4 * cap_shards(df)
+    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
 
     # EXCHANGE-REUSE DEPENDENCY: both the windowed branch and the tails

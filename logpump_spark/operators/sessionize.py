@@ -42,10 +42,11 @@ Why per-key work was the last scale-killer: a window frame may not be
 split mid-key, so AQE skew handling never applies — one user owning
 10^7+ events is one straggler task however many executors exist
 (measured 6.25x at 98% single-key skew, SCALING.md §4.1).  The
-segmented path splits that one sort ``4 * max(32, defaultParallelism)``
-ways (the 4x oversubscription smooths balls-into-bins collisions when
-(key, block) hash-shuffles into the final window); the carry table is
-bounded by keys-spanning-blocks + n_blocks rows.
+segmented path splits that one sort ``BLOCK_OVERSUBSCRIPTION *
+max(32, defaultParallelism)`` ways (oversubscription smooths
+balls-into-bins collisions when (key, block) hash-shuffles into the
+final window; 8x measured best at k=64 — skewguard.py); the carry
+table is bounded by keys-spanning-blocks + n_blocks rows.
 
 CONTRACT: the plain-vs-segmented routing is frozen when the DataFrame
 is BUILT (one detector job at construction — even a plan that is only
@@ -60,7 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .skewguard import cap_shards, over_threshold_keys
+from .skewguard import BLOCK_OVERSUBSCRIPTION, cap_shards, over_threshold_keys
 
 # Per-key row count above which the segmented path engages.  Below
 # ~10^6 rows a single-task sort finishes inside a few seconds (the
@@ -128,10 +129,12 @@ def _sessionize_segmented(
        along the lexicographic (key, ts, id) order, so blocks are
        contiguous segments per key and ties never straddle a block;
        exact output is block-assignment-invariant anyway.
-    2. 4x-parallelism block count: (key, block) later hash-shuffles
-       into shuffle partitions, and with only ~parallelism blocks the
-       balls-into-bins collisions leave a third of the cluster idle —
-       4x oversubscription smooths the max load.
+    2. oversubscribed block count (8x parallelism, measured sweet spot
+       — skewguard.BLOCK_OVERSUBSCRIPTION): (key, block) later
+       hash-shuffles into shuffle partitions, and with only
+       ~parallelism blocks the balls-into-bins collisions leave a
+       third of the cluster idle; past ~512 blocks per-group overhead
+       wins instead.
     3. per-(key, block) window — the hot sort, now split n_blocks
        ways — computes the plain path's exact lag/gap flag for every
        non-first row, plus the block-local running sum.
@@ -150,7 +153,7 @@ def _sessionize_segmented(
     NULL), and an all-NULL block propagates NULL ``last_us`` so the
     next block's first row also re-starts — each case shared with the
     plain expression, and the property test plants them."""
-    n_blocks = 4 * cap_shards(df)
+    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
     # BLOCK-ASSIGNMENT DETERMINISM CONTRACT: the carry join below joins
     # two subtrees that BOTH contain this sampled range exchange, and
     # column pruning makes them canonically different, so Spark does NOT

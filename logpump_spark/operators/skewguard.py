@@ -38,6 +38,17 @@ from pyspark.sql import functions as F
 # first-N output is salt-invariant for any shard count >= 1.
 _CAP_SHARDS = 32
 
+#: block count = BLOCK_OVERSUBSCRIPTION * cap_shards for the segmented
+#: window family (sessionize / segwin / seglead).  r11 shipped 4x to
+#: smooth balls-into-bins collisions when (key, block) hash-shuffles;
+#: the r12 interleaved k=64 sweep (SCALING.md §4.1) measured 8x
+#: consistently ~25% faster (3.0-3.5 s vs 4.7-5.2 s hot wall at 256 vs
+#: 128 blocks on local[32]) — smaller per-task sorts beat the extra
+#: per-group overhead until ~512 blocks, after which group overhead
+#: wins (512: 3.5-3.9 s, 1024: 4.7-5.0 s).  Carry/heads tables stay
+#: bounded by n_blocks x depth rows per spanning key.
+BLOCK_OVERSUBSCRIPTION = 8
+
 # over-cap key sets up to this size route through driver-held literal
 # isin predicates (pushable, join-free); larger sets — only reachable
 # when cap << corpus/keys, i.e. a deliberately tiny cap on a wide
