@@ -304,6 +304,19 @@ def main() -> None:
         "embed_quantize_sq8",  # range stats collect at construction (r4)
         "sample_kcenter",  # k greedy farthest-point rounds at construction (r5)
         "sim_ivf_recall",  # k-means fit collects at construction (r6)
+        # r12 accounting fix: the count-gated skew/vocabulary routing
+        # runs its detector aggregate at plan CONSTRUCTION (frozen-route
+        # contract) — charge it like every other construction-time job
+        # above.  Adds the detector's wall (~0.1-0.3 s at sf0.1) to each
+        # of these ids relative to r11's numbers; stated here so
+        # round-over-round diffs can normalize.
+        "sessionize_events",       # sessionize hot-key gate (r11)
+        "win_moving_avg",          # segwin hot-key gate (r11)
+        "funnel_strict_order",     # seglead hot-key gate (r12)
+        "seq_count",               # seglead hot-key gate (r12)
+        "funnel_steps_capped",     # first_n_per_key cap detector (r10)
+        "interval_max_concurrent", # session_stats -> sessionize gate
+        "interval_length_sum",     # sessionize gate (string keys)
     }
 
     # The parse plane's generated projection is enormous; HotSpot's
