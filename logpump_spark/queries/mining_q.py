@@ -831,19 +831,38 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the quadratic cost there, not the plan."""
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
-    starts = ev.filter(F.col("event_type") == "purchase").select(
-        us.alias("us"), F.lit(1).alias("delta"), F.lit(0).alias("kind")
+    # ONE scan of events (filter pushed to parquet), exploded to sweep
+    # entries: a purchase emits its +1/-1 boundary pair, a click emits
+    # its probe row — vs a 3-branch union that scans the fact 3 times
+    entries = F.when(
+        F.col("event_type") == "purchase",
+        F.array(
+            F.struct(
+                F.col("_us").alias("us"),
+                F.lit(1).alias("delta"),
+                F.lit(0).alias("kind"),
+            ),
+            F.struct(
+                (F.col("_us") + _IVB_LEN_US).alias("us"),
+                F.lit(-1).alias("delta"),
+                F.lit(0).alias("kind"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("_us").alias("us"),
+                F.lit(0).alias("delta"),
+                F.lit(1).alias("kind"),
+            )
+        )
     )
-    ends = ev.filter(F.col("event_type") == "purchase").select(
-        (us + _IVB_LEN_US).alias("us"),
-        F.lit(-1).alias("delta"),
-        F.lit(0).alias("kind"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        us.alias("us"), F.lit(0).alias("delta"), F.lit(1).alias("kind")
-    )
-    bounds = starts.unionAll(ends).unionAll(clicks).withColumn(
-        "bucket", F.expr(f"CAST(us DIV {_IVB_BUCKET_US} AS BIGINT)")
+    bounds = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select(us.alias("_us"), "event_type")
+        .select(F.explode(entries).alias("e"))
+        .select("e.us", "e.delta", "e.kind")
+        .withColumn("bucket", F.expr(f"CAST(us DIV {_IVB_BUCKET_US} AS BIGINT)"))
     )
     # stage 1: per-hour net window-delta (map-side partials, one bounded
     # shuffle); stage 2: exclusive running carry over the hour table
