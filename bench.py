@@ -317,6 +317,7 @@ def main() -> None:
         "funnel_steps_capped",     # first_n_per_key cap detector (r10)
         "interval_max_concurrent", # session_stats -> sessionize gate
         "interval_length_sum",     # sessionize gate (string keys)
+        "seq_next_node",           # seglead hot-key gate (r12)
     }
 
     # The parse plane's generated projection is enormous; HotSpot's

@@ -283,6 +283,61 @@ def sequence_count_adjacent(
     )
 
 
+def sequence_next_node(
+    events: DataFrame,
+    anchor: Column,
+    value_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    hot_key_threshold: int | None = HOT_KEY_THRESHOLD,
+) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward', 'head')`` analog: per
+    user, the ``value_col`` of the event IMMEDIATELY following the
+    user's first ``anchor`` event in the full ordered stream (NULL when
+    that anchor is the user's last event).  Returns (user_col,
+    next_value) for users with at least one anchor event.
+
+    Same bounded-lookahead family as ``sequence_count_adjacent`` — one
+    lead(1) over one user-partitioned sort; a hot key routes through
+    ``seglead.lead_ints_segmented`` (count-gated, exact) and the
+    earliest anchor is then picked by a skew-proof min(struct(blk, rn,
+    value)) aggregate instead of a per-key row_number window."""
+    from pyspark.sql import Window as W
+
+    d = events.select(user_col, ts_col, tiebreak_col, value_col)
+    segmented = (
+        hot_key_threshold is not None
+        and not over_threshold_keys(d, hot_key_threshold, user_col).isEmpty()
+    )
+    if segmented:
+        led = lead_ints_segmented(
+            d, value_col, 1, user_col, ts_col, tiebreak_col, out_prefix="_nn"
+        )
+        anchors = led.filter(anchor)
+        m = anchors.groupBy(user_col).agg(
+            F.min(
+                F.struct(
+                    F.col("_sl_blk"),
+                    F.col("_sl_rn"),
+                    F.col("_nn1").alias("nx"),
+                )
+            ).alias("m")
+        )
+        return m.select(user_col, F.col("m.nx").alias("next_value"))
+
+    w = W.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    led = d.withColumn("_nn1", F.lead(value_col).over(w))
+    anchors = led.filter(anchor)
+    return (
+        anchors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(user_col, F.col("_nn1").alias("next_value"))
+    )
+
+
 def window_funnel_strict_dedup(
     events: DataFrame,
     steps: list[Column],

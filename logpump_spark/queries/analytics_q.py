@@ -483,17 +483,19 @@ def seq_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup in the full ordered stream (NULL when the signup is the
     user's last event) — the path-analysis primitive behind "what do
     users do right after X".  Same shape as seq_count: lead() over one
-    user-partitioned sort, then a second row_number pass over the SAME
-    sort (filter preserves it — no extra shuffle) to keep only the
-    earliest anchor; per-row state is one label."""
+    user-partitioned sort, then (plain route) a second row_number pass
+    over the SAME sort to keep only the earliest anchor; per-row state
+    is one label.  r12: expressed through
+    ``operators/funnel.py:sequence_next_node`` — a hot key routes the
+    lead(1) through the exact segmented path and the anchor pick
+    becomes a skew-proof min(struct) aggregate (count-gated; the
+    driver fixture is uniform, so this plan compiles plain)."""
+    from ..operators.funnel import sequence_next_node
+
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    d = ev.withColumn("nxt", F.lead("event_type").over(w))
-    anchors = d.filter(F.col("event_type") == "signup")
-    return (
-        anchors.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("nxt").alias("next_event_type"))
+    out = sequence_next_node(ev, F.col("event_type") == "signup")
+    return out.select(
+        "user_id", F.col("next_value").alias("next_event_type")
     )
 
 

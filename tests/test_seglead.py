@@ -195,3 +195,33 @@ def test_segmented_equals_plain_in_sampled_bounds_regime(spark):
     assert sorted(map(tuple, got2.collect())) == sorted(
         map(tuple, want2.collect())
     )
+
+
+def test_sequence_next_node_segmented_equals_plain(spark):
+    from logpump_spark.operators.funnel import sequence_next_node
+
+    df = _mk(spark, _rand(11, hot_rows=500))
+    anchor = F.col("et") == "a"
+    got = sequence_next_node(df, anchor, value_col="et", hot_key_threshold=50)
+    want = sequence_next_node(df, anchor, value_col="et", hot_key_threshold=None)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # gate: uniform corpus compiles the plain plan
+    cold = _mk(spark, _rand(12, hot_rows=0))
+    out = sequence_next_node(cold, anchor, value_col="et")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in plan
+
+
+def test_sequence_next_node_null_when_anchor_is_last(spark):
+    from logpump_spark.operators.funnel import sequence_next_node
+
+    rows = [(1, T0, 5, "a")]  # single anchor event, nothing after
+    rows += [(i + 10, T0 + dt.timedelta(seconds=i), 6, "a") for i in range(60)]
+    rows += [(999, T0 + dt.timedelta(seconds=999), 6, "b")]
+    df = _mk(spark, rows)
+    out = {r.user_id: r.next_value
+           for r in sequence_next_node(df, F.col("et") == "a",
+                                       value_col="et",
+                                       hot_key_threshold=30).collect()}
+    assert out[5] is None       # anchor is the user's last event
+    assert out[6] == "a"        # first anchor's successor, not the b tail
