@@ -454,12 +454,15 @@ def sign_bits_col(vec_col: str, n_bits: int) -> Column:
     """First ``n_bits`` sign bits of the vector as a '01' string —
     SRP-LSH with axis-aligned hyperplanes, exactly portable to any
     engine (sign of a stored float has no rounding modes).  A NULL
-    vector (or NULL element) yields '0' bits in BOTH engines: Spark's
-    otherwise() and SQL's CASE both take the else-branch on a NULL
-    condition."""
+    vector (or NULL/missing element) yields '0' bits in BOTH engines:
+    Spark's otherwise() and SQL's CASE both take the else-branch on a
+    NULL condition.  F.get (0-based), NOT element_at: under the ANSI
+    default a vector shorter than ``n_bits`` dims would make
+    element_at THROW where DuckDB's list index returns NULL; get is
+    NULL out of bounds in both modes."""
     return F.concat(
         *[
-            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(
+            F.when(F.get(F.col(vec_col), i) >= 0, F.lit("1")).otherwise(
                 F.lit("0")
             )
             for i in range(n_bits)

@@ -252,3 +252,31 @@ FROM joined GROUP BY 1 ORDER BY 1
         got["n_clicks_covered"].astype("int64").values
         == want["n_clicks_covered"].astype("int64").values
     ).all()
+
+
+def test_sign_bits_short_vector_matches_duckdb_under_ansi(spark):
+    # vectors SHORTER than the 16-bit budget: F.get returns NULL out of
+    # bounds in both ANSI modes (element_at would THROW under the
+    # vanilla driver's ANSI default), and DuckDB's list index returns
+    # NULL — both engines emit '0' bits for the missing dims
+    from logpump_spark.llmdata.similarity import sign_bits_col
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", sign_bits_col("embedding", 16).alias("b")
+        ).collect()
+    }
+    assert got[1] == "10" + "0" * 14
+    assert got[2] == "0" * 16
+    from logpump_spark.queries.llm_q import _sign_bits_sql
+
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame({"vec_id": [1], "embedding": [[1.0, -2.0]]}))
+    want = con.execute(
+        f"SELECT {_sign_bits_sql('embedding', 16)} AS b FROM e"
+    ).fetchone()[0]
+    assert want == got[1]
