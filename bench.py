@@ -318,6 +318,7 @@ def main() -> None:
         "interval_max_concurrent", # session_stats -> sessionize gate
         "interval_length_sum",     # sessionize gate (string keys)
         "seq_next_node",           # seglead hot-key gate (r12)
+        "win_running_distinct",    # running-distinct gate (r12)
     }
 
     # The parse plane's generated projection is enormous; HotSpot's

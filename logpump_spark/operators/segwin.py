@@ -9,9 +9,12 @@ needs at most k-1 rows from earlier blocks, so a hot key's window can
 be range-split into blocks, computed block-locally, and patched at
 block heads from a tiny carry table — EXACT, like the sessionize
 rebuild, not an approximation.  (r12: the lead() chains got the same
-treatment with the carry direction reversed — ``seglead.py``; only
-running distinct, whose per-row state is the full preceding value
-set, genuinely needs an unbounded carry and stays cap-guarded.)
+treatment with the carry direction reversed — ``seglead.py`` — and
+running distinct decomposes into first-occurrence flags + the generic
+``prefix_sum_segmented`` below, so even the family's "unbounded value
+set" has a bounded-carry exact form; its default threshold is set
+where the balanced path's value is availability rather than latency —
+see ``RUNNING_DISTINCT_HOT_THRESHOLD``.)
 
 Carry correctness: each block contributes its last k-1 rows (fewer if
 the block is smaller) to a per-key, block-ordered tail table.  For any
@@ -197,3 +200,199 @@ def _moving_segmented(
             "_mw_c_key", "_mw_c_blk", "_mw_lookback",
         )
     )
+
+
+def prefix_sum_segmented(
+    df: DataFrame,
+    flag_col: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Generic EXACT segmented per-key running sum of a NON-NULL
+    integral column in (ts, id) order — the machinery under
+    sessionize's session numbering, exposed for flag-decomposed
+    analytics (running distinct = running sum of first-occurrence
+    flags).  The cross-block carry is ONE number per (key, block)
+    (the block's flag sum), so a hot key's prefix scan splits
+    n_blocks ways with a bounded carry table — the same two-stage
+    parallel scan as sessionize, minus the gap logic.
+
+    Unlike sessionize (whose duplicated carry-join subtree is just a
+    raw scan + range exchange), this generic function takes ARBITRARY
+    upstream plans — running_distinct feeds it a corpus-wide flag
+    window — so recomputing the subtree in both join branches doubles
+    real work.  The ranged frame is therefore localCheckpoint'ed: both
+    branches read one materialized RDD (measured at 6.3M hot rows:
+    11.8 s with the duplicated flag window -> 6.4 s checkpointed), and
+    the checkpoint also pins ONE block assignment outright, removing
+    the sampled-range determinism dependency for this operator (the
+    eager job at build time is the same frozen-route contract as the
+    count gates).  Pinned ≡ plain in the sampled-bounds regime by
+    tests/test_running_distinct.py."""
+    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    ranged = (
+        df.repartitionByRange(n_blocks, F.col(key_col).asc(), *order)
+        .withColumn("_ps_blk", F.spark_partition_id())
+        .localCheckpoint()
+    )
+
+    w_blk = W.partitionBy(key_col, "_ps_blk").orderBy(*order)
+    local = ranged.withColumn(
+        "_ps_cum",
+        F.sum(flag_col).over(w_blk.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    summ = local.groupBy(key_col, "_ps_blk").agg(
+        F.sum(flag_col).alias("_ps_nb")
+    )
+    w_c = W.partitionBy(key_col).orderBy("_ps_blk")
+    carry = summ.withColumn(
+        "_ps_carry",
+        F.coalesce(
+            F.sum("_ps_nb").over(w_c.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(
+        F.col(key_col).alias("_ps_c_key"),
+        F.col("_ps_blk").alias("_ps_c_blk"),
+        "_ps_carry",
+    )
+    joined = local.join(
+        carry,
+        F.col(key_col).eqNullSafe(F.col("_ps_c_key"))
+        & (F.col("_ps_blk") == F.col("_ps_c_blk")),
+        "left",
+    )
+    return joined.withColumn(
+        out_col, (F.col("_ps_carry") + F.col("_ps_cum")).cast("long")
+    ).drop("_ps_blk", "_ps_cum", "_ps_c_key", "_ps_c_blk", "_ps_carry")
+
+
+#: running_distinct's segmented gate sits far above the family's 1M
+#: default: interleaved k=64/k=128 hot twins measured the segmented
+#: route 1.3-1.7x SLOWER than the plain two-window form (6.3M: ~11-13
+#: vs ~8-12 s; 12.7M: ~22-38 vs ~17-22 s) — the per-(key, value) flag
+#: window costs the same in both routes, and plain's one single-task
+#: running-sum sort is cheaper than range+block+carry until the key is
+#: far larger.  The segmented path's value here is AVAILABILITY, not
+#: latency: past ~25M rows a single-task sort threatens task
+#: memory/time budgets outright, while the balanced path is bounded at
+#: any key size.  Engage it only there.
+RUNNING_DISTINCT_HOT_THRESHOLD = 25_000_000
+
+
+def running_distinct(
+    df: DataFrame,
+    value_col: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "n_distinct",
+    hot_key_threshold: int | None = RUNNING_DISTINCT_HOT_THRESHOLD,
+) -> DataFrame:
+    """Per-key running DISTINCT count of ``value_col`` in (ts, id)
+    order — the shape SCALING.md §4.1 carried as "genuinely unbounded
+    carry" through r11.  r12 re-frames it: the VALUE-SET carry was an
+    artifact of the naive formulation; decomposed as first-occurrence
+    flags + a running flag sum, every carry is bounded —
+
+    - first flags: per-(key, value) min((ts, id)) is a grouped
+      aggregate (map-side partials fold a hot (key, value) locally),
+      joined back null-safely and compared — no per-(key, value)
+      window, so even one dominant VALUE under a hot key cannot
+      single-task (AQE skew-split applies to the join);
+    - running sum: ``prefix_sum_segmented`` (one number per block
+      carried).
+
+    Count-gated TWO levels (both at plan-build time, frozen-route
+    contract): a key over the threshold routes the running sum through
+    the segmented prefix scan; the flag pass keeps the per-(key, value)
+    window — a hot KEY splits across its values there, so it only
+    single-tasks when one (key, value) PAIR itself exceeds 4x the
+    threshold, and only then does the flag pass switch to the grouped
+    min-aggregate + null-safe join back (a full corpus join — measured
+    ~2 s dearer at 6.3M rows, so it must not be the default).
+
+    UNLIKE sessionize/segwin/seglead, the segmented route here is NOT
+    a measured latency win at probe scales (see
+    RUNNING_DISTINCT_HOT_THRESHOLD) — it is the exact bounded-cost
+    path for keys too large for any single-task sort, and the default
+    threshold engages it only there.  (ts, id) must uniquely identify
+    a row within its (key, value) group — the same tiebreak contract
+    as every ordered operator here."""
+    flag_true = F.lit(1).cast("long")
+    flag_false = F.lit(0).cast("long")
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    segmented = (
+        hot_key_threshold is not None
+        and not over_threshold_keys(df, hot_key_threshold, key_col).isEmpty()
+    )
+
+    def _window_flags() -> DataFrame:
+        w_first = W.partitionBy(key_col, value_col).orderBy(*order)
+        return df.withColumn(
+            "_rd_first",
+            F.when(F.row_number().over(w_first) == 1, flag_true).otherwise(
+                flag_false
+            ),
+        )
+
+    if not segmented:
+        w_run = (
+            W.partitionBy(key_col)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            _window_flags()
+            .withColumn(out_col, F.sum("_rd_first").over(w_run).cast("long"))
+            .drop("_rd_first")
+        )
+
+    # level 2: is any single (key, value) PAIR itself over 4x the
+    # threshold?  (bounded detector, same map-side-partials shape.)
+    # 4x, not 1x: the window route's cost is one single-task rank of
+    # the LARGEST PAIR, the join route's is a full corpus shuffle join
+    # — measured at 6.3M rows the join is ~2 s dearer than ranking
+    # 1.26M-row pairs, so the pair must be several times the key
+    # threshold before the join wins
+    kv_hot = not (
+        df.groupBy(key_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_rd_c"))
+        .filter(F.col("_rd_c") > 4 * hot_key_threshold)
+        .isEmpty()
+    )
+    if not kv_hot:
+        flagged = _window_flags()
+    else:
+        # min((ts, id)) struct per (key, value): NULL ts FIELD sorts
+        # first, matching the window's asc NULLS FIRST (segwin
+        # precedent); join back null-safely (NULL value is a distinct
+        # bucket, exactly like the window's NULL partition)
+        mins = df.groupBy(key_col, value_col).agg(
+            F.min(
+                F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"))
+            ).alias("_rd_m")
+        )
+        flagged = df.join(
+            mins.select(
+                F.col(key_col).alias("_rd_k"),
+                F.col(value_col).alias("_rd_v"),
+                "_rd_m",
+            ),
+            F.col(key_col).eqNullSafe(F.col("_rd_k"))
+            & F.col(value_col).eqNullSafe(F.col("_rd_v")),
+            "left",
+        ).withColumn(
+            "_rd_first",
+            F.when(
+                F.col(ts_col).eqNullSafe(F.col("_rd_m.t"))
+                & F.col(id_col).eqNullSafe(F.col("_rd_m.i")),
+                flag_true,
+            ).otherwise(flag_false),
+        ).drop("_rd_k", "_rd_v", "_rd_m")
+    return prefix_sum_segmented(
+        flagged, "_rd_first", key_col, ts_col, id_col, out_col
+    ).drop("_rd_first")

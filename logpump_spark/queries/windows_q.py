@@ -285,25 +285,26 @@ ORACLE_SQL["win_pct_of_total"] = _WIN_PCT_SQL
 def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running DISTINCT count per user over event time — the classic
     hard-in-SQL analytic, expressed scalably: mark each (user, type)'s
-    FIRST occurrence with one row_number window, then a running sum of
-    first-occurrence flags gives the distinct-so-far — two windows on
-    the same user partitioning, state O(1) per row (never a
-    collect_set that grows with history).  Sampled to every user's
-    last event per day to keep the checked result bounded."""
+    FIRST occurrence, then a running sum of first-occurrence flags
+    gives the distinct-so-far — state O(1) per row (never a
+    collect_set that grows with history).  r12: expressed through
+    ``operators/segwin.py:running_distinct`` — a hot key routes the
+    flag pass through a grouped min-aggregate + join (no per-(key,
+    value) window to single-task) and the running sum through the
+    generic segmented prefix scan; the uniform driver fixture compiles
+    the classic two-window plain plan.  This closes SCALING.md §4.1's
+    last cap-only shape: the "unbounded value-set carry" was an
+    artifact of the naive formulation.  Sampled to every user's last
+    event per day to keep the checked result bounded."""
+    from ..operators.segwin import running_distinct
+
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     base = ev.select("user_id", "event_type", us.alias("us"), "event_id")
-    w_first = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
-    w_run = (
-        W.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
     w_day = W.partitionBy("user_id", F.to_date(F.timestamp_micros(F.col("us"))))
-    flagged = base.withColumn(
-        "is_first", (F.row_number().over(w_first) == 1).cast("long")
+    running = running_distinct(
+        base, "event_type", ts_col="us", out_col="n_distinct_types"
     )
-    running = flagged.withColumn("n_distinct_types", F.sum("is_first").over(w_run))
     last_of_day = running.withColumn(
         "mx", F.max(F.struct(F.col("us"), F.col("event_id"))).over(w_day)
     ).filter((F.col("us") == F.col("mx.us")) & (F.col("event_id") == F.col("mx.event_id")))

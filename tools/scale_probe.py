@@ -250,16 +250,24 @@ def _hot_shapes():
         )
 
     def running_distinct(ev):
-        w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-        w_run = (
-            W.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        flagged = ev.withColumn(
-            "is_first", (F.row_number().over(w_first) == 1).cast("long")
-        )
-        return flagged.withColumn("nd", F.sum("is_first").over(w_run))
+        # r12: the production operator — its 25M default threshold
+        # stays PLAIN on every probe twin (measured: segmented is the
+        # availability path, not a latency win; see segwin.py)
+        from logpump_spark.operators.segwin import running_distinct as op
+
+        return op(ev, "event_type", out_col="nd")
+
+    def running_distinct_seg(ev):
+        # forced-segmented control: states the measured cost of the
+        # bounded-availability route at the probe's key sizes
+        from logpump_spark.operators.segwin import running_distinct as op
+
+        return op(ev, "event_type", out_col="nd", hot_key_threshold=1_000_000)
+
+    def running_distinct_plain(ev):
+        from logpump_spark.operators.segwin import running_distinct as op
+
+        return op(ev, "event_type", out_col="nd", hot_key_threshold=None)
 
     def sessionize(ev):
         # the exact operator production runs — measuring a hand-rolled
@@ -322,6 +330,8 @@ def _hot_shapes():
         "moving_avg_capped_10k": moving_avg_capped,
         "moving_avg_segmented": moving_avg_segmented,
         "running_distinct": running_distinct,
+        "running_distinct_seg": running_distinct_seg,
+        "running_distinct_plain": running_distinct_plain,
         "sessionize": sessionize,
         "sessionize_plain": sessionize_plain,
         "union_length": union_length,
