@@ -319,6 +319,7 @@ def main() -> None:
         "interval_length_sum",     # sessionize gate (string keys)
         "seq_next_node",           # seglead hot-key gate (r12)
         "win_running_distinct",    # running-distinct gate (r12)
+        "sim_neardup",             # sub-cell vocabulary detector (r12)
     }
 
     # The parse plane's generated projection is enormous; HotSpot's

@@ -302,10 +302,17 @@ def sequence_next_node(
     lead(1) over one user-partitioned sort; a hot key routes through
     ``seglead.lead_ints_segmented`` (count-gated, exact) and the
     earliest anchor is then picked by a skew-proof min(struct(blk, rn,
-    value)) aggregate instead of a per-key row_number window."""
+    value)) aggregate instead of a per-key row_number window.
+
+    ``anchor`` may reference ANY column of ``events``: it is evaluated
+    on the full frame into a flag BEFORE the narrow-row projection the
+    segmented sort rides (the projection is the family's
+    ~30-bytes/row discipline, not an input restriction)."""
     from pyspark.sql import Window as W
 
-    d = events.select(user_col, ts_col, tiebreak_col, value_col)
+    d = events.withColumn("_nn_anchor", anchor).select(
+        user_col, ts_col, tiebreak_col, value_col, "_nn_anchor"
+    )
     segmented = (
         hot_key_threshold is not None
         and not over_threshold_keys(d, hot_key_threshold, user_col).isEmpty()
@@ -314,7 +321,7 @@ def sequence_next_node(
         led = lead_ints_segmented(
             d, value_col, 1, user_col, ts_col, tiebreak_col, out_prefix="_nn"
         )
-        anchors = led.filter(anchor)
+        anchors = led.filter(F.col("_nn_anchor"))
         m = anchors.groupBy(user_col).agg(
             F.min(
                 F.struct(
@@ -330,7 +337,7 @@ def sequence_next_node(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
     led = d.withColumn("_nn1", F.lead(value_col).over(w))
-    anchors = led.filter(anchor)
+    anchors = led.filter(F.col("_nn_anchor"))
     return (
         anchors.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

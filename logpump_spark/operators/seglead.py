@@ -49,6 +49,7 @@ def lead_ints_segmented(
     ts_col: str = "ts",
     id_col: str = "event_id",
     out_prefix: str = "nxt",
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """Attach ``{out_prefix}{j}`` = lead(``value_col``, j) for j in
     1..depth over the GLOBAL per-key (ts, id) order, computed with the
@@ -59,7 +60,19 @@ def lead_ints_segmented(
     frame — a lexicographic (blk, rn) pair that is monotone in the
     global per-key sort order, so callers can pick per-key "first" rows
     with a skew-proof min(struct(...)) aggregate instead of a per-key
-    window; callers drop them when done."""
+    window; callers drop them when done.
+
+    DUAL-CONSUMPTION NOTE: the heads carry and the local-lead branch
+    both embed the ranged subtree, which column pruning keeps from
+    ReusedExchange — so an EXPENSIVE upstream plan is computed twice
+    (exactness still holds: Spark's range sampler is deterministic
+    given identical child data, pinned in the sampled-bounds regime by
+    tests/test_seglead.py).  The in-repo callers feed raw-scan
+    projections where recompute is cheaper than materialization
+    (measured in segwin.prefix_sum_segmented's twin case); external
+    callers with windowed/joined upstreams should pass
+    ``checkpoint_input=True`` to materialize the ranged frame once —
+    which also pins one block assignment outright."""
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
@@ -67,6 +80,8 @@ def lead_ints_segmented(
     ranged = df.repartitionByRange(
         n_blocks, F.col(key_col).asc(), *order
     ).withColumn("_sl_blk", F.spark_partition_id())
+    if checkpoint_input:
+        ranged = ranged.localCheckpoint()
 
     w_blk = W.partitionBy(key_col, "_sl_blk").orderBy(*order)
     w_full = w_blk.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)

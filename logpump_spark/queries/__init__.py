@@ -78,12 +78,14 @@ _MODULES = (
 # funnel_strict_order and seq_count), then the staleness rotation the
 # r11 verdict ordered: the 6 remaining ROUND-5 ids, all 36 remaining
 # round-6 ids (join_interval_bucketed's r6 slot is covered by its
-# changed-id seat), and the 4 oldest round-7 ids.  After this round
+# changed-id seat), and the 2 oldest round-7 ids.  After this round
 # the staleness floor rises from r5 to r7.
 _WINDOW_PRIORITY = [
     # r12 code changes — densifier vocabulary scaling + segmented leads
+    # + the seq_next_node / running-distinct operator rewires
     "sim_neardup", "dedup_semantic", "join_interval_bucketed",
-    "funnel_strict_order", "seq_count",
+    "funnel_strict_order", "seq_count", "seq_next_node",
+    "win_running_distinct",
     # last driver-green r5: the full remaining cohort
     "timeseries_gaps", "timeseries_ohlc", "training_prepare",
     "trending_topk", "udtf_sentences", "win_ntile",
@@ -100,8 +102,7 @@ _WINDOW_PRIORITY = [
     "tpch_q22_global_sales", "tpch_q4_priority", "win_pct_of_total",
     "xform_duration", "xform_event_time",
     # oldest r7 ids fill the remaining seats
-    "agg_approx_percentile", "agg_minmax_map", "agg_uniq_upto",
-    "corpus_vocab",
+    "agg_approx_percentile", "agg_minmax_map",
 ]
 
 

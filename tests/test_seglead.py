@@ -225,3 +225,27 @@ def test_sequence_next_node_null_when_anchor_is_last(spark):
                                        hot_key_threshold=30).collect()}
     assert out[5] is None       # anchor is the user's last event
     assert out[6] == "a"        # first anchor's successor, not the b tail
+
+
+def test_checkpoint_input_variant_equals_plain(spark):
+    # external-caller path: materialized ranged frame, same results
+    d = _with_lbl(_mk(spark, _rand(14, hot_rows=300)))
+    got = lead_ints_segmented(d, "lbl", 2, checkpoint_input=True)
+    want = _plain_leads(d, 2)
+    assert _collect_leads(got, 2) == _collect_leads(want, 2)
+
+
+def test_sequence_next_node_anchor_may_reference_any_column(spark):
+    # the anchor predicate is evaluated BEFORE the narrow-row
+    # projection, so it may use columns the sort never carries
+    from logpump_spark.operators.funnel import sequence_next_node
+
+    rows = [(i, T0 + dt.timedelta(seconds=i), 1 if i < 60 else 2, "a")
+            for i in range(80)]
+    df = _mk(spark, rows).withColumn(
+        "page", F.when(F.col("event_id") % 7 == 0, "/checkout").otherwise("/")
+    )
+    out = sequence_next_node(
+        df, F.col("page") == "/checkout", value_col="et", hot_key_threshold=30
+    )
+    assert out.count() == 2  # both users have a /checkout anchor
