@@ -312,6 +312,17 @@ def _ivf_topk_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_STD_CACHE:
         emb = load(spark, sf_dir, "embeddings")
+        # nlist stays the FIXED standard config — a corpus-derived
+        # nlist was built and MEASURED in r12 (sqrt rule, oracle-
+        # replayed like SemDeDup's k) and REJECTED: at the 10x decade
+        # the Lloyd fit's extra driver-side passes cost more than the
+        # smaller probe scan saved (warm 2.6 s fixed-8 vs 4.8 s
+        # derived-50; decade reading 4.1x -> 7.0x).  IVF has no
+        # quadratic pair scan for a growing vocabulary to rescue —
+        # per-query probe cost ~ nprobe*n/nlist is linear either way —
+        # so nlist is a deployment TUNING knob (retune with nprobe per
+        # corpus, recall read off sim_ivf_recall), not a derived
+        # parameter.  SCALING.md §10.1 records the experiment.
         _IVF_STD_CACHE[key] = ivf_topk(
             emb, _QUERY_IDS, k=5, n_cells=_IVF_CELLS, iters=_IVF_ITERS,
             nprobe=_IVF_NPROBE,
