@@ -164,6 +164,8 @@ def fit_ivf(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_stride: int = 1,
+    fit_offset: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the IVF coarse quantizer: ``iters`` Lloyd iterations over the
     quantized embeddings, init = the ``n_cells`` smallest-id vectors
@@ -174,20 +176,39 @@ def fit_ivf(
     All arithmetic is exact-integer (sums) or a single floored double
     division (the mean), so any engine replays to identical centroids.
 
+    ``fit_stride`` > 1 (r13) fits the centroids on the DETERMINISTIC
+    modulo sample ``(id - fit_offset) % fit_stride == 0`` instead of
+    the full corpus — the FINAL assignment still covers every vector,
+    so only the Lloyd window shrinks (iters x sample x k instead of
+    iters x n x k).  The sample is a pure function of row ids, so any
+    engine replays it; callers pass ``fit_offset`` = the corpus MIN id
+    so the sample is non-empty by construction.  The sampled fit frame
+    is bounded (~n/stride rows; callers derive stride so this is
+    ~constant), so it is localCheckpointed once and the init + every
+    iteration read it instead of rescanning the corpus.  Ids must be
+    integral when ``fit_stride`` > 1.
+
     Scale shape (MLlib-style): centroids live on the DRIVER between
     iterations — they are tiny (n_cells x dim longs) and
     cardinality-BOUNDED, so the per-iteration collect is safe at any
-    corpus size.  Each Lloyd iteration is ONE fused corpus pass
-    (mapInPandas: numpy assignment + per-batch partial sums, k*dim rows
-    out per batch) followed by a k*dim-row final aggregation — no
-    corpus crossJoin, no posexplode shuffle of corpus*dim rows, no
+    corpus size.  Each Lloyd iteration is ONE fused pass over the fit
+    frame (mapInPandas: numpy assignment + per-batch partial sums,
+    k*dim rows out per batch) followed by a k*dim-row final aggregation
+    — no corpus crossJoin, no posexplode shuffle of corpus*dim rows, no
     interpreted per-element arithmetic, and no lazily recursive plan
     that replays prior iterations per action (the round-2/3 perf
     regression).  Init is a distributed TakeOrdered top-k, not a global
     sort.  Empty cells drop out (standard Lloyd)."""
     spark = emb.sparkSession
+    fit_emb = emb
+    if fit_stride > 1:
+        fit_emb = emb.filter(
+            (F.col(id_col) - F.lit(fit_offset)) % F.lit(fit_stride) == 0
+        ).localCheckpoint(eager=False)
     init = (
-        emb.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("q"))
+        fit_emb.select(
+            F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("q")
+        )
         .orderBy("_id")
         .limit(n_cells)
         .collect()
@@ -205,7 +226,7 @@ def fit_ivf(
         return empty, _cent_df([])
 
     cent_rows = [(cid, list(r.q)) for cid, r in enumerate(init)]
-    vec_only = emb.select(F.col(vec_col))
+    vec_only = fit_emb.select(F.col(vec_col))
     for _ in range(iters):
         cids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
         C = np.array([list(c) for _, c in cent_rows], dtype=np.int64)
@@ -620,6 +641,22 @@ SEMANTIC_CELL_TARGET = 250
 SEMANTIC_CELLS_MIN = 8
 SEMANTIC_CELLS_MAX = 4096
 
+#: SemDeDup fit-sample budget: the Lloyd fit runs on ~FIT_PER_CELL
+#: vectors per derived cell (r13) instead of the full corpus, cutting
+#: the fit window from iters*n*k to iters*(64k)*k — with the 4096 cell
+#: clamp the fit frame is bounded at ~262k vectors at ANY corpus size,
+#: retiring the "Lloyd is n*k until the clamp" residual (r12 verdict).
+#: The final assignment still covers every vector (one n*k pass).
+SEMANTIC_FIT_PER_CELL = 64
+
+
+def semantic_fit_stride(n_rows: int, n_cells: int) -> int:
+    """Derived modulo stride for the SemDeDup fit sample: fit on ids
+    with ``(id - min_id) % stride == 0`` — expected sample ~= 64 * k
+    vectors.  Exact integer arithmetic from the same corpus count that
+    derives k, so the DuckDB oracle replays it in SQL."""
+    return max(1, n_rows // (SEMANTIC_FIT_PER_CELL * n_cells))
+
 
 def semantic_n_cells(n_rows: int) -> int:
     """Derived k for ``semantic_dedup``: exact integer ceil(n/TARGET),
@@ -666,14 +703,26 @@ def semantic_dedup(
     k=8 read 12.2x at the 10x decade, SCALING.md §10).  The count is
     deterministic, so the SQL oracle replays the derivation; the count
     job runs at plan-BUILD time (the same frozen-route contract as the
-    skew guards, README Design positions).  Lloyd cost is n*k*dims per
-    iteration — with k ~ n/250 that is formally quadratic, but at
-    4.1 GFLOP-per-million-rows it stays minor next to the pair scan
-    until k hits the 4096 clamp, after which assignment is linear again
-    and cells densify (the cap bounds that tail)."""
+    skew guards, README Design positions).  r13: the same job also
+    derives a modulo FIT SAMPLE (``semantic_fit_stride`` — ~64 vectors
+    per cell, offset at the corpus min id so it is non-empty), so the
+    Lloyd fit is bounded at ~262k vectors at any corpus size instead
+    of n*k until the clamp; only the single final assignment pass
+    touches every vector.  Explicit ``n_cells`` keeps the full-corpus
+    fit (back-compat; callers sizing k themselves can sample via
+    ``fit_ivf`` directly).  Ids must be integral for the derived-k
+    route."""
+    fit_stride, fit_offset = 1, 0
     if n_cells is None:
-        n_cells = semantic_n_cells(emb.count())
-    cells, _ = fit_ivf(emb, n_cells, iters, id_col, vec_col)
+        stats = emb.agg(
+            F.count(F.lit(1)).alias("n"), F.min(id_col).alias("mn")
+        ).first()
+        n_cells = semantic_n_cells(stats.n)
+        fit_stride = semantic_fit_stride(stats.n, n_cells)
+        fit_offset = stats.mn if stats.mn is not None else 0
+    cells, _ = fit_ivf(
+        emb, n_cells, iters, id_col, vec_col, fit_stride, fit_offset
+    )
     withc = emb.join(cells, id_col).select(id_col, "cell", vec_col)
     # apply the cell cap to the OUTPUT set too, not just the pair scan:
     # vectors beyond the cap were never compared to anything, so leaving

@@ -24,12 +24,12 @@ the remainder is a prefix of block b+2's head, which carries them too
 the key's next ``depth`` rows.  The heads table is bounded by
 n_blocks x depth rows per key; the lookahead arrays by the same.
 
-Block ids come from the same native sampled range repartition as
-sessionize, with the same BLOCK-ASSIGNMENT DETERMINISM CONTRACT (both
-consumers of the ranged frame must observe one assignment — see
-operators/sessionize.py; pinned in the sampled-bounds regime by
-tests/test_seglead.py).  Routing is count-gated at plan-BUILD time
-like every skew guard (frozen-route contract, README Design
+Block ids come from the same materialized range repartition as
+sessionize (``skewguard.ranged_blocks``): the heads carry and the
+local-lead branch both read ONE localCheckpointed assignment, so block
+ids are reuse-independent by construction (r13 — retiring the r12
+sampler-determinism contract).  Routing is count-gated at plan-BUILD
+time like every skew guard (frozen-route contract, README Design
 positions).
 """
 
@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .skewguard import BLOCK_OVERSUBSCRIPTION, cap_shards
+from .skewguard import ranged_blocks
 
 
 def lead_ints_segmented(
@@ -49,7 +49,7 @@ def lead_ints_segmented(
     ts_col: str = "ts",
     id_col: str = "event_id",
     out_prefix: str = "nxt",
-    checkpoint_input: bool = False,
+    materialize_blocks: bool = True,
 ) -> DataFrame:
     """Attach ``{out_prefix}{j}`` = lead(``value_col``, j) for j in
     1..depth over the GLOBAL per-key (ts, id) order, computed with the
@@ -62,26 +62,20 @@ def lead_ints_segmented(
     with a skew-proof min(struct(...)) aggregate instead of a per-key
     window; callers drop them when done.
 
-    DUAL-CONSUMPTION NOTE: the heads carry and the local-lead branch
-    both embed the ranged subtree, which column pruning keeps from
-    ReusedExchange — so an EXPENSIVE upstream plan is computed twice
-    (exactness still holds: Spark's range sampler is deterministic
-    given identical child data, pinned in the sampled-bounds regime by
-    tests/test_seglead.py).  The in-repo callers feed raw-scan
-    projections where recompute is cheaper than materialization
-    (measured in segwin.prefix_sum_segmented's twin case); external
-    callers with windowed/joined upstreams should pass
-    ``checkpoint_input=True`` to materialize the ranged frame once —
-    which also pins one block assignment outright."""
+    ``materialize_blocks=True`` (default, r13): the heads carry and the
+    local-lead branch both consume the ranged frame, so it is
+    localCheckpointed and read once — one block assignment by
+    construction, one upstream scan + shuffle instead of two (cost and
+    the lineage-truncation trade on ``skewguard.ranged_blocks``).
+    ``False`` restores the lazy dual-exchange plan, exact only while
+    both exchanges sample identical bounds — opt-in for callers who
+    manage their own materialization of ``df``."""
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
-    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
-    ranged = df.repartitionByRange(
-        n_blocks, F.col(key_col).asc(), *order
-    ).withColumn("_sl_blk", F.spark_partition_id())
-    if checkpoint_input:
-        ranged = ranged.localCheckpoint()
+    ranged = ranged_blocks(
+        df, key_col, order, "_sl_blk", materialize=materialize_blocks
+    )
 
     w_blk = W.partitionBy(key_col, "_sl_blk").orderBy(*order)
     w_full = w_blk.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)

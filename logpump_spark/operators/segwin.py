@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .sessionize import HOT_KEY_THRESHOLD
-from .skewguard import BLOCK_OVERSUBSCRIPTION, cap_shards, over_threshold_keys
+from .skewguard import over_threshold_keys, ranged_blocks
 
 
 def moving_rows_frame(
@@ -95,21 +95,15 @@ def _moving_segmented(
     id_col: str,
 ) -> DataFrame:
     k1 = frame_rows - 1  # cross-block lookback bound
-    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
 
-    # EXCHANGE-REUSE DEPENDENCY: both the windowed branch and the tails
-    # branch below consume this one ranged frame, and correctness needs
-    # them to observe the SAME block assignment.  RangePartitioner bounds
-    # are sampled, so if an optimizer change ever defeated exchange/stage
-    # reuse the two branches could sample different bounds and silently
-    # disagree on _mw_blk.  tests/test_segwin.py pins exactly ONE range
-    # exchange (a ReusedExchange for the second consumer) in the physical
-    # plan; if that pin ever breaks, persist/localCheckpoint the ranged
-    # frame here instead of relying on reuse.
-    ranged = df.repartitionByRange(
-        n_blocks, F.col(key_col).asc(), *order
-    ).withColumn("_mw_blk", F.spark_partition_id())
+    # r13: the windowed branch and the tails branch both read ONE
+    # materialized block assignment (skewguard.ranged_blocks) — the
+    # same reuse-independence as sessionize/seglead.  Before r13 this
+    # operator leaned on a ReusedExchange plan pin instead; the pin
+    # held, but materializing unifies the family on one mechanism and
+    # removes the upgrade-breaks-reuse failure mode outright.
+    ranged = ranged_blocks(df, key_col, order, "_mw_blk")
 
     w_blk = W.partitionBy(key_col, "_mw_blk").orderBy(*order)
     w_frame = w_blk.rowsBetween(-k1, 0)
@@ -219,25 +213,24 @@ def prefix_sum_segmented(
     n_blocks ways with a bounded carry table — the same two-stage
     parallel scan as sessionize, minus the gap logic.
 
-    Unlike sessionize (whose duplicated carry-join subtree is just a
-    raw scan + range exchange), this generic function takes ARBITRARY
-    upstream plans — running_distinct feeds it a corpus-wide flag
-    window — so recomputing the subtree in both join branches doubles
-    real work.  The ranged frame is therefore localCheckpoint'ed: both
-    branches read one materialized RDD (measured at 6.3M hot rows:
-    11.8 s with the duplicated flag window -> 6.4 s checkpointed), and
-    the checkpoint also pins ONE block assignment outright, removing
-    the sampled-range determinism dependency for this operator (the
-    eager job at build time is the same frozen-route contract as the
-    count gates).  Pinned ≡ plain in the sampled-bounds regime by
-    tests/test_running_distinct.py."""
-    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
+    This generic function takes ARBITRARY upstream plans —
+    running_distinct feeds it a corpus-wide flag window — so
+    recomputing the subtree in both join branches doubles real work.
+    The ranged frame is localCheckpoint'ed (skewguard.ranged_blocks):
+    both branches read one materialized RDD (measured at 6.3M hot
+    rows: 11.8 s with the duplicated flag window -> 6.4 s
+    checkpointed), which also makes the block assignment
+    reuse-independent by construction.  r13 note: the checkpoint is
+    eager=False — AQE still runs the range shuffle when the call plans
+    the frame, but the block persist itself is deferred to the first
+    action.  Fault-tolerance trade (lineage truncation) is stated on
+    ``ranged_blocks``; it matters most here, on the availability route
+    for >25M-row keys where long jobs make executor loss likeliest —
+    on lossy clusters, rerun recovers, or callers can reliable-
+    checkpoint the INPUT and call with the plain route instead.
+    Pinned ≡ plain by tests/test_running_distinct.py."""
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
-    ranged = (
-        df.repartitionByRange(n_blocks, F.col(key_col).asc(), *order)
-        .withColumn("_ps_blk", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    ranged = ranged_blocks(df, key_col, order, "_ps_blk")
 
     w_blk = W.partitionBy(key_col, "_ps_blk").orderBy(*order)
     local = ranged.withColumn(
@@ -306,8 +299,9 @@ def running_distinct(
     - running sum: ``prefix_sum_segmented`` (one number per block
       carried).
 
-    Count-gated TWO levels (both at plan-build time, frozen-route
-    contract): a key over the threshold routes the running sum through
+    Count-gated TWO levels, decided by ONE fused detector job at
+    plan-build time (frozen-route contract; r13 — was two corpus
+    scans): a key over the threshold routes the running sum through
     the segmented prefix scan; the flag pass keeps the per-(key, value)
     window — a hot KEY splits across its values there, so it only
     single-tasks when one (key, value) PAIR itself exceeds 4x the
@@ -325,10 +319,41 @@ def running_distinct(
     flag_true = F.lit(1).cast("long")
     flag_false = F.lit(0).cast("long")
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
-    segmented = (
-        hot_key_threshold is not None
-        and not over_threshold_keys(df, hot_key_threshold, key_col).isEmpty()
-    )
+    # ONE fused detector job serves both gates (r13, was two corpus
+    # scans): per-(key, value) counts roll up to per-key totals and the
+    # max pair in the same aggregation tree, so the hot route's build
+    # cost is one scan.  The kv-level partial agg is marginally dearer
+    # than a key-level count on a cold corpus, but the flag pass
+    # shuffles the full corpus on (key, value) at execution anyway, so
+    # the detector stays a minor fraction of the operator.
+    if hot_key_threshold is None:
+        segmented = False
+        kv_hot = False
+    else:
+        gates = (
+            df.groupBy(key_col, value_col)
+            .agg(F.count(F.lit(1)).alias("_rd_c"))
+            .groupBy(key_col)
+            .agg(
+                F.sum("_rd_c").alias("_rd_kc"),
+                F.max("_rd_c").alias("_rd_mc"),
+            )
+            .agg(
+                F.max("_rd_kc").alias("max_key_rows"),
+                F.max("_rd_mc").alias("max_pair_rows"),
+            )
+            .first()
+        )
+        segmented = (
+            gates is not None
+            and gates.max_key_rows is not None
+            and gates.max_key_rows > hot_key_threshold
+        )
+        kv_hot = (
+            segmented
+            and gates.max_pair_rows is not None
+            and gates.max_pair_rows > 4 * hot_key_threshold
+        )
 
     def _window_flags() -> DataFrame:
         w_first = W.partitionBy(key_col, value_col).orderBy(*order)
@@ -351,19 +376,12 @@ def running_distinct(
             .drop("_rd_first")
         )
 
-    # level 2: is any single (key, value) PAIR itself over 4x the
-    # threshold?  (bounded detector, same map-side-partials shape.)
-    # 4x, not 1x: the window route's cost is one single-task rank of
-    # the LARGEST PAIR, the join route's is a full corpus shuffle join
-    # — measured at 6.3M rows the join is ~2 s dearer than ranking
-    # 1.26M-row pairs, so the pair must be several times the key
-    # threshold before the join wins
-    kv_hot = not (
-        df.groupBy(key_col, value_col)
-        .agg(F.count(F.lit(1)).alias("_rd_c"))
-        .filter(F.col("_rd_c") > 4 * hot_key_threshold)
-        .isEmpty()
-    )
+    # level 2 (decided by the same fused detector above): is any single
+    # (key, value) PAIR itself over 4x the threshold?  4x, not 1x: the
+    # window route's cost is one single-task rank of the LARGEST PAIR,
+    # the join route's is a full corpus shuffle join — measured at 6.3M
+    # rows the join is ~2 s dearer than ranking 1.26M-row pairs, so the
+    # pair must be several times the key threshold before the join wins
     if not kv_hot:
         flagged = _window_flags()
     else:

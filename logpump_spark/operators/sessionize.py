@@ -61,7 +61,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .skewguard import BLOCK_OVERSUBSCRIPTION, cap_shards, over_threshold_keys
+from .skewguard import over_threshold_keys, ranged_blocks
 
 # Per-key row count above which the segmented path engages.  Below
 # ~10^6 rows a single-task sort finishes inside a few seconds (the
@@ -115,20 +115,21 @@ def _sessionize_segmented(
     """Exact session numbering for keys too hot for one task's sort.
 
     1. block id = the partition id of a NATIVE sampled range
-       repartition on the full sort key (key, ts, id) — Spark's
-       RangePartitioner does the quantile sampling and the per-row
-       binary search JVM-side, so blocks are row-balanced (a burst
-       bot's rows spread by COUNT, not wall-clock width) with no
-       per-row interpreted expression and no sketch aggregate.  The
-       first cut of this path used per-key ``percentile_approx``
-       boundaries plus a higher-order ``filter`` per row; the k=64
-       hot twin measured it SLOWER than the plain single-task sort
-       (17.7 s vs 9.2 s) — the 63-quantile sketch over the hot key
-       plus 6.3M x 63 interpreted comparisons cost more than the
-       straggler they removed.  Partition ids are non-decreasing
-       along the lexicographic (key, ts, id) order, so blocks are
-       contiguous segments per key and ties never straddle a block;
-       exact output is block-assignment-invariant anyway.
+       repartition on the full sort key (key, ts, id), MATERIALIZED
+       once (``skewguard.ranged_blocks``) so both consumers below read
+       one assignment — Spark's RangePartitioner does the quantile
+       sampling and the per-row binary search JVM-side, so blocks are
+       row-balanced (a burst bot's rows spread by COUNT, not
+       wall-clock width) with no per-row interpreted expression and no
+       sketch aggregate.  The first cut of this path used per-key
+       ``percentile_approx`` boundaries plus a higher-order ``filter``
+       per row; the k=64 hot twin measured it SLOWER than the plain
+       single-task sort (17.7 s vs 9.2 s) — the 63-quantile sketch
+       over the hot key plus 6.3M x 63 interpreted comparisons cost
+       more than the straggler they removed.  Partition ids are
+       non-decreasing along the lexicographic (key, ts, id) order, so
+       blocks are contiguous segments per key and ties never straddle
+       a block; exact output is block-assignment-invariant anyway.
     2. oversubscribed block count (8x parallelism, measured sweet spot
        — skewguard.BLOCK_OVERSUBSCRIPTION): (key, block) later
        hash-shuffles into shuffle partitions, and with only
@@ -153,30 +154,17 @@ def _sessionize_segmented(
     NULL), and an all-NULL block propagates NULL ``last_us`` so the
     next block's first row also re-starts — each case shared with the
     plain expression, and the property test plants them."""
-    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
-    # BLOCK-ASSIGNMENT DETERMINISM CONTRACT: the carry join below joins
-    # two subtrees that BOTH contain this sampled range exchange, and
-    # column pruning makes them canonically different, so Spark does NOT
-    # plan a ReusedExchange here — each branch runs its own exchange.
-    # Correctness therefore rests on the range sampler being
-    # deterministic given identical child data and partition layout
-    # (empirically true in this Spark version: two independent range
-    # exchanges over the same child assign identical partition ids at
-    # 2M rows / skewed composite keys).  Pinned in the SAMPLED-bounds
-    # regime (corpus larger than the sampler's exhaustive window) by
-    # tests/test_sessionize_segmented.py::
-    # test_segmented_equals_plain_in_sampled_bounds_regime; if that pin
-    # ever breaks, persist/localCheckpoint `withb` instead.
-    withb = (
-        df.repartitionByRange(
-            n_blocks,
-            F.col(user_col).asc(),
-            F.col(ts_col).asc(),
-            F.col(id_col).asc(),
-        )
-        .withColumn("_sz_blk", F.spark_partition_id())
-        .withColumn("_sz_us", F.unix_micros(F.col(ts_col)))
-    )
+    # r13: the carry join's two subtrees read ONE materialized block
+    # assignment (skewguard.ranged_blocks localCheckpoints the ranged
+    # frame) — block ids are reuse-independent by construction, retiring
+    # the r12 sampler-determinism contract.  Cost and the
+    # fault-tolerance trade are stated on the helper.
+    withb = ranged_blocks(
+        df,
+        user_col,
+        [F.col(ts_col).asc(), F.col(id_col).asc()],
+        "_sz_blk",
+    ).withColumn("_sz_us", F.unix_micros(F.col(ts_col)))
 
     w_blk = W.partitionBy(user_col, "_sz_blk").orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()

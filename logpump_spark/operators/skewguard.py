@@ -64,6 +64,55 @@ def cap_shards(df: DataFrame) -> int:
         return _CAP_SHARDS
 
 
+def ranged_blocks(
+    df: DataFrame,
+    key_col: str,
+    order: list,
+    blk_col: str,
+    materialize: bool = True,
+) -> DataFrame:
+    """ONE block assignment for the segmented window family (sessionize
+    / segwin / seglead): range-repartition on the full per-key sort key
+    and stamp the partition id as the block id.  Blocks are contiguous
+    segments of the (key, *order) sort (partition ids are non-decreasing
+    along it) and row-balanced by the RangePartitioner's own sampling —
+    an all-equal-(key, ts) burst still spreads by COUNT because the
+    unique tiebreak id is part of the range key.
+
+    ``materialize=True`` (default, r13) localCheckpoints the frame so
+    every consumer reads ONE materialized assignment.  Every segmented
+    operator joins a per-(key, block) carry back onto the blocked rows,
+    i.e. TWO subtrees consume this frame; un-materialized, column
+    pruning keeps them from ReusedExchange and each branch would run its
+    own sampled range exchange — correctness would then rest on Spark's
+    range sampler being deterministic across independently-planned
+    exchanges, an engine implementation detail (the r12 contract this
+    default retires).  Measured at the k=64 hot twin the checkpoint is
+    wall-NEUTRAL-to-faster: the upstream scan + shuffle runs ONCE
+    instead of twice, which pays for writing the blocks (numbers in
+    SCALING.md §4.1).  Note ``eager=False`` only defers the block
+    persist — AQE still materializes the range shuffle when the
+    checkpoint call plans the frame, so segmented construction runs the
+    shuffle at plan-BUILD time (the same frozen-route contract as the
+    count gates that routed here).
+
+    Fault-tolerance trade (stated, not hidden): localCheckpoint
+    truncates lineage — losing an executor AFTER its blocks
+    materialize fails the job instead of recomputing (rerun recovers).
+    On long multi-hour cluster jobs where loss is likely, callers can
+    pass ``materialize=False`` and provide their own reliable
+    ``checkpoint()`` / replicated persist on the RESULT instead; the
+    un-materialized form is exact only while both exchanges sample
+    identical bounds (the retired contract), so it is opt-in."""
+    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
+    ranged = df.repartitionByRange(
+        n_blocks, F.col(key_col).asc(), *order
+    ).withColumn(blk_col, F.spark_partition_id())
+    if materialize:
+        ranged = ranged.localCheckpoint(eager=False)
+    return ranged
+
+
 def first_n_per_key(
     df: DataFrame,
     n: int,

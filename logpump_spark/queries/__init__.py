@@ -70,39 +70,39 @@ _MODULES = (
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  `python -m tools.staleness` prints the
 # per-id latest driver-green round so each rotation can target the
-# stalest cohort mechanically.  Round-12 window: the five ids whose
-# code changed this round lead (the densifier trio's corpus-derived
-# partition vocabularies — sim_neardup sub-cell sign bits,
-# dedup_semantic derived k, join_interval_bucketed's boundary-sweep
-# rewrite — plus the exact segmented lead path under
-# funnel_strict_order and seq_count), then the staleness rotation the
-# r11 verdict ordered: the 6 remaining ROUND-5 ids, all 36 remaining
-# round-6 ids (join_interval_bucketed's r6 slot is covered by its
-# changed-id seat), and the 2 oldest round-7 ids.  After this round
-# the staleness floor rises from r5 to r7.
+# stalest cohort mechanically.  Round-13 window: the eleven ids whose
+# code changed this round lead (the segmented window family's
+# materialized block assignment — sessionize/seglead/segwin — plus the
+# SemDeDup derived fit sample and the IVF fit-stride plumbing), then
+# the staleness rotation the r12 verdict ordered: parse_record_split
+# (the lone r6 id), ALL remaining r7 ids, and the stalest r8 ids to
+# fill 50.  After this round the staleness floor rises from r6 to r8.
 _WINDOW_PRIORITY = [
-    # r12 code changes — densifier vocabulary scaling + segmented leads
-    # + the seq_next_node / running-distinct operator rewires
-    "sim_neardup", "dedup_semantic", "join_interval_bucketed",
-    "funnel_strict_order", "seq_count", "seq_next_node",
-    "win_running_distinct",
-    # last driver-green r5: the full remaining cohort
-    "timeseries_gaps", "timeseries_ohlc", "training_prepare",
-    "trending_topk", "udtf_sentences", "win_ntile",
-    # last driver-green r6: the full remaining cohort (staleness order)
-    "agg_argmax", "agg_cond_suite", "agg_hll_distinct", "agg_hll_native",
-    "agg_hll_sliding", "agg_quantile_weighted", "agg_sum_map",
-    "dedup_bloom_probe", "fn_ip_suite", "fn_try_suite", "graph_triangles",
-    "join_scd2_pointintime", "multimodal_audio_fp", "multimodal_phash",
-    "parse_context", "parse_header_positional", "parse_kv_map",
-    "parse_sql_quoted", "pivot_wide", "pref_pairs", "quality_benford",
-    "rollup_incremental", "sample_kcenter", "setop_bag_ops",
-    "text_pmi_pairs", "timeseries_islands", "timeseries_mad",
-    "tpch_q14_promo", "tpch_q17_small_qty", "tpch_q18_big_orders",
-    "tpch_q22_global_sales", "tpch_q4_priority", "win_pct_of_total",
-    "xform_duration", "xform_event_time",
-    # oldest r7 ids fill the remaining seats
-    "agg_approx_percentile", "agg_minmax_map",
+    # r13 code changes — one materialized block assignment for the
+    # segmented family (sessionize + intervals + seglead-routed funnel/
+    # sequence ids + segwin moving/running-distinct), the fused
+    # running-distinct detector, and the SemDeDup/IVF fit-sample plumbing
+    "sessionize_events", "interval_max_concurrent", "interval_length_sum",
+    "funnel_strict_order", "seq_count", "seq_next_node", "win_moving_avg",
+    "win_running_distinct", "dedup_semantic", "sim_ivf_topk",
+    "sim_ivf_recall",
+    # the lone r6 id — the registry's stalest
+    "parse_record_split",
+    # last driver-green r7: the full remaining cohort (staleness order)
+    "agg_uniq_upto", "corpus_vocab", "curation_domain_stats",
+    "join_asof_tolerance", "join_inner", "join_skew_salted",
+    "multimodal_resize", "quality_decile_by_lang", "quantile_timing",
+    "sample_dsir", "sample_stratified", "seq_match", "sim_srp_lsh",
+    "text_pii_scrub", "text_quality_gopher", "text_repetition",
+    "timeseries_anomaly", "timeseries_fill", "topk_per_group",
+    "topk_weighted", "tpch_q16_supplier_cnt", "tpch_q21_waiting_supplier",
+    "tpch_q2_min_cost", "unpivot_stack",
+    # stalest r8 ids fill the remaining seats
+    "agg_assoc_suite", "attribution_last_touch", "cdc_scd2",
+    "dedup_edit_distance", "dedup_ngram_jaccard", "fn_array2_suite",
+    "fn_encoding_suite", "multimodal_frames", "pack_sequences",
+    "parse_full_entry", "parse_scaled", "shuffle_epoch", "sim_topk",
+    "split_assign",
 ]
 
 

@@ -339,29 +339,43 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk_std(spark, sf_dir)
 
 
-def _ivf_fit_cte(n_cells: int | str, iters: int) -> str:
+def _ivf_fit_cte(
+    n_cells: int | str, iters: int, fit_where: str | None = None
+) -> str:
     """CTE chain replaying fit_ivf exactly: quantize -> init -> (assign,
     update) x iters.  Distances are exact integer sums of squares; the
     centroid update is one floored double division of exact integers.
     ``n_cells`` may be an int literal or a SQL scalar-subquery string
     (the r12 derived-k SemDeDup oracle passes '(SELECT k FROM
-    kparams)')."""
+    kparams)').  ``fit_where`` (r13): boolean SQL over aliases ``b``
+    (base) and ``p`` (a caller-supplied kparams CTE) restricting the
+    FIT corpus to fit_ivf's deterministic modulo sample — init and
+    every Lloyd iteration then read ``fitbase``; the final ``cells``
+    assignment always covers all of ``base``."""
     dist = "list_sum(list_transform(list_zip(b.q, c.c), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    if fit_where is None:
+        fitbase = "fitbase AS (\n  SELECT * FROM base\n)"
+    else:
+        fitbase = (
+            "fitbase AS (\n  SELECT b.* FROM base b CROSS JOIN kparams p\n"
+            f"  WHERE {fit_where}\n)"
+        )
     parts = [
         f"""base AS (
   SELECT vec_id, list_transform(embedding,
          x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS q
   FROM embeddings
 ),
+{fitbase},
 cent0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, q AS c
-  FROM base QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {n_cells}
+  FROM fitbase QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {n_cells}
 )"""
     ]
     for i in range(1, iters + 1):
         parts.append(f"""d{i} AS (
   SELECT b.vec_id, c.cid, {dist} AS dist
-  FROM base b CROSS JOIN cent{i - 1} c
+  FROM fitbase b CROSS JOIN cent{i - 1} c
 ),
 a{i} AS (
   SELECT vec_id, cid AS cell FROM (
@@ -376,7 +390,7 @@ cent{i} AS (
            CAST(FLOOR(CAST(SUM(val) AS BIGINT) / COUNT(*)) AS BIGINT) AS cv
     FROM (
       SELECT a.cell, generate_subscripts(b.q, 1) AS pos, unnest(b.q) AS val
-      FROM a{i} a JOIN base b USING (vec_id)
+      FROM a{i} a JOIN fitbase b USING (vec_id)
     ) GROUP BY cell, pos
   ) GROUP BY cid
 )""")
@@ -847,9 +861,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: fitted k-means clusters +
     within-cluster cosine pruning (llmdata/similarity.semantic_dedup).
     The oracle replays the ENTIRE pipeline — the r12 corpus-derived k
-    (clamp(ceil(n/250), 8, 4096)), Lloyd fit, final cell assignment,
-    in-cell pair scan, min-id shadowing — in SQL, so parity holds at
-    every scale (driver fixtures derive k=8, the pre-r12 constant)."""
+    (clamp(ceil(n/250), 8, 4096)), the r13 derived modulo fit sample
+    (stride max(1, n // (64*k)) offset at the corpus min id), Lloyd
+    fit on the sample, final full-corpus cell assignment, in-cell pair
+    scan, min-id shadowing — in SQL, so parity holds at every scale
+    (driver fixtures at sf0.01 derive k=8, stride=1: the full fit)."""
     from ..llmdata.similarity import semantic_dedup
 
     emb = load(spark, sf_dir, "embeddings")
@@ -858,12 +874,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_SEMANTIC_SQL = f"""
 WITH kparams AS (
-  -- semantic_n_cells() replayed: k = clamp(ceil(n/250), 8, 4096) in
-  -- exact integer arithmetic
-  SELECT LEAST(4096, GREATEST(8, (COUNT(*) + 249) // 250)) AS k
-  FROM embeddings
+  -- semantic_n_cells() + semantic_fit_stride() replayed in exact
+  -- integer arithmetic: k = clamp(ceil(n/250), 8, 4096),
+  -- m = max(1, n // (64*k)), mn = corpus min id (sample offset)
+  SELECT k, GREATEST(1, n // (64 * k)) AS m, mn FROM (
+    SELECT LEAST(4096, GREATEST(8, (COUNT(*) + 249) // 250)) AS k,
+           COUNT(*) AS n, COALESCE(MIN(vec_id), 0) AS mn
+    FROM embeddings
+  )
 ),
-{_ivf_fit_cte('(SELECT k FROM kparams)', _IVF_ITERS)},
+{_ivf_fit_cte('(SELECT k FROM kparams)', _IVF_ITERS, '(b.vec_id - p.mn) % p.m = 0')},
 capped AS (
   SELECT e.vec_id, c.cell, e.embedding
   FROM embeddings e JOIN cells c USING (vec_id)

@@ -6,8 +6,9 @@ modes the design doc names: hot keys forcing the segmented branch,
 sliver blocks smaller than the lookahead depth (the heads-carry
 inductive case), equal-ts ties at block boundaries, NULL timestamps,
 the count gate compiling the plain plan on uniform corpora, the
-cap-composes-with-gate rule, and the sampled-bounds regime (the
-block-assignment determinism contract, see operators/sessionize.py)."""
+cap-composes-with-gate rule, and the sampled-bounds regime (range
+bounds genuinely sampled, fixture size derived from the live block
+constants — see _sampled_regime_rows)."""
 
 from __future__ import annotations
 
@@ -158,12 +159,28 @@ def test_cap_at_or_below_threshold_skips_detector_and_stays_plain(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
 
 
+def _sampled_regime_rows(spark):
+    """Row count guaranteed past the RangePartitioner's exhaustive
+    window: its total sample budget is ~100 rows per output partition
+    (3x with imbalance resampling), so 3 * 100 * n_blocks rows forces
+    genuinely SAMPLED bounds.  Derived from the live constants so a
+    future oversubscription bump cannot silently shrink the margin
+    (the r12 fixtures hard-coded 60k for 128 blocks and went stale
+    when r12 doubled the block count)."""
+    from logpump_spark.operators.skewguard import (
+        BLOCK_OVERSUBSCRIPTION,
+        cap_shards,
+    )
+
+    n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(spark.range(1))
+    return 3 * 100 * n_blocks + 4_000
+
+
 def test_segmented_equals_plain_in_sampled_bounds_regime(spark):
-    # the block-assignment determinism contract at a scale where range
-    # bounds are genuinely SAMPLED (>38k rows; see sessionize.py) — the
-    # heads table and the local leads are two consumers of the ranged
-    # frame
-    hot = spark.range(60_000).select(
+    # at-scale equality where range bounds are genuinely SAMPLED (not
+    # the exhaustive small-input regime) — the heads table and the
+    # local leads both read the one materialized block assignment
+    hot = spark.range(_sampled_regime_rows(spark)).select(
         F.col("id").alias("event_id"),
         F.timestamp_micros(
             F.lit(1704067200000000) + F.col("id") * F.lit(5_000_000)
@@ -227,10 +244,12 @@ def test_sequence_next_node_null_when_anchor_is_last(spark):
     assert out[6] == "a"        # first anchor's successor, not the b tail
 
 
-def test_checkpoint_input_variant_equals_plain(spark):
-    # external-caller path: materialized ranged frame, same results
+def test_unmaterialized_variant_equals_plain(spark):
+    # opt-out path (materialize_blocks=False): lazy dual-exchange plan.
+    # Small corpus — bounds are exhaustive here, so equality is safe by
+    # construction; this pins only that the opt-out still computes.
     d = _with_lbl(_mk(spark, _rand(14, hot_rows=300)))
-    got = lead_ints_segmented(d, "lbl", 2, checkpoint_input=True)
+    got = lead_ints_segmented(d, "lbl", 2, materialize_blocks=False)
     want = _plain_leads(d, 2)
     assert _collect_leads(got, 2) == _collect_leads(want, 2)
 

@@ -103,24 +103,17 @@ def test_gate_compiles_plain_plan_when_no_hot_key(spark):
     )
 
 
-def test_segmented_plan_reuses_one_range_exchange(spark):
-    # EXCHANGE-REUSE DEPENDENCY (segwin.py): the windowed branch and the
-    # tails branch must observe the SAME sampled block assignment.  Pin
-    # that the physical plan contains exactly one materialized range
-    # exchange and a ReusedExchange for the second consumer — if this
-    # ever fails, the two branches could sample different range bounds
-    # and silently corrupt frame_sum (fix: persist the ranged frame).
+def test_segmented_plan_shares_one_block_assignment(spark):
+    # r13: the windowed branch and the tails branch read ONE
+    # materialized block assignment (skewguard.ranged_blocks
+    # localCheckpoints the ranged frame) — the executed plan must show
+    # the checkpointed RDD scan and NO range exchange at all (the
+    # shuffle ran once, inside the checkpoint; a rangepartitioning
+    # exchange here would mean a branch re-derived its own assignment).
     df = _mk(spark, _rand(8, hot_rows=300))
     out = moving_rows_frame(df, "qv", hot_key_threshold=40)
-    out.collect()  # AQE reuse materializes at runtime; inspect the final plan
+    out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan, plan
     executed = plan.split("== Initial Plan ==")[0]
-    # a ReusedExchange line NAMES the exchange it reuses, so count only
-    # the materialized (non-reused) range exchanges
-    materialized = [
-        ln for ln in executed.splitlines()
-        if "Exchange rangepartitioning" in ln and "ReusedExchange" not in ln
-    ]
-    assert len(materialized) == 1, executed
-    assert "ReusedExchange" in executed, executed
+    assert "Scan ExistingRDD" in executed, executed
+    assert "Exchange rangepartitioning" not in executed, executed

@@ -165,18 +165,18 @@ def test_segmented_string_keys_like_intervals_family(spark):
 
 
 def test_segmented_equals_plain_in_sampled_bounds_regime(spark):
-    # BLOCK-ASSIGNMENT DETERMINISM (sessionize.py): column pruning makes
-    # the carry join's two range-exchange subtrees canonically different,
-    # so there is NO ReusedExchange — each branch samples its own bounds.
-    # Below ~38k rows the sampler is exhaustive (bounds trivially agree);
-    # this test plants a corpus LARGE enough that bounds are genuinely
-    # sampled (3 * 100 samples/out-partition * 128 blocks spread over the
-    # input partitions), so it fails loudly if Spark's range sampling
-    # ever becomes nondeterministic across plan instantiations — the
-    # documented fix then is persisting the ranged frame.
+    # at-scale equality where range bounds are genuinely SAMPLED (past
+    # the RangePartitioner's ~3 * 100-rows-per-block exhaustive window,
+    # derived from the live block constants so an oversubscription bump
+    # cannot silently shrink the margin).  r13: the carry join's two
+    # subtrees read ONE materialized block assignment
+    # (skewguard.ranged_blocks), so this is a scale regression test,
+    # no longer a sampler-determinism contract pin.
     from pyspark.sql import functions as F2
 
-    hot = spark.range(60_000).select(
+    from tests.test_seglead import _sampled_regime_rows
+
+    hot = spark.range(_sampled_regime_rows(spark)).select(
         F2.col("id").alias("event_id"),
         F2.timestamp_micros(
             F2.lit(1704067200000000)
