@@ -307,9 +307,19 @@ def main() -> None:
         # r12 accounting fix: the count-gated skew/vocabulary routing
         # runs its detector aggregate at plan CONSTRUCTION (frozen-route
         # contract) — charge it like every other construction-time job
-        # above.  Adds the detector's wall (~0.1-0.3 s at sf0.1) to each
-        # of these ids relative to r11's numbers; stated here so
-        # round-over-round diffs can normalize.
+        # above.  r13 MEASURED the charge per id on a quiet machine
+        # (best-of-2 after warmup, sf0.1): construction = 0.30-0.49 s
+        # for the pure gate ids (detector job ~0.22 s + table load
+        # ~0.12 s + plan/py4j overhead), 0.6-0.7 s where the gate
+        # composes (funnel_steps_capped's literal collect,
+        # interval_max_concurrent's session_stats gate), ~1.8 s for
+        # dedup_semantic (corpus count + the Lloyd fit collects, which
+        # were always charged here).  The r12 note's "+0.1-0.3 s"
+        # UNDERSTATED by ~2x, and the r12 clean A/B's 13.5 s / 10 ids
+        # reading was dominated by in-sweep heap/GC pressure, not
+        # per-id construction: the isolated sum over the ten gated ids
+        # is ~4.7 s.  sessionize_events isolated: 0.33 s construct +
+        # 0.33 s write = 0.65 s total.
         "sessionize_events",       # sessionize hot-key gate (r11)
         "win_moving_avg",          # segwin hot-key gate (r11)
         "funnel_strict_order",     # seglead hot-key gate (r12)

@@ -25,6 +25,8 @@ ranking tiebreak (vec_id).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -132,10 +134,41 @@ def _np_quantize(v: pd.Series) -> np.ndarray:
 
 
 def _np_cells(Q: np.ndarray, cids: np.ndarray, C: np.ndarray) -> np.ndarray:
-    """Nearest-centroid cell per row of Q; exact int64 distances, ties to
-    the smallest cid (cids ascending + argmin-takes-first)."""
-    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-    return cids[np.argmin(d2, axis=1)]
+    """Nearest-centroid cell per row of Q; EXACT distances, ties to the
+    smallest cid (cids ascending + argmin-takes-first).
+
+    r13 rewrite: the r12 broadcast tensor ((Q[:,None,:]-C)**2) allocated
+    batch x k x dim int64 — 21 GB per 10k-row batch at the k=4096 clamp
+    — invisible at the fixture's k=8, catastrophic at derived k.  The
+    norm expansion |q|^2 - 2 q.c + |c|^2 runs on BLAS float64 and stays
+    INTEGER-EXACT: quantized components are ~1e6-scale, so every
+    partial product (<= ~1e12), dot sum (<= ~6.4e13 over 64 dims), and
+    distance (<= ~5e14) is an integer below 2^53 — each float64 op on
+    exactly-representable integers with representable results is exact,
+    in any summation order, so the argmin matches the int64 tensor
+    bit-for-bit.  Guard: if components could push a squared distance
+    past 2^53 (|x| > ~11 pre-quantization), fall back to the exact
+    int64 path, chunked so the temp stays bounded."""
+    n, d = Q.shape
+    out = np.empty(n, dtype=np.int64)
+    max_abs = max(
+        int(np.abs(Q).max(initial=0)), int(np.abs(C).max(initial=0))
+    )
+    exact_float = d * (2 * max_abs) ** 2 <= 2**53
+    Cf = C.astype(np.float64)
+    cn = (Cf * Cf).sum(axis=1)
+    for i in range(0, n, 2048):
+        q = Q[i : i + 2048]
+        if exact_float:
+            qf = q.astype(np.float64)
+            d2 = (qf * qf).sum(axis=1)[:, None] - 2.0 * (qf @ Cf.T) + cn[None, :]
+        else:  # exact int64, centroid-chunked to bound the temp
+            d2 = np.empty((len(q), len(C)), dtype=np.int64)
+            for j in range(0, len(C), 64):
+                diff = q[:, None, :] - C[None, j : j + 64, :]
+                d2[:, j : j + 64] = (diff * diff).sum(axis=2)
+        out[i : i + 2048] = cids[np.argmin(d2, axis=1)]
+    return out
 
 
 def _assign_np(
@@ -232,22 +265,33 @@ def fit_ivf(
         C = np.array([list(c) for _, c in cent_rows], dtype=np.int64)
 
         def _partials(batches):
+            # vectorized per-cell partial sums (r13): sort-by-cell +
+            # reduceat emits ONE frame per batch — the r12 per-cell
+            # yield loop built up to k mini-DataFrames per batch, which
+            # is Python-loop-bound once k grows past the fixture's 8
+            # (derived k reaches 4096; measured 18.5 s -> ~2 s for the
+            # 316-cell fit at 100k vectors)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 Q = _np_quantize(pdf[vec_col])
                 cells = _np_cells(Q, cids, C)
-                for cell in np.unique(cells):
-                    m = cells == cell
-                    s = Q[m].sum(axis=0, dtype=np.int64)
-                    yield pd.DataFrame(
-                        {
-                            "cell": np.full(len(s), cell, dtype=np.int64),
-                            "pos": np.arange(len(s), dtype=np.int64),
-                            "s": s,
-                            "n": np.full(len(s), int(m.sum()), dtype=np.int64),
-                        }
-                    )
+                order = np.argsort(cells, kind="stable")
+                cs = cells[order]
+                uniq, starts = np.unique(cs, return_index=True)
+                sums = np.add.reduceat(Q[order], starts, axis=0).astype(
+                    np.int64, copy=False
+                )
+                counts = np.diff(np.append(starts, len(cs)))
+                d = Q.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "cell": np.repeat(uniq, d),
+                        "pos": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+                        "s": sums.ravel(),
+                        "n": np.repeat(counts, d).astype(np.int64),
+                    }
+                )
 
         updated = (
             vec_only.mapInPandas(_partials, "cell long, pos long, s long, n long")
@@ -270,6 +314,34 @@ def fit_ivf(
     return cells, _cent_df(cent_rows)
 
 
+#: IVF deployment-rule clamp: centroid tables stay driver-held and
+#: broadcast (n_cells x dims longs; 4096 x 64 ~ 2 MB), and the sampled
+#: Lloyd fit budget is 64 vectors/cell, so the fit frame is bounded at
+#: ~262k vectors at any corpus size.
+IVF_CELLS_MIN = 8
+IVF_CELLS_MAX = 4096
+
+
+def ivf_n_cells(n_rows: int) -> int:
+    """The published IVF sizing rule (FAISS guideline nlist ~ sqrt(n)),
+    clamped to the driver-held centroid budget: n_cells =
+    clamp(isqrt(n), 8, 4096).  Pure integer arithmetic so any engine
+    (or oracle SQL) replays it.
+
+    Deployment story (SCALING.md "IVF nlist crossover"): the registry's
+    ``sim_ivf_topk`` fixture keeps nlist=8 because at probe scale
+    (2k-20k vectors) the sqrt-rule's extra fit cost exceeds its scan
+    savings — measured and rejected in r12.  The crossover is a FIT
+    AMORTIZATION question: with the r13 sampled fit
+    (``fit_stride`` ~ n / (64 * n_cells)) the fit is bounded, the
+    per-query probe scan is ~n * nprobe / n_cells, and the sqrt rule
+    wins as soon as the corpus outgrows the fixture regime — the
+    measured crossover table lives in SCALING.md.  At 100 TB: nlist
+    clamps at 4096, fit reads ~262k sampled vectors, and each query
+    scans nprobe/4096 of the corpus."""
+    return min(IVF_CELLS_MAX, max(IVF_CELLS_MIN, math.isqrt(max(0, n_rows))))
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -280,12 +352,19 @@ def ivf_topk(
     n_cells: int = 8,
     iters: int = 2,
     nprobe: int = 2,
+    fit_stride: int = 1,
+    fit_offset: int = 0,
 ) -> DataFrame:
     """IVF ANN: fit the coarse quantizer (or reuse a precomputed
     ``cell_col``), then search only each query's ``nprobe`` closest
     cells.  The scan shrinks by ~n_cells/nprobe; recall is bounded by
     the quantizer and rises with nprobe — at nprobe=n_cells the probe
-    set covers every cell and the result equals brute force."""
+    set covers every cell and the result equals brute force.
+
+    ``n_cells``/``nprobe`` are the deployment dials (rule:
+    ``ivf_n_cells``); ``fit_stride``/``fit_offset`` bound the Lloyd fit
+    on a deterministic modulo sample (see ``fit_ivf``) — pass
+    ``fit_offset`` = the corpus min id when sampling."""
     if cell_col is not None:
         # precomputed cells: each query probes its own cell only
         base = emb.select(
@@ -295,7 +374,9 @@ def ivf_topk(
             F.col(id_col).alias("query_id"), F.col("cell").alias("pcell")
         )
     else:
-        cells, cent = fit_ivf(emb, n_cells, iters, id_col, vec_col)
+        cells, cent = fit_ivf(
+            emb, n_cells, iters, id_col, vec_col, fit_stride, fit_offset
+        )
         base = (
             emb.join(cells, id_col)
             .select(F.col(id_col), "cell", F.col(vec_col).alias("v"))
