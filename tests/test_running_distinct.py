@@ -101,8 +101,12 @@ def test_count_gate_compiles_plain_plan(spark):
 
 
 def test_running_distinct_sampled_bounds_regime(spark):
-    # the determinism contract at >38k rows (see sessionize.py)
-    hot = spark.range(60_000).select(
+    # at-scale equality where range bounds are genuinely SAMPLED (r13:
+    # the materialized block assignment makes this a scale regression
+    # test, not a sampler-determinism pin — see skewguard.ranged_blocks)
+    from tests.test_seglead import _sampled_regime_rows
+
+    hot = spark.range(_sampled_regime_rows(spark)).select(
         F.col("id").alias("event_id"),
         F.timestamp_micros(
             F.lit(1704067200000000) + F.col("id") * F.lit(5_000_000)
