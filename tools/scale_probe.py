@@ -115,10 +115,27 @@ def build_scaled(spark, sf_dir: str, out_dir: str, k: int) -> None:
         scaled.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
+def _isolate(spark) -> None:
+    """Per-probe isolation (r13, bench.py's pattern): now that the
+    segmented family MATERIALIZES its block assignment
+    (skewguard.ranged_blocks localCheckpoint), un-collected checkpoint
+    blocks from earlier shapes linger until Python GC runs
+    ContextCleaner — measured inflating a late shape 2-3x in a
+    multi-shape sweep (union_length 16.4 s accumulated vs 7.6 s
+    isolated on the same code)."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark._jvm.System.gc()
+
+
 def _time(queries, name, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    _isolate(spark)
+    return wall
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +383,9 @@ def run_hot_probe(spark, sf_dir: str, k: int, only=None) -> dict:
             def timed(ev):
                 t0 = time.perf_counter()
                 shape(ev).write.format("noop").mode("overwrite").save()
-                return time.perf_counter() - t0
+                wall = time.perf_counter() - t0
+                _isolate(spark)
+                return wall
 
             timed(ev_b)  # warm
             tb = timed(ev_b)
