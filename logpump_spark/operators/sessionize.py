@@ -238,8 +238,18 @@ def session_stats(
     """Per-session rollup: bounds, event count, exact integer duration.
     On a hot-key-free corpus: the same single shuffle as ``sessionize``
     — the grouped agg reuses the (user) partitioning the window pass
-    already established."""
-    s = sessionize(df, user_col, ts_col, id_col, gap_minutes, hot_key_threshold)
+    already established.
+
+    The input is projected to the three columns the rollup reads BEFORE
+    sessionizing (r13): in the plain path Catalyst prunes anyway (a
+    no-op), but the segmented path MATERIALIZES the ranged frame at the
+    width it is handed (the localCheckpoint freezes columns before
+    downstream pruning can reach them), so a stats caller must not
+    freeze payload columns it immediately drops."""
+    s = sessionize(
+        df.select(user_col, ts_col, id_col),
+        user_col, ts_col, id_col, gap_minutes, hot_key_threshold,
+    )
     return s.groupBy(user_col, "session_no").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),

@@ -107,7 +107,9 @@ def interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and touching intervals merged.  Users < 60 bound the oracle.
     Returns (user_id, covered_us, n_intervals)."""
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 60)
-    keyed = ev.withColumn(
+    # narrow BEFORE sessionize: the segmented path materializes the
+    # ranged frame at the width it is handed (sessionize.py r13 note)
+    keyed = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
         "uk", F.concat_ws("|", F.col("user_id"), F.col("event_type"))
     )
     iv = (
