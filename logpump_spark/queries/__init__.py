@@ -78,31 +78,28 @@ _MODULES = (
 # (the lone r6 id), ALL remaining r7 ids, and the stalest r8 ids to
 # fill 50.  After this round the staleness floor rises from r6 to r8.
 _WINDOW_PRIORITY = [
-    # r13 code changes — one materialized block assignment for the
-    # segmented family (sessionize + intervals + seglead-routed funnel/
-    # sequence ids + segwin moving/running-distinct), the fused
-    # running-distinct detector, and the SemDeDup/IVF fit-sample plumbing
-    "sessionize_events", "interval_max_concurrent", "interval_length_sum",
-    "funnel_strict_order", "seq_count", "seq_next_node", "win_moving_avg",
-    "win_running_distinct", "dedup_semantic", "sim_ivf_topk",
-    "sim_ivf_recall",
-    # the lone r6 id — the registry's stalest
-    "parse_record_split",
-    # last driver-green r7: the full remaining cohort (staleness order)
-    "agg_uniq_upto", "corpus_vocab", "curation_domain_stats",
-    "join_asof_tolerance", "join_inner", "join_skew_salted",
-    "multimodal_resize", "quality_decile_by_lang", "quantile_timing",
-    "sample_dsir", "sample_stratified", "seq_match", "sim_srp_lsh",
-    "text_pii_scrub", "text_quality_gopher", "text_repetition",
-    "timeseries_anomaly", "timeseries_fill", "topk_per_group",
-    "topk_weighted", "tpch_q16_supplier_cnt", "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost", "unpivot_stack",
-    # stalest r8 ids fill the remaining seats
-    "agg_assoc_suite", "attribution_last_touch", "cdc_scd2",
-    "dedup_edit_distance", "dedup_ngram_jaccard", "fn_array2_suite",
-    "fn_encoding_suite", "multimodal_frames", "pack_sequences",
-    "parse_full_entry", "parse_scaled", "shuffle_epoch", "sim_topk",
-    "split_assign",
+    # r14 rotation (VERDICT r13 task 2): no behavior-changing operator
+    # edits this round (the r14 changes are standing tests, opt-in
+    # params with defaults unchanged, and input validation), so the
+    # window is pure staleness hygiene — the full r8 cohort first
+    "split_leakage_check", "text_stats", "timeseries_decay",
+    "timeseries_lttb", "timeseries_lttb_exact", "timeseries_twa",
+    "tpch_q12_shipmode", "tpch_q19_discounted_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "win_rank", "win_running_sum",
+    "xform_zorder_key",
+    # then the 36 stalest r9 ids (tools/staleness.py order)
+    "agg_mannwhitney", "cdc_upsert_apply", "chat_assemble",
+    "dedup_canonical", "dedup_cluster_stats", "dedup_components",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "fn_array",
+    "fn_cast_suite", "fn_date_suite", "fn_json", "fn_map",
+    "fn_math_suite", "fn_regexp_suite", "fn_string_clean",
+    "fn_string_suite", "funnel_strict_dedup", "q1_pricing_summary",
+    "records_explode", "retention_cohort", "sample_temperature",
+    "scan_csv", "scan_glob", "scan_jsonl", "seq_match_window",
+    "setop_except", "sim_pq_adc", "sketch_kmv_overlap",
+    "skew_key_histogram", "sql_lateral", "stream_dedup",
+    "stream_session", "text_decontaminate", "text_lm_score",
 ]
 
 
