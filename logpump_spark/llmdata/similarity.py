@@ -235,6 +235,17 @@ def fit_ivf(
     spark = emb.sparkSession
     fit_emb = emb
     if fit_stride > 1:
+        # the modulo sample is only engine-replayable over integer ids: a
+        # float/decimal id column would make Spark's modulo diverge from
+        # the oracle's integer-modulo fitbase, failing parity far from
+        # the cause — reject it at the source (ADVICE r13)
+        id_type = emb.schema[id_col].dataType.typeName()
+        if id_type not in ("byte", "short", "integer", "long"):
+            raise TypeError(
+                f"fit_stride > 1 requires an integral {id_col!r} column "
+                f"(got {id_type}): the deterministic modulo fit sample is "
+                "defined on integer ids only"
+            )
         fit_emb = emb.filter(
             (F.col(id_col) - F.lit(fit_offset)) % F.lit(fit_stride) == 0
         ).localCheckpoint(eager=False)

@@ -70,6 +70,7 @@ def ranged_blocks(
     order: list,
     blk_col: str,
     materialize: bool = True,
+    reliable: bool | None = None,
 ) -> DataFrame:
     """ONE block assignment for the segmented window family (sessionize
     / segwin / seglead): range-repartition on the full per-key sort key
@@ -99,15 +100,44 @@ def ranged_blocks(
     Fault-tolerance trade (stated, not hidden): localCheckpoint
     truncates lineage — losing an executor AFTER its blocks
     materialize fails the job instead of recomputing (rerun recovers).
-    On long multi-hour cluster jobs where loss is likely, callers can
-    pass ``materialize=False`` and provide their own reliable
-    ``checkpoint()`` / replicated persist on the RESULT instead; the
-    un-materialized form is exact only while both exchanges sample
-    identical bounds (the retired contract), so it is opt-in."""
+    On long multi-hour cluster jobs where executor loss is likely, pass
+    ``reliable=True`` (r14) — or flip the session conf
+    ``logpump.segmented.reliableCheckpoint=true``, which every
+    segmented operator's internal call picks up: the assignment goes
+    through a RELIABLE ``DataFrame.checkpoint()`` — written to the configured
+    ``sparkContext.setCheckpointDir`` (HDFS/object store on a cluster),
+    so a lost executor's blocks re-read from replicated storage instead
+    of failing the job.  Same single materialized assignment, same
+    exactness (pinned in tests/test_skewguard.py); costs one durable
+    write, which is why the benchmark default stays local.  Raises
+    up-front if no checkpoint dir is configured rather than failing at
+    first action.  ``materialize=False`` (no checkpoint at all) remains
+    the expert escape hatch; that form is exact only while both
+    exchanges sample identical bounds (the retired r12 contract), so it
+    is opt-in."""
     n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
     ranged = df.repartitionByRange(
         n_blocks, F.col(key_col).asc(), *order
     ).withColumn(blk_col, F.spark_partition_id())
+    if reliable is None:
+        # deployment toggle: the segmented operators (sessionize /
+        # segwin / seglead) call this internally, so long cluster jobs
+        # flip ONE session conf instead of threading a parameter
+        reliable = (
+            df.sparkSession.conf.get(
+                "logpump.segmented.reliableCheckpoint", "false"
+            ).lower()
+            == "true"
+        )
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "ranged_blocks(reliable=True) needs "
+                "sparkContext.setCheckpointDir(<replicated path>) — "
+                "a reliable checkpoint has nowhere to write"
+            )
+        return ranged.checkpoint(eager=False)
     if materialize:
         ranged = ranged.localCheckpoint(eager=False)
     return ranged

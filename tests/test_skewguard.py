@@ -140,3 +140,39 @@ def test_first_n_identity_when_cap_never_binds(spark):
     out = first_n_per_key(df, 10_000)
     # the gate returns the input frame itself — plan untouched
     assert out is df
+
+
+def test_ranged_blocks_reliable_checkpoint_exact(spark, tmp_path):
+    # r14: the reliable-checkpoint opt-in for long cluster jobs (conf
+    # logpump.segmented.reliableCheckpoint, or reliable=True direct) —
+    # same single materialized block assignment, exact vs the default
+    # localCheckpoint path, and a durable write actually happens
+    import pytest
+
+    from logpump_spark.operators.skewguard import ranged_blocks
+    from logpump_spark.operators.sessionize import sessionize
+
+    df = _mk(spark, _rand_rows(7))
+    cols = ["user_id", "event_id", "session_no"]
+    want = sorted(
+        tuple(r) for r in sessionize(df, hot_key_threshold=1).select(*cols).collect()
+    )
+    spark.conf.set("logpump.segmented.reliableCheckpoint", "true")
+    try:
+        # without a checkpoint dir the opt-in fails fast at plan build,
+        # not with an opaque executor error at first action
+        if spark.sparkContext.getCheckpointDir() is None:
+            with pytest.raises(RuntimeError, match="setCheckpointDir"):
+                ranged_blocks(
+                    df, "user_id", [F.col("ts").asc(), F.col("event_id").asc()], "_blk"
+                )
+        ckpt = tmp_path / "ckpt"
+        spark.sparkContext.setCheckpointDir(str(ckpt))
+        got = sorted(
+            tuple(r)
+            for r in sessionize(df, hot_key_threshold=1).select(*cols).collect()
+        )
+        assert got == want
+        assert any(ckpt.rglob("*")), "reliable run wrote no checkpoint files"
+    finally:
+        spark.conf.unset("logpump.segmented.reliableCheckpoint")

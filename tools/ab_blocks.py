@@ -129,6 +129,11 @@ def main() -> None:
                     gc.collect()
                     spark._jvm.System.gc()
         skewguard.ranged_blocks = base_rb
+        import logpump_spark.operators.seglead as sl
+        import logpump_spark.operators.segwin as sw
+        import logpump_spark.operators.sessionize as sz
+
+        sl.ranged_blocks = sw.ranged_blocks = sz.ranged_blocks = base_rb
 
         med = {
             s: {v: sorted(ts)[len(ts) // 2] for v, ts in by_v.items()}

@@ -52,13 +52,17 @@ def main() -> None:
     spark = get_spark("ivf_crossover")
     base = load(spark, args.sf, "embeddings")
     query_ids = list(range(10))
+    # replica id offset derived from the measured max id, not a hard
+    # 10**6: a base table with max vec_id >= 1e6 would otherwise collide
+    # replica ids and silently corrupt the recall/crossover numbers
+    id_span = int(base.agg(F.max("vec_id")).first()[0]) + 1
 
     results = []
     for s in args.scales:
         parts = [base]
         for i in range(1, s):
             parts.append(
-                base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10**6))
+                base.withColumn("vec_id", F.col("vec_id") + F.lit(i * id_span))
             )
         emb = parts[0]
         for p in parts[1:]:
