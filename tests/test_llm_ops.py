@@ -346,6 +346,64 @@ def test_ivf_index_persists_and_reloads(spark, tmp_path):
     assert len(a) > 0
 
 
+def test_ivf_prebuilt_index_lifecycle_at_derived_k(spark, tmp_path):
+    # r14 (verdict task 4): the deployment story SCALING.md §10.2 sells,
+    # executed end-to-end AT A DERIVED nlist — replicate the sf0.1
+    # embeddings to 20k vectors (nlist = ivf_n_cells(20000) = 141 >> the
+    # fixture's 8), fit ONCE on the derived modulo sample, STORE the
+    # assignment to parquet, reload in a "later job", query through
+    # cell_col, and hold recall vs brute force at the crossover table's
+    # measured floor (0.88, the 2k-scale row; 20k measured 1.00)
+    from pyspark.sql import functions as F
+
+    from logpump_spark.llmdata.similarity import (
+        brute_force_topk,
+        fit_ivf,
+        ivf_n_cells,
+        ivf_topk,
+    )
+    from logpump_spark.tables import load
+
+    base = load(spark, "/root/testdata/sf0.1", "embeddings")
+    id_span = int(base.agg(F.max("vec_id")).first()[0]) + 1
+    parts = [base] + [
+        base.withColumn("vec_id", F.col("vec_id") + F.lit(i * id_span))
+        for i in range(1, 10)
+    ]
+    emb = parts[0]
+    for p in parts[1:]:
+        emb = emb.unionByName(p)
+    emb = emb.localCheckpoint()
+    n = emb.count()
+    assert n >= 20_000
+
+    n_cells = ivf_n_cells(n)
+    assert n_cells >= 141
+    stride = max(1, n // (64 * n_cells))
+    assert stride > 1, "the sampled-fit route must actually engage"
+    cells, _cent = fit_ivf(emb, n_cells, iters=2, fit_stride=stride)
+
+    idx_path = str(tmp_path / "ivf_cells_derived")
+    cells.write.mode("overwrite").parquet(idx_path)
+    reloaded = emb.join(spark.read.parquet(idx_path), "vec_id")
+
+    qids = list(range(10))
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(reloaded, qids, k=5, cell_col="cell")
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, qids, k=5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.88, f"prebuilt-index recall {recall} under the floor"
+
+
 def test_edit_distance_finds_planted_typos(spark):
     from logpump_spark.llmdata.dedup import edit_distance_pairs
 
