@@ -78,17 +78,21 @@ _MODULES = (
 # (the lone r6 id), ALL remaining r7 ids, and the stalest r8 ids to
 # fill 50.  After this round the staleness floor rises from r6 to r8.
 _WINDOW_PRIORITY = [
-    # r14 rotation (VERDICT r13 task 2): no behavior-changing operator
-    # edits this round (the r14 changes are standing tests, opt-in
-    # params with defaults unchanged, and input validation), so the
-    # window is pure staleness hygiene — the full r8 cohort first
+    # r14 code changes lead: the parse projection now compiles as two
+    # codegen stages by default (the C2-storm plan-shape fix in
+    # parser.parse_records; fused shape pinned identical in
+    # tests/test_techlog_golden.py)
+    "parse_full_entry", "parse_scaled",
+    # then the rotation the r13 verdict ordered (task 2): the full
+    # 14-id r8 staleness cohort
     "split_leakage_check", "text_stats", "timeseries_decay",
     "timeseries_lttb", "timeseries_lttb_exact", "timeseries_twa",
     "tpch_q12_shipmode", "tpch_q19_discounted_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit", "win_rank", "win_running_sum",
     "xform_zorder_key",
-    # then the 36 stalest r9 ids (tools/staleness.py order)
+    # then the 34 stalest r9 ids (tools/staleness.py order; the next
+    # two, text_decontaminate and text_lm_score, rotate in r15)
     "agg_mannwhitney", "cdc_upsert_apply", "chat_assemble",
     "dedup_canonical", "dedup_cluster_stats", "dedup_components",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "fn_array",
@@ -99,7 +103,7 @@ _WINDOW_PRIORITY = [
     "scan_csv", "scan_glob", "scan_jsonl", "seq_match_window",
     "setop_except", "sim_pq_adc", "sketch_kmv_overlap",
     "skew_key_histogram", "sql_lateral", "stream_dedup",
-    "stream_session", "text_decontaminate", "text_lm_score",
+    "stream_session",
 ]
 
 

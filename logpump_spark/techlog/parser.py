@@ -213,33 +213,17 @@ def header_map(header_part: Column) -> Column:
     return F.map_from_entries(last_wins)
 
 
-def parse_records(df: DataFrame, record_col: str = "record", filename_col: str = "filename") -> DataFrame:
-    """records -> 24-field LogEntry DataFrame (models.go:8-34).
-
-    Column types follow SURVEY.md §1.3 (unsigned Go ints -> long;
-    InsertedAt = current_timestamp(), parser.go:42).
-    """
-    rec = F.col(record_col)
-    header_part, sql_text, context_text = split_record(rec)
-    parts = F.split(header_part, ",")
-    m = header_map(header_part)
-
-    def hv(go_key: str) -> Column:
-        return F.coalesce(F.element_at(m, go_key), F.lit(""))
-
-    cols = [
-        F.col(filename_col).alias("Timestamp"),  # filename (tail.go:77)
-        # Go guards each positional field with a len(parts) check
-        # (parser.go:71-77) -> try_element_at, missing -> ''
-        F.coalesce(F.trim(F.try_element_at(parts, F.lit(1))), F.lit("")).alias(
-            "LogTimestamp"
-        ),
-        F.coalesce(F.trim(F.try_element_at(parts, F.lit(2))), F.lit("")).alias(
-            "Component"
-        ),
-        parse_uint(F.coalesce(F.trim(F.try_element_at(parts, F.lit(3))), F.lit("")), _U8_MAX)
-        .cast("smallint")
-        .alias("Severity"),
+def _entry_cols(hv, pos, fn: Column, sql_text: Column, context_text: Column) -> list[Column]:
+    """The 24 LogEntry output expressions (models.go:8-34) over accessor
+    callables, so the fused and split projection shapes share one
+    definition.  ``hv(go_key)`` = header value or '' (parser.go:91-96);
+    ``pos(i)`` = trimmed positional field or '' (Go guards each with a
+    len(parts) check, parser.go:71-77 -> try_element_at, missing -> '')."""
+    return [
+        fn.alias("Timestamp"),  # filename (tail.go:77)
+        pos(1).alias("LogTimestamp"),
+        pos(2).alias("Component"),
+        parse_uint(pos(3), _U8_MAX).cast("smallint").alias("Severity"),
         hv("level").alias("Level"),
         hv("process").alias("Process"),
         hv("p:processName").alias("ProcessName"),
@@ -263,5 +247,79 @@ def parse_records(df: DataFrame, record_col: str = "record", filename_col: str =
         hv("File").alias("File"),
         F.current_timestamp().alias("InsertedAt"),
     ]
+
+
+def parse_records(
+    df: DataFrame,
+    record_col: str = "record",
+    filename_col: str = "filename",
+    split_stages: bool | None = None,
+) -> DataFrame:
+    """records -> 24-field LogEntry DataFrame (models.go:8-34).
+
+    Column types follow SURVEY.md §1.3 (unsigned Go ints -> long;
+    InsertedAt = current_timestamp(), parser.go:42).
+
+    ``split_stages`` (r14, default ON; session conf
+    ``logpump.parse.splitProjection=false`` flips it): materialize the
+    shared intermediates — header map, positional parts, SQL tail,
+    Context tail — behind one round-robin exchange, so the projection
+    compiles as two roughly half-size codegen units instead of one.
+    This is the plan-shape fix for the documented parse-plane C2
+    compile storm (BASELINE.md): fresh-JVM-per-run A/B at sf0.1x10
+    (tools/ab_parse_split.py) measured the fused form entering the
+    storm in 4/10 JVMs (walls 21.4-39.3 s) vs 0/10 split (20.5-24.5 s,
+    median 23.6 vs 25.3 s) — the r8 JVM-knob sweep had already
+    exhausted every non-plan lever.  Cluster-scale trade, stated: one
+    extra corpus-sized shuffle (~the record bytes) per parse vs a
+    per-JVM-LIFETIME compile stall; long-lived executors amortize the
+    stall away, so shuffle-bound 100 TB deployments can flip the conf
+    off — correctness is identical either way (same expressions over
+    the same intermediates; parity + golden tests cover both shapes).
+    """
+    rec = F.col(record_col)
+    header_part, sql_text, context_text = split_record(rec)
+    parts = F.split(header_part, ",")
+    m = header_map(header_part)
     keep = [c for c in df.columns if c not in (record_col, filename_col)]
-    return df.select(*keep, *cols)
+    if split_stages is None:
+        split_stages = (
+            df.sparkSession.conf.get(
+                "logpump.parse.splitProjection", "true"
+            ).lower()
+            == "true"
+        )
+    if not split_stages:
+        def hv(go_key: str) -> Column:
+            return F.coalesce(F.element_at(m, go_key), F.lit(""))
+
+        def pos(i: int) -> Column:
+            return F.coalesce(F.trim(F.try_element_at(parts, F.lit(i))), F.lit(""))
+
+        return df.select(
+            *keep, *_entry_cols(hv, pos, F.col(filename_col), sql_text, context_text)
+        )
+
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Connect sessions expose no sparkContext
+        par = 32
+    mid = df.select(
+        *keep,
+        F.col(filename_col).alias("_fn"),
+        m.alias("_m"),
+        parts.alias("_p"),
+        sql_text.alias("_sql"),
+        context_text.alias("_ctx"),
+    ).repartition(par)
+
+    def hv(go_key: str) -> Column:
+        return F.coalesce(F.element_at(F.col("_m"), go_key), F.lit(""))
+
+    def pos(i: int) -> Column:
+        return F.coalesce(F.trim(F.try_element_at(F.col("_p"), F.lit(i))), F.lit(""))
+
+    return mid.select(
+        *keep,
+        *_entry_cols(hv, pos, F.col("_fn"), F.col("_sql"), F.col("_ctx")),
+    )

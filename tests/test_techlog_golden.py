@@ -239,3 +239,17 @@ def test_crlf_records(spark, tmp_path):
     assert rows["CALL"].Context == "line1\nline2"
     assert "\r" not in rows["CALL"].Context
     assert rows["EXCP"].User == "next"
+
+
+def test_split_and_fused_projection_shapes_identical(spark, logdir):
+    # r14: parse_records compiles as two codegen units by default (the
+    # C2-storm plan-shape fix); the fused single-projection form stays
+    # reachable via split_stages=False / the session conf — both shapes
+    # must produce identical rows and schema on the golden corpus
+    files = read_techlog(spark, logdir, glob="*.log")
+    recs = records_from_text(files)
+    split = parse_records(recs, split_stages=True).drop("InsertedAt")
+    fused = parse_records(recs, split_stages=False).drop("InsertedAt")
+    assert split.schema == fused.schema
+    key = lambda r: (r["Timestamp"], r["LogTimestamp"], r["SessionID"])
+    assert sorted(split.collect(), key=key) == sorted(fused.collect(), key=key)
