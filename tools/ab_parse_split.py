@@ -108,6 +108,11 @@ def _run_one(sf_dir: str, variant: str) -> None:
 
         P.parse_records = _parse_records_split
     spark = get_spark(f"ab_parse_{variant}")
+    if variant == "base":
+        # r14 made the split shape parse_records' DEFAULT; the fused
+        # ("base") arm must pin the conf off or a rerun of this probe
+        # silently compares split vs split
+        spark.conf.set("logpump.parse.splitProjection", "false")
     from logpump_spark.queries.parse_q import parse_scaled
 
     t0 = time.perf_counter()
