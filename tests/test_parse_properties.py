@@ -144,3 +144,28 @@ def test_split_record_matches_go(spark, bodies):
     got = _eval_split(spark, records)
     for rec, g, w in zip(records, got, want):
         assert g == w, f"record {rec!r}: spark={g} go={w}"
+
+
+# ---------------------------------------------------------------------------
+# r14: the split (two-codegen-stage) and fused projection shapes of the
+# FULL 24-field parse_records must agree on arbitrary record bodies, not
+# just the golden corpus — same expressions over the same intermediates
+# is the correctness argument for the C2-storm plan-shape fix, so pin it
+# property-style where the golden file can't reach (adversarial quoting,
+# truncated headers, unicode, embedded newlines).
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(body, min_size=1, max_size=20))
+def test_parse_records_split_and_fused_agree(spark, bodies):
+    from logpump_spark.techlog.parser import parse_records
+
+    df = spark.createDataFrame(
+        [(b, f"f{i}.log") for i, b in enumerate(bodies)],
+        "record string, filename string",
+    )
+    split = parse_records(df, split_stages=True).drop("InsertedAt")
+    fused = parse_records(df, split_stages=False).drop("InsertedAt")
+    assert split.schema == fused.schema
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(split.collect(), key=key) == sorted(fused.collect(), key=key)
