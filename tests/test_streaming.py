@@ -612,3 +612,31 @@ def test_timing_sketch_cells_merge_across_micro_batches(spark, tmp_path):
 
     assert len(n_batches) >= 2, "expected at least two micro-batches"
     assert merged == batch
+
+
+def test_stream_parse_plane_has_no_repartition(spark, tmp_path):
+    # r14: parse_records defaults to the split projection (one
+    # round-robin exchange) for batch, but the long-lived pump passes
+    # split_stages=False — the storm it avoids amortizes once per
+    # process while the exchange would recur EVERY micro-batch.  Pin
+    # the streaming plan exchange-free in the parse region so a future
+    # edit reverting the call site fails here, with a positive control
+    # proving the detector would see the exchange if it came back.
+    d = _dirs(tmp_path)
+    writer = build_techlog_stream(
+        spark, d["in"], d["out"], d["ckpt"],
+        table_map=TABLE_MAP, default_table="tech_log", available_now=True,
+    )
+    plan = writer._df._jdf.queryExecution().analyzed().toString()
+    assert "Repartition" not in plan, plan
+    # positive control: the batch split shape DOES carry the exchange
+    from logpump_spark.techlog.parser import parse_records
+
+    batch = spark.createDataFrame(
+        [("a,b", "f.log")], "record string, filename string"
+    )
+    split_plan = (
+        parse_records(batch, split_stages=True)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "Repartition" in split_plan, split_plan
