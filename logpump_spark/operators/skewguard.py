@@ -114,7 +114,11 @@ def ranged_blocks(
     first action.  ``materialize=False`` (no checkpoint at all) remains
     the expert escape hatch; that form is exact only while both
     exchanges sample identical bounds (the retired r12 contract), so it
-    is opt-in."""
+    is opt-in — and it takes PRECEDENCE over the session conf (r15): a
+    call site that explicitly opted out of materialization asked for
+    zero checkpoints, so the conf's reliable default only applies to
+    the materialized (default) form.  Explicit ``reliable=True`` still
+    wins over ``materialize=False`` (the more specific request)."""
     n_blocks = BLOCK_OVERSUBSCRIPTION * cap_shards(df)
     ranged = df.repartitionByRange(
         n_blocks, F.col(key_col).asc(), *order
@@ -122,8 +126,11 @@ def ranged_blocks(
     if reliable is None:
         # deployment toggle: the segmented operators (sessionize /
         # segwin / seglead) call this internally, so long cluster jobs
-        # flip ONE session conf instead of threading a parameter
-        reliable = (
+        # flip ONE session conf instead of threading a parameter.
+        # materialize=False is an explicit no-checkpoint request and
+        # outranks the conf (ADVICE r14) — only the default
+        # materialized form picks up the reliable upgrade.
+        reliable = materialize and (
             df.sparkSession.conf.get(
                 "logpump.segmented.reliableCheckpoint", "false"
             ).lower()

@@ -70,40 +70,35 @@ _MODULES = (
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  `python -m tools.staleness` prints the
 # per-id latest driver-green round so each rotation can target the
-# stalest cohort mechanically.  Round-13 window: the eleven ids whose
-# code changed this round lead (the segmented window family's
-# materialized block assignment — sessionize/seglead/segwin — plus the
-# SemDeDup derived fit sample and the IVF fit-stride plumbing), then
-# the staleness rotation the r12 verdict ordered: parse_record_split
-# (the lone r6 id), ALL remaining r7 ids, and the stalest r8 ids to
-# fill 50.  After this round the staleness floor rises from r6 to r8.
+# stalest cohort mechanically.  Round-15 window: the two parse ids
+# whose code changed this round lead (collision-proof __lp_-prefixed
+# split-path intermediates + the Connect fallback now reading
+# spark.sql.shuffle.partitions — ADVICE r14), then the rotation the
+# r14 verdict ordered: ALL 13 ids last green at r9 (the four
+# text/timeseries ids, eight TPC-H, win_cume_dist) and the 35 stalest
+# r10 ids to fill 50.  After this round the staleness floor rises from
+# r9 to r10.
 _WINDOW_PRIORITY = [
-    # r14 code changes lead: the parse projection now compiles as two
-    # codegen stages by default (the C2-storm plan-shape fix in
-    # parser.parse_records; fused shape pinned identical in
-    # tests/test_techlog_golden.py)
+    # r15 code changes lead (techlog/parser.py split path)
     "parse_full_entry", "parse_scaled",
-    # then the rotation the r13 verdict ordered (task 2): the full
-    # 14-id r8 staleness cohort
-    "split_leakage_check", "text_stats", "timeseries_decay",
-    "timeseries_lttb", "timeseries_lttb_exact", "timeseries_twa",
-    "tpch_q12_shipmode", "tpch_q19_discounted_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "win_rank", "win_running_sum",
-    "xform_zorder_key",
-    # then the 34 stalest r9 ids (tools/staleness.py order; the next
-    # two, text_decontaminate and text_lm_score, rotate in r15)
-    "agg_mannwhitney", "cdc_upsert_apply", "chat_assemble",
-    "dedup_canonical", "dedup_cluster_stats", "dedup_components",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "fn_array",
-    "fn_cast_suite", "fn_date_suite", "fn_json", "fn_map",
-    "fn_math_suite", "fn_regexp_suite", "fn_string_clean",
-    "fn_string_suite", "funnel_strict_dedup", "q1_pricing_summary",
-    "records_explode", "retention_cohort", "sample_temperature",
-    "scan_csv", "scan_glob", "scan_jsonl", "seq_match_window",
-    "setop_except", "sim_pq_adc", "sketch_kmv_overlap",
-    "skew_key_histogram", "sql_lateral", "stream_dedup",
-    "stream_session",
+    # the full 13-id r9 staleness cohort (tools/staleness.py order)
+    "text_decontaminate", "text_lm_score", "text_tfidf",
+    "timeseries_rate", "tpch_q10_returns", "tpch_q11_important_stock",
+    "tpch_q13_cust_distribution", "tpch_q15_top_supplier",
+    "tpch_q20_dominant_supplier", "tpch_q3_shipping",
+    "tpch_q5_nation_volume", "tpch_q6_revenue_delta", "win_cume_dist",
+    # then the 35 stalest r10 ids (tools/staleness.py order; the
+    # remaining r10 tail rotates in r16)
+    "agg_approx_distinct", "agg_corr", "agg_cube", "agg_distinct",
+    "agg_grouping_sets", "agg_metrics", "agg_percentile", "agg_pivot",
+    "agg_rollup", "agg_stats", "corpus_prepare", "doc_fingerprint",
+    "filter_pushdown", "fn_bitwise", "fn_conditional",
+    "fn_date_suite2", "fn_decimal", "fn_explode", "fn_generators",
+    "fn_json_roundtrip", "fn_null_columns", "fn_safe_cast",
+    "fn_sql_scrub", "fn_string_suite2", "join_anti", "join_asof",
+    "join_broadcast", "join_cross", "join_full_outer", "join_left",
+    "join_range", "join_semi", "multimodal_audio", "multimodal_decode",
+    "sample_topp",
 ]
 
 

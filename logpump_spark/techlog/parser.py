@@ -303,23 +303,38 @@ def parse_records(
     try:
         par = df.sparkSession.sparkContext.defaultParallelism
     except Exception:  # Connect sessions expose no sparkContext
-        par = 32
+        # fall back to the session's shuffle width, not a literal — a
+        # hardcoded 32 would underpartition the parse stage on a large
+        # cluster driven through Connect (ADVICE r14)
+        par = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    # __lp_-prefixed intermediates so a passthrough column in `keep`
+    # cannot collide and turn into an ambiguous-reference
+    # AnalysisException that only the split shape would hit (ADVICE r14)
+    _fn, _m, _p, _sql, _ctx = (
+        "__lp_parse_fn",
+        "__lp_parse_m",
+        "__lp_parse_p",
+        "__lp_parse_sql",
+        "__lp_parse_ctx",
+    )
     mid = df.select(
         *keep,
-        F.col(filename_col).alias("_fn"),
-        m.alias("_m"),
-        parts.alias("_p"),
-        sql_text.alias("_sql"),
-        context_text.alias("_ctx"),
+        F.col(filename_col).alias(_fn),
+        m.alias(_m),
+        parts.alias(_p),
+        sql_text.alias(_sql),
+        context_text.alias(_ctx),
     ).repartition(par)
 
     def hv(go_key: str) -> Column:
-        return F.coalesce(F.element_at(F.col("_m"), go_key), F.lit(""))
+        return F.coalesce(F.element_at(F.col(_m), go_key), F.lit(""))
 
     def pos(i: int) -> Column:
-        return F.coalesce(F.trim(F.try_element_at(F.col("_p"), F.lit(i))), F.lit(""))
+        return F.coalesce(F.trim(F.try_element_at(F.col(_p), F.lit(i))), F.lit(""))
 
     return mid.select(
         *keep,
-        *_entry_cols(hv, pos, F.col("_fn"), F.col("_sql"), F.col("_ctx")),
+        *_entry_cols(hv, pos, F.col(_fn), F.col(_sql), F.col(_ctx)),
     )

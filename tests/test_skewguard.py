@@ -10,6 +10,8 @@ from __future__ import annotations
 import datetime as dt
 import random
 
+import pytest
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -142,37 +144,126 @@ def test_first_n_identity_when_cap_never_binds(spark):
     assert out is df
 
 
-def test_ranged_blocks_reliable_checkpoint_exact(spark, tmp_path):
-    # r14: the reliable-checkpoint opt-in for long cluster jobs (conf
-    # logpump.segmented.reliableCheckpoint, or reliable=True direct) —
-    # same single materialized block assignment, exact vs the default
-    # localCheckpoint path, and a durable write actually happens
-    import pytest
+def _restore_checkpoint_dir(spark, prev: str | None) -> None:
+    # setCheckpointDir(null) clears it JVM-side (Option(null) -> None);
+    # leaving it pointed at a pytest tmp_path would leak cleaned-up
+    # session state into later tests (ADVICE r14)
+    spark.sparkContext.setCheckpointDir(prev)
 
-    from logpump_spark.operators.skewguard import ranged_blocks
+
+def _route_sessionize(df):
     from logpump_spark.operators.sessionize import sessionize
 
-    df = _mk(spark, _rand_rows(7))
-    cols = ["user_id", "event_id", "session_no"]
-    want = sorted(
-        tuple(r) for r in sessionize(df, hot_key_threshold=1).select(*cols).collect()
+    return sessionize(df, hot_key_threshold=1).select(
+        "user_id", "event_id", "session_no"
     )
+
+
+def _route_segwin(df):
+    from logpump_spark.operators.segwin import moving_rows_frame
+
+    base = df.select(
+        "user_id", "ts", "event_id", (F.col("event_id") * 3).alias("v")
+    )
+    return moving_rows_frame(base, "v", frame_rows=5, hot_key_threshold=1).select(
+        "user_id", "event_id", "frame_sum", "frame_n"
+    )
+
+
+def _route_seglead(df):
+    from logpump_spark.operators.funnel import sequence_count_adjacent
+
+    return sequence_count_adjacent(
+        df,
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        hot_key_threshold=1,
+    )
+
+
+@pytest.mark.parametrize(
+    "route",
+    [_route_sessionize, _route_segwin, _route_seglead],
+    ids=["sessionize", "segwin_moving_rows", "seglead_seq_count"],
+)
+def test_ranged_blocks_reliable_checkpoint_exact(spark, tmp_path, route):
+    # r14 (+r15 family sweep): the reliable-checkpoint opt-in for long
+    # cluster jobs (conf logpump.segmented.reliableCheckpoint) — same
+    # single materialized block assignment, exact vs the default
+    # localCheckpoint path, and a durable write actually happens.  The
+    # conf's documented reach is "every segmented operator's internal
+    # call", so each of the three internal ranged_blocks call sites
+    # (sessionize / segwin / seglead) is driven through it literally.
+    df = _mk(spark, _rand_rows(7))
+    want = sorted(tuple(r) for r in route(df).collect())
+    prev_dir = spark.sparkContext.getCheckpointDir()
     spark.conf.set("logpump.segmented.reliableCheckpoint", "true")
     try:
-        # without a checkpoint dir the opt-in fails fast at plan build,
-        # not with an opaque executor error at first action
-        if spark.sparkContext.getCheckpointDir() is None:
-            with pytest.raises(RuntimeError, match="setCheckpointDir"):
-                ranged_blocks(
-                    df, "user_id", [F.col("ts").asc(), F.col("event_id").asc()], "_blk"
-                )
         ckpt = tmp_path / "ckpt"
         spark.sparkContext.setCheckpointDir(str(ckpt))
-        got = sorted(
-            tuple(r)
-            for r in sessionize(df, hot_key_threshold=1).select(*cols).collect()
-        )
+        got = sorted(tuple(r) for r in route(df).collect())
         assert got == want
         assert any(ckpt.rglob("*")), "reliable run wrote no checkpoint files"
     finally:
         spark.conf.unset("logpump.segmented.reliableCheckpoint")
+        _restore_checkpoint_dir(spark, prev_dir)
+
+
+def test_ranged_blocks_reliable_fails_fast_without_ckpt_dir(spark):
+    # without a checkpoint dir the opt-in fails at plan build with an
+    # actionable message, not an opaque executor error at first action
+    from logpump_spark.operators.skewguard import ranged_blocks
+
+    df = _mk(spark, _rand_rows(7))
+    prev_dir = spark.sparkContext.getCheckpointDir()
+    if prev_dir is not None:
+        _restore_checkpoint_dir(spark, None)
+    try:
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            ranged_blocks(
+                df,
+                "user_id",
+                [F.col("ts").asc(), F.col("event_id").asc()],
+                "_blk",
+                reliable=True,
+            )
+    finally:
+        _restore_checkpoint_dir(spark, prev_dir)
+
+
+def test_materialize_false_outranks_reliable_conf(spark):
+    # r15 (ADVICE r14): an explicit materialize=False is the documented
+    # expert escape hatch — zero checkpoints — and must NOT be silently
+    # upgraded to the reliable path by the session conf.  Under the
+    # conf with NO checkpoint dir configured, the reliable path would
+    # raise; the escape hatch must build and run.
+    from logpump_spark.operators.skewguard import ranged_blocks
+
+    df = _mk(spark, _rand_rows(7))
+    prev_dir = spark.sparkContext.getCheckpointDir()
+    if prev_dir is not None:
+        _restore_checkpoint_dir(spark, None)
+    spark.conf.set("logpump.segmented.reliableCheckpoint", "true")
+    try:
+        out = ranged_blocks(
+            df,
+            "user_id",
+            [F.col("ts").asc(), F.col("event_id").asc()],
+            "_blk",
+            materialize=False,
+        )
+        assert out.count() == df.count()
+        # explicit reliable=True still wins over materialize=False (the
+        # more specific request) — so it must still fail fast here
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            ranged_blocks(
+                df,
+                "user_id",
+                [F.col("ts").asc(), F.col("event_id").asc()],
+                "_blk",
+                materialize=False,
+                reliable=True,
+            )
+    finally:
+        spark.conf.unset("logpump.segmented.reliableCheckpoint")
+        _restore_checkpoint_dir(spark, prev_dir)

@@ -253,3 +253,23 @@ def test_split_and_fused_projection_shapes_identical(spark, logdir):
     assert split.schema == fused.schema
     key = lambda r: (r["Timestamp"], r["LogTimestamp"], r["SessionID"])
     assert sorted(split.collect(), key=key) == sorted(fused.collect(), key=key)
+
+
+def test_split_shape_survives_collidable_passthrough_columns(spark, logdir):
+    # r15 (ADVICE r14): the split path's intermediates are now
+    # __lp_-prefixed — a passthrough column that happens to carry one
+    # of the OLD internal names (_m, _p, _sql...) must flow through the
+    # split shape unharmed instead of raising an ambiguous-reference
+    # AnalysisException only that shape would hit
+    from pyspark.sql import functions as F
+
+    files = read_techlog(spark, logdir, glob="*.log")
+    recs = (
+        records_from_text(files)
+        .withColumn("_m", F.lit("keepme"))
+        .withColumn("_sql", F.lit(7))
+    )
+    out = parse_records(recs, split_stages=True)
+    assert "_m" in out.columns and "_sql" in out.columns
+    row = out.select("_m", "_sql").first()
+    assert (row["_m"], row["_sql"]) == ("keepme", 7)
