@@ -270,12 +270,20 @@ def parse_records(
     (tools/ab_parse_split.py) measured the fused form entering the
     storm in 4/10 JVMs (walls 21.4-39.3 s) vs 0/10 split (20.5-24.5 s,
     median 23.6 vs 25.3 s) — the r8 JVM-knob sweep had already
-    exhausted every non-plan lever.  Cluster-scale trade, stated: one
-    extra corpus-sized shuffle (~the record bytes) per parse vs a
-    per-JVM-LIFETIME compile stall; long-lived executors amortize the
-    stall away, so shuffle-bound 100 TB deployments can flip the conf
-    off — correctness is identical either way (same expressions over
-    the same intermediates; parity + golden tests cover both shapes).
+    exhausted every non-plan lever.  Cluster-scale trade, MEASURED
+    warm (r15, tools/ab_parse_warm, one warm JVM, decade corpus,
+    storms excluded by warmup): the exchange's warm tax is
+    zero-to-negative — split median 13.04 s vs fused 14.13 s — because
+    the plane is regex-CPU-bound at ~70 s wall/GB (local[32]) while
+    the corpus-sized exchange costs ~2% of that even on conservative
+    cluster shuffle throughput, and the rebalance it buys spreads the
+    regex work evenly regardless of upstream row-group layout.  Flip
+    the conf off only when executors are long-lived (per-JVM stall
+    amortized over >>3 GB parsed each) AND shuffle capacity — not
+    CPU — is the job's binding resource (SCALING.md §10.4 for the
+    numbers); the streaming pump ships fused for exactly that reason.
+    Correctness is identical either way (same expressions over the
+    same intermediates; parity + golden tests cover both shapes).
     """
     rec = F.col(record_col)
     header_part, sql_text, context_text = split_record(rec)
