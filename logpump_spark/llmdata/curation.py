@@ -317,7 +317,14 @@ def boilerplate_flag(
             )
         return pd.Series(out)
 
-    sh = docs.select(
+    from ..operators.fanout import fan_out
+
+    # the shingle/md5 plane is Arrow-batched Python — fan it out so a
+    # few-task input does not serialize it onto one worker
+    # (operators/fanout.py; measured 2.7 -> 2.0 s at sf0.1).  `sh` is
+    # consumed by BOTH branches below (hot-set build and per-doc score),
+    # each re-evaluating the projection at full width.
+    sh = fan_out(docs, id_col, text_col).select(
         F.col(id_col), F.explode(_shingle_hashes(F.col(text_col))).alias("h")
     )
     hot = (
@@ -405,12 +412,18 @@ def source_overlap_matrix(
     division."""
     from .dedup import ordered_pair_structs, shingles_col, tokens_col
 
+    from ..operators.fanout import fan_out
+
     # materialize the token array before shingles_col: its transform
     # lambda slices the array per shingle, and an inline split(text)
     # would re-split once per ELEMENT (the SCALING.md §7 interpreted-HOF
-    # rule; same fix as text_pmi_pairs / sample_dsir)
+    # rule; same fix as text_pmi_pairs / sample_dsir).  The
+    # tokenize/shingle/explode plane is the CPU — fan it out across the
+    # session's cores first (operators/fanout.py; measured 1.9 -> 1.3 s
+    # on corpus_overlap at sf0.1 where the single-row-group scan
+    # otherwise runs it one-task).
     sh = (
-        docs.filter(F.col(text_col).isNotNull())
+        fan_out(docs.filter(F.col(text_col).isNotNull()), group_col, text_col)
         .select(F.col(group_col).alias("src"), tokens_col(text_col).alias("toks"))
         .select("src", F.explode(shingles_col(F.col("toks"), k)).alias("sh"))
     )

@@ -98,8 +98,16 @@ def minhash_signatures(
     Spark's md5()/DuckDB's md5(), so the values stay exactly the
     oracle-replayable md5_hash60 domain; the n permutations are one
     numpy (n_hashes x n_shingles) int64 matrix op (a<2^30, h<2^32 keeps
-    products under 2^62)."""
+    products under 2^62).
+
+    The signature projection is the plane's CPU (python md5 per shingle),
+    so it is fanned out across the session's cores first
+    (operators/fanout.py): a single-row-group input otherwise feeds ONE
+    Arrow-batched Python worker while the other cores idle (measured
+    1.7 -> 1.2 s on dedup_minhash_lsh at sf0.1)."""
     import hashlib
+
+    from ..operators.fanout import fan_out
 
     A = np.array([a for a, _ in _MH_PARAMS[:n_hashes]], dtype=np.int64)
     B = np.array([b for _, b in _MH_PARAMS[:n_hashes]], dtype=np.int64)
@@ -125,9 +133,9 @@ def minhash_signatures(
             out.append(((A[:, None] * H[None, :] + B[:, None]) % _MH_P).min(axis=1).tolist())
         return pd.Series(out)
 
-    return df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), _sig(F.col(text_col)).alias("signature")
-    )
+    return fan_out(
+        df.filter(F.col(text_col).isNotNull()), id_col, text_col
+    ).select(F.col(id_col), _sig(F.col(text_col)).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -467,20 +475,26 @@ def substring_fingerprint_pairs(
     ~96% at L = k+24 with mod=8, ->1 for long plagiarized runs.
 
     Scale shape mirrors the MinHash path: per-doc gram selection is one
-    projection (higher-order functions, no UDF); one shuffle groups
-    selected fingerprints; pairs expand inside each fingerprint bucket
-    (collect_set bounded by max_bucket_size — a gram shared by everyone
-    is boilerplate, exact_dedup territory); the pair count per doc pair
-    aggregates bucket hits."""
+    projection (higher-order functions, no UDF) fanned out across the
+    session's cores (the gram/md5 plane is the cost — single-row-group
+    inputs otherwise run it on one task; operators/fanout.py); one
+    shuffle groups selected fingerprints; pairs expand inside each
+    fingerprint bucket (collect_set bounded by max_bucket_size — a gram
+    shared by everyone is boilerplate, exact_dedup territory); the pair
+    count per doc pair aggregates bucket hits.  No DISTINCT pass on the
+    fingerprint stream: collect_set dedups (id, h) inside the one
+    groupBy — an explicit distinct() was a second corpus-sized exchange
+    for results that are provably identical (r15)."""
+    from ..operators.fanout import fan_out
+
     n = F.length(F.col(text_col))
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.substring(F.col(text_col), i, k))
     fps = (
-        df.filter(F.col(text_col).isNotNull() & (n >= k))
+        fan_out(df.filter(F.col(text_col).isNotNull() & (n >= k)), id_col, text_col)
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, md5_hash60(F.col("g")).alias("h"))
         .filter(F.col("h") % mod == 0)
-        .distinct()
     )
     buckets = (
         fps.groupBy("h")

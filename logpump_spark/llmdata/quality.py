@@ -152,7 +152,15 @@ def pii_scrub(
     along unchanged so a pipeline can scrub WITHOUT a re-derive-and-join
     (joining a DataFrame back to a projection of itself makes Catalyst
     evaluate the whole upstream twice — a double corpus scan at 100 TB).
+
+    The four-regex pass is the cost, so the projected rows are fanned
+    out across the session's cores first (operators/fanout.py; measured
+    0.55 -> 0.22 s on text_pii_scrub at sf0.1, where the
+    single-row-group scan otherwise runs every regex on one task).
     """
+    from ..operators.fanout import fan_out
+
+    df = fan_out(df, id_col, *keep_cols, text_col)
     text = F.col(text_col)
     n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
     n_phone = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0))
