@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .similarity import _np_quantize, _sqdist, quantize
+from .similarity import _collect_fit_frame, _np_quantize, _sqdist, quantize
 
 
 def _np_sub_cells(
@@ -70,6 +70,44 @@ def fit_pq(
     spark = emb.sparkSession
     width = dim // n_sub
     base = emb.filter(F.size(F.col(vec_col)) == dim)
+
+    # r15: bounded corpora run the whole sub-Lloyd driver-side — one
+    # collect replaces init + one mapInPandas+shuffle+collect action per
+    # iteration; same kernels, bit-identical codebooks (see
+    # similarity._collect_fit_frame and tests/test_driver_fit.py).
+    frame = _collect_fit_frame(base, id_col, vec_col)
+    cent: dict[int, tuple[np.ndarray, np.ndarray]]
+    if frame is not None:
+        ids, Q = frame
+        S = Q.reshape(len(ids), n_sub, width)
+        order = np.argsort(ids, kind="stable")
+        k_eff = min(k, len(ids))
+        Q0 = S[order[:k_eff]]
+        cent = {
+            m: (np.arange(k_eff, dtype=np.int64), Q0[:, m, :].copy())
+            for m in range(n_sub)
+        }
+        for _ in range(iters):
+            cells = _np_sub_cells(S, cent)
+            new_cent: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            for m in range(n_sub):
+                cm = cells[m]
+                o = np.argsort(cm, kind="stable")
+                cs = cm[o]
+                uniq, starts = np.unique(cs, return_index=True)
+                sums = np.add.reduceat(S[o, m, :], starts, axis=0).astype(
+                    np.int64, copy=False
+                )
+                counts = np.diff(np.append(starts, len(cs)))
+                # identical to the distributed FLOOR(s / n): int64 ->
+                # float64 conversion + IEEE divide + floor
+                cv = np.floor(
+                    sums.astype(np.float64) / counts[:, None].astype(np.float64)
+                ).astype(np.int64)
+                new_cent[m] = (uniq.astype(np.int64), cv)
+            cent = new_cent
+        return _pq_encode(spark, base, cent, n_sub, width, id_col, vec_col)
+
     init_rows = (
         base.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
         .orderBy("_id")
@@ -145,6 +183,21 @@ def fit_pq(
                 np.array([v for _, v in pairs], dtype=np.int64),
             )
 
+    return _pq_encode(spark, base, cent, n_sub, width, id_col, vec_col)
+
+
+def _pq_encode(
+    spark,
+    base: DataFrame,
+    cent: dict[int, tuple[np.ndarray, np.ndarray]],
+    n_sub: int,
+    width: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Encode the corpus against fitted codebooks (shared tail of the
+    driver-side and distributed fits): one Arrow-batched pass emitting
+    ``n_sub`` codes per vector, plus the bounded centroid frame."""
     final_cent = {m: (c[0].copy(), c[1].copy()) for m, c in cent.items()}
 
     def _codes_gen(batches):

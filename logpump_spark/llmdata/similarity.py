@@ -191,6 +191,92 @@ def _assign_np(
     return emb.select(F.col(id_col).alias("_id"), _cell(F.col(vec_col)).alias("cell"))
 
 
+#: Driver-fit budget (r15): rows match the documented sampled-fit clamp
+#: (64 vectors/cell at the 4096-cell cap, SCALING.md §10.2); the cells
+#: bound keeps the collect under ~256 MB of int64 even for wide
+#: embeddings, far inside spark.driver.maxResultSize.
+DRIVER_FIT_MAX_ROWS = 262_144
+DRIVER_FIT_MAX_CELLS = 1 << 25
+
+
+def _collect_fit_frame(
+    fit_emb: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Collect a provably-bounded fit frame to the driver, or ``None``
+    to keep the distributed path.
+
+    Why (r15): the iterative fits (Lloyd, PQ sub-Lloyd, k-center greedy)
+    ran one Spark action PER ROUND over a frame that is bounded by
+    design — the modulo fit sample, or a corpus small enough to fit the
+    same budget — so the wall was round-count x (job scheduling +
+    Python-worker spin-up + a shuffle), not arithmetic.  Collecting the
+    frame once and iterating in numpy on the driver removes every
+    per-round action; the kernels (`_np_quantize`/`_np_cells`) are the
+    same exactness-pinned ones the distributed path runs, so centroids
+    are bit-identical (tests/test_driver_fit.py pins both paths equal).
+
+    Gate order: conf ``logpump.fit.driverLloyd`` (default on), integral
+    id type (mirrors the ``fit_stride`` contract), one ``count()``
+    (parquet-metadata-cheap on raw scans; on the checkpointed modulo
+    sample it performs the materialization the init job paid before), a
+    1-row dim probe, then the bounded collect.  Any row with a NULL id
+    or vector, or ragged dims, falls back to the distributed path so
+    behavior is unchanged."""
+    spark = fit_emb.sparkSession
+    if spark.conf.get("logpump.fit.driverLloyd", "true").lower() != "true":
+        return None
+    try:
+        id_type = fit_emb.schema[id_col].dataType.typeName()
+    except Exception:
+        return None
+    if id_type not in ("byte", "short", "integer", "long"):
+        return None
+    n = fit_emb.count()
+    if n == 0 or n > DRIVER_FIT_MAX_ROWS:
+        return None
+    d_row = fit_emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = None if d_row is None else d_row["d"]
+    if not d or d <= 0 or n * d > DRIVER_FIT_MAX_CELLS:
+        return None
+    rows = fit_emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).collect()
+    if any(r._id is None or r._v is None for r in rows):
+        return None
+    ids = np.array([r._id for r in rows], dtype=np.int64)
+    try:
+        Q = _np_quantize(pd.Series([list(r._v) for r in rows]))
+    except ValueError:  # ragged dims: let the distributed path report it
+        return None
+    return ids, Q
+
+
+def _driver_lloyd(
+    ids: np.ndarray, Q: np.ndarray, n_cells: int, iters: int
+) -> list[tuple[int, list[int]]]:
+    """Lloyd on a driver-collected fit frame — bit-identical to the
+    distributed loop in ``fit_ivf``: rank-order init (smallest ids),
+    the shared ``_np_cells`` assignment kernel, exact int64 per-cell
+    sums, and the same floored long/long double division for the mean
+    (int64 -> float64 conversion and IEEE divide match Spark's
+    Cast + Divide + FLOOR exactly); empty cells drop out."""
+    order = np.argsort(ids, kind="stable")
+    C = Q[order[:n_cells]].copy()
+    cids = np.arange(len(C), dtype=np.int64)
+    for _ in range(iters):
+        cells = _np_cells(Q, cids, C)
+        o = np.argsort(cells, kind="stable")
+        cs = cells[o]
+        uniq, starts = np.unique(cs, return_index=True)
+        sums = np.add.reduceat(Q[o], starts, axis=0).astype(np.int64, copy=False)
+        counts = np.diff(np.append(starts, len(cs)))
+        C = np.floor(
+            sums.astype(np.float64) / counts[:, None].astype(np.float64)
+        ).astype(np.int64)
+        cids = uniq.astype(np.int64)
+    return [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)]
+
+
 def fit_ivf(
     emb: DataFrame,
     n_cells: int = 8,
@@ -249,6 +335,26 @@ def fit_ivf(
         fit_emb = emb.filter(
             (F.col(id_col) - F.lit(fit_offset)) % F.lit(fit_stride) == 0
         ).localCheckpoint(eager=False)
+
+    def _cent_df(rows: list[tuple[int, list[int]]]) -> DataFrame:
+        return spark.createDataFrame(rows, "cid long, c array<long>")
+
+    # r15: when the fit frame is inside the driver budget (it is by
+    # construction under the derived ``fit_stride``, and for any small
+    # corpus), run the whole Lloyd loop driver-side — one bounded
+    # collect replaces the init job plus one mapInPandas+shuffle+collect
+    # action PER ITERATION, and centroids are bit-identical (same
+    # kernels; pinned in tests/test_driver_fit.py).  Oversized frames,
+    # non-integral ids, NULLs, or ``logpump.fit.driverLloyd=false`` keep
+    # the distributed loop below unchanged.
+    frame = _collect_fit_frame(fit_emb, id_col, vec_col)
+    if frame is not None:
+        cent_rows = _driver_lloyd(frame[0], frame[1], n_cells, iters)
+        cells = _assign_np(emb, cent_rows, id_col, vec_col).select(
+            F.col("_id").alias(id_col), "cell"
+        )
+        return cells, _cent_df(cent_rows)
+
     init = (
         fit_emb.select(
             F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("q")
@@ -257,8 +363,6 @@ def fit_ivf(
         .limit(n_cells)
         .collect()
     )
-    def _cent_df(rows: list[tuple[int, list[int]]]) -> DataFrame:
-        return spark.createDataFrame(rows, "cid long, c array<long>")
 
     # graceful degradation (faiss-like, and what the SQL oracle's
     # rank-limited seed CTE already does): a corpus smaller than n_cells

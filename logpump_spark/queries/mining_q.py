@@ -739,9 +739,38 @@ def sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop as the k-means fit, `similarity.py fit_ivf` — selected set is
     k rows on the driver, never the corpus).  The oracle unrolls the
     identical k rounds as nested CTEs."""
-    from ..llmdata.similarity import quantize, _sqdist
+    from ..llmdata.similarity import quantize, _sqdist, _collect_fit_frame
 
     emb = load(spark, sf_dir, "embeddings")
+
+    # r15: the greedy loop below is one persist + k TakeOrdered jobs;
+    # when the corpus fits the driver-fit budget, collect the quantized
+    # frame once and run the identical integer greedy in numpy — exact
+    # int64 distances, same (d DESC, id ASC) tie-break, bit-identical
+    # picks (pinned in tests/test_driver_fit.py).  Oversized corpora /
+    # logpump.fit.driverLloyd=false keep the distributed loop.
+    frame = _collect_fit_frame(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding"
+    )
+    if frame is not None:
+        import numpy as np
+
+        ids, Q = frame
+        seed_i = int(np.argmin(ids))
+        selected = [(1, int(ids[seed_i]), 0)]
+        diff = Q - Q[seed_i]
+        dmin = (diff * diff).sum(axis=1)
+        for rank in range(2, _KC_K + 1):
+            mx = int(dmin.max())
+            tied = np.flatnonzero(dmin == mx)
+            far_i = int(tied[np.argmin(ids[tied])])
+            selected.append((rank, int(ids[far_i]), mx))
+            diff = Q - Q[far_i]
+            dmin = np.minimum(dmin, (diff * diff).sum(axis=1))
+        return spark.createDataFrame(
+            selected, "center_rank int, vec_id long, dist_to_set long"
+        )
+
     q = emb.select(F.col("vec_id"), quantize(F.col("embedding")).alias("v"))
     q = q.persist()
     try:
