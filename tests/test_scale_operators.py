@@ -60,6 +60,10 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 
     ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    # the session default prefers shuffled hash join (r15); this pin is
+    # about bucketed co-location exploiting the bucket SORT, so ask for
+    # sort-merge explicitly
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
     try:
         j = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select("o_orderkey", "l_quantity")
         j.collect()
@@ -70,6 +74,7 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert j.count() == lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")  # session default (r15)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
