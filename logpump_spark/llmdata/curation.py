@@ -294,38 +294,30 @@ def boilerplate_flag(
     distributed TakeOrdered, so the join back is a BROADCAST
     (driver-bounded at top_k rows) against one corpus scan.  Without
     the cap the hot set is unbounded and the join degrades to a
-    corpus-wide shuffle — the cap IS the 100 TB design."""
-    import hashlib
+    corpus-wide shuffle — the cap IS the 100 TB design.
 
-    @F.pandas_udf("array<long>")
-    def _shingle_hashes(texts: pd.Series) -> pd.Series:
-        # hexdigest()[1:16] is the same 60-bit integer the DuckDB twin
-        # derives (substr(md5, 2, 15)) — see decontaminate_ngram_overlap
-        out = []
-        for t in texts:
-            toks = ("" if t is None else t).split(" ")
-            out.append(
-                [
-                    int(
-                        hashlib.md5(
-                            " ".join(toks[i : i + k]).encode("utf-8")
-                        ).hexdigest()[1:16],
-                        16,
-                    )
-                    for i in range(max(len(toks) - k + 1, 1))
-                ]
-            )
-        return pd.Series(out)
-
+    r15: the shingle hashes are ONE native projection (split -> slice/
+    array_join -> the shared md5_hash60 — the identical 60-bit integer
+    the old Arrow-batched hashlib UDF produced, hexdigest[1:16] ==
+    conv(substring(md5, 2, 15))), fanned out across the session's cores
+    (operators/fanout.py).  Dropping the Python boundary removed the
+    ArrowEvalPython node from BOTH consumers of `sh` and measured
+    2.7 -> ~1.0 s at sf0.1 (fan-out 2.7 -> 2.0, native expr 2.0 -> 1.0;
+    results bit-identical including NULL text, which coalesces to ''
+    exactly as the UDF did)."""
     from ..operators.fanout import fan_out
+    from .dedup import md5_hash60, shingles_col
 
-    # the shingle/md5 plane is Arrow-batched Python — fan it out so a
-    # few-task input does not serialize it onto one worker
-    # (operators/fanout.py; measured 2.7 -> 2.0 s at sf0.1).  `sh` is
-    # consumed by BOTH branches below (hot-set build and per-doc score),
-    # each re-evaluating the projection at full width.
-    sh = fan_out(docs, id_col, text_col).select(
-        F.col(id_col), F.explode(_shingle_hashes(F.col(text_col))).alias("h")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    # `sh` is consumed by BOTH branches below (hot-set build and per-doc
+    # score), each re-evaluating the projection at full width; _toks is
+    # a named column so the interpreted shingle lambda never re-splits
+    # (SCALING.md §7)
+    sh = (
+        fan_out(docs, id_col, text_col)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_col(F.col("_toks"), k)).alias("s"))
+        .select(id_col, md5_hash60(F.col("s")).alias("h"))
     )
     hot = (
         sh.groupBy("h")
