@@ -28,15 +28,37 @@ def max_concurrent_intervals(
     Two-stage parallel prefix scan (never a global single-partition
     sweep over raw boundaries): per-hour net deltas → exclusive carry
     over the bounded hour table → within-hour completion with the
-    carry broadcast back.  Returns one row (max_concurrent, at_us)."""
-    starts = intervals.select(
-        F.unix_micros(start_col).alias("us"), F.lit(1).alias("delta")
-    )
-    ends = intervals.select(
-        F.unix_micros(end_col).alias("us"), F.lit(-1).alias("delta")
-    )
-    bounds = starts.unionAll(ends).withColumn(
-        "bucket", F.expr(f"CAST(us DIV {_HOUR_US} AS BIGINT)")
+    carry broadcast back.  Returns one row (max_concurrent, at_us).
+
+    r15 shape fix (guide §2.4/§5): ``intervals`` is typically an
+    expensive subtree (a sessionize window over the corpus), and the
+    old union-of-two-selects form embedded it TWICE, while the carry
+    pass and the within-hour pass each re-planned the union — FOUR
+    full sessionize executions per run (plans/r15/
+    interval_max_concurrent_before.txt).  Now one explode emits both
+    boundaries in a single pass and the boundary table — 2 rows x 3
+    longs per interval, corpus-REDUCED and narrow — is materialized
+    once (localCheckpoint, the ranged_blocks precedent) so both prefix
+    stages read it instead of re-running the upstream.  Measured
+    2.4 -> ~0.9 s at sf0.1; same rows, same semantics."""
+    bounds = (
+        intervals.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.unix_micros(start_col).alias("us"),
+                        F.lit(1).alias("delta"),
+                    ),
+                    F.struct(
+                        F.unix_micros(end_col).alias("us"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.us", "b.delta")
+        .withColumn("bucket", F.expr(f"CAST(us DIV {_HOUR_US} AS BIGINT)"))
+        .localCheckpoint(eager=False)
     )
 
     per_bucket = bounds.groupBy("bucket").agg(F.sum("delta").alias("net"))
@@ -72,14 +94,26 @@ def interval_union_length(
     """Per-key UNION length (µs) of possibly-overlapping intervals,
     overlaps counted once and TOUCHING intervals merged (+1 applies
     before -1 at equal ts).  One boundary sweep per key partition.
-    Returns (key, covered_us, n_intervals)."""
-    starts = intervals.select(
-        key_col, F.col(start_us_col).alias("us"), F.lit(1).alias("delta")
-    )
-    ends = intervals.select(
-        key_col, F.col(end_us_col).alias("us"), F.lit(-1).alias("delta")
-    )
-    b = starts.unionAll(ends)
+    Returns (key, covered_us, n_intervals).
+
+    Same r15 single-pass boundary emission as
+    ``max_concurrent_intervals`` (the union form ran the upstream
+    interval subtree twice); no checkpoint here — the boundary table
+    has ONE consumer chain (window then a partitioning-reusing
+    groupBy)."""
+    b = intervals.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_us_col).alias("us"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col(end_us_col).alias("us"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("bb"),
+    ).select(key_col, "bb.us", "bb.delta")
 
     w = W.partitionBy(key_col).orderBy(F.col("us").asc(), F.col("delta").desc())
     b = (

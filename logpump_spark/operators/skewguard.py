@@ -190,6 +190,19 @@ def first_n_per_key(
     2. rank the survivors (<= shards * N rows per key, any input
        distribution) with the exact per-key window — single-task but
        bounded by the cap, not the corpus.
+
+    r15: when the cap binds, the result is MATERIALIZED once
+    (localCheckpoint, the ranged_blocks precedent).  Callers like
+    ``window_funnel`` reference the capped frame once per step, and
+    un-materialized each reference re-ran the whole gate — detector
+    broadcast, flag join, both ranking windows — so a 3-step funnel
+    executed the corpus scan + 2 window sorts EIGHT times
+    (plans/r15/funnel_steps_capped_before.txt: 56 parquet scans).
+    The capped output is <= n rows per key at ANY corpus size — the
+    cap that makes the operator scale-safe is exactly what makes the
+    materialization scale-safe.  Measured: funnel_steps_capped
+    2.4 -> ~1.0 s at sf0.1.  The identity route (no key over the cap)
+    returns the input frame untouched — never a base-table persist.
     """
     # asc_nulls_last on both sort keys: defensive parity with the
     # DuckDB oracle's ROW_NUMBER ... ORDER BY ts, tiebreak default
@@ -239,7 +252,11 @@ def first_n_per_key(
         if len(non_null) < len(keys):
             cond = cond | F.col(key_col).isNull()
         is_hot = F.coalesce(cond, F.lit(False))
-        return df.filter(~is_hot).unionByName(_rank(df.filter(is_hot)))
+        return (
+            df.filter(~is_hot)
+            .unionByName(_rank(df.filter(is_hot)))
+            .localCheckpoint(eager=False)
+        )
 
     # adversarial over-set (> _LITERAL_KEY_LIMIT keys): lazy flag join.
     # No broadcast HINT here: an explicit F.broadcast() is honored
@@ -262,7 +279,7 @@ def first_n_per_key(
             "_fn_over_key", "_fn_over"
         )
     )
-    return under.unionByName(capped)
+    return under.unionByName(capped).localCheckpoint(eager=False)
 
 
 def over_threshold_keys(

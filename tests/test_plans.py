@@ -462,3 +462,30 @@ def test_lttb_exact_aggregates_before_pandas_shuffle(spark):
     final = plan.split("== Initial Plan ==")[0]
     # the pandas stage's input exchange hashes on the series key
     assert "Exchange hashpartitioning(user_id" in final
+
+
+def test_interval_boundaries_single_pass_and_materialized(spark):
+    """r15: both interval sweeps emit (start,+1)/(end,-1) boundaries via
+    ONE explode over the interval subtree instead of a self-union that
+    re-ran it per branch (plans/r15/interval_*_before.txt: the
+    sessionize window executed 4x in max_concurrent).  Pins: no Union
+    in either final plan; max_concurrent's boundary table — consumed by
+    both prefix-scan stages — is a truncated-lineage RDD scan
+    (localCheckpoint), so the upstream runs once."""
+    from logpump_spark.queries.intervals_q import (
+        interval_length_sum,
+        interval_max_concurrent,
+    )
+
+    mc = interval_max_concurrent(spark, SF_SMALL)
+    mc.collect()
+    plan_mc = _plan(mc)
+    assert "Union" not in plan_mc
+    assert "Scan ExistingRDD" in plan_mc  # the materialized bounds
+    assert "Scan parquet" not in plan_mc  # no per-branch corpus re-scan
+
+    ls = interval_length_sum(spark, SF_SMALL)
+    ls.collect()
+    plan_ls = _plan(ls)
+    assert "Union" not in plan_ls
+    assert "Generate explode" in plan_ls  # single-pass boundary emission

@@ -144,6 +144,22 @@ def test_first_n_identity_when_cap_never_binds(spark):
     assert out is df
 
 
+def test_first_n_capped_result_is_materialized(spark):
+    # r15: when the cap binds, the gate's output (<= n rows per key by
+    # construction) is localCheckpoint-materialized so a multi-reference
+    # caller (window_funnel references it once per step) runs the
+    # detector/flag-join/ranking-window subtree ONCE, not per reference
+    # — interleaved A/B measured funnel_steps_capped 0.76x.  The pin:
+    # the returned plan is a truncated-lineage RDD scan, and the values
+    # are still the exact first-N.
+    df = _mk(spark, _rand_rows(9))
+    got = first_n_per_key(df, 7)
+    assert got is not df
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan[:500]
+    assert _rowset(got) == _rowset(_oracle_first_n(df, 7))
+
+
 def _restore_checkpoint_dir(spark, prev: str | None) -> None:
     # setCheckpointDir(null) clears it JVM-side (Option(null) -> None);
     # leaving it pointed at a pytest tmp_path would leak cleaned-up
