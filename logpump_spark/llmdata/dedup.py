@@ -349,16 +349,25 @@ def ngram_jaccard_pairs(
     """Exact token-set Jaccard over a bounded candidate space: pairs must
     share every ``pair_keys`` column and sit within ``max_len_diff`` of
     each other — the deterministic stand-in for an upstream LSH candidate
-    stage, chosen so a SQL oracle can reproduce it exactly."""
+    stage, chosen so a SQL oracle can reproduce it exactly.
+
+    r15: the token stream is materialized ONCE (localCheckpoint, the
+    ranged_blocks precedent) — it feeds both sides of the self-join,
+    and the per-doc distinct-token sizes are re-aggregated from it
+    (count of the already-distinct exploded tokens == the old
+    size(array_distinct(...)); a NULL-text doc emits no tok rows and
+    no sizes row, but it cannot appear in `shared` either, so the
+    inner joins see identical keys).  The old shape ran the
+    split+distinct+explode tokenization FOUR times per call (a side,
+    b side, and the two sizes branches).  Interleaved A/B at sf0.1:
+    2.70 -> 2.23 s (0.82x) on the planted-dups corpus, pairs exact."""
     pair_keys = pair_keys or ["source"]
     band = F.floor(F.col(len_col) / max_len_diff)
     tok = df.select(
         F.col(id_col), *pair_keys, F.col(len_col), band.alias("band"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
-    )
-    sizes = df.select(
-        F.col(id_col), F.size(F.array_distinct(tokens_col(text_col))).alias("n_tok")
-    )
+    ).localCheckpoint(eager=False)
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     # length-band bucketing: |len_a - len_b| <= W implies the bands differ
     # by at most 1, so probing band-1/band/band+1 turns the length window
     # into an EQUI-join key — hash buckets shrink by the band count and
