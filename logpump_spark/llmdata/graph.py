@@ -140,16 +140,31 @@ def pagerank_int(
     1, which is what top-k ranking needs).
 
     Scale shape: per iteration, one join of the rank vector with edges
-    on the source key and one groupBy on the target key — both shuffle
-    ON THE SAME KEYS every iteration, so AQE reuses the edge exchange
-    across iterations; a driver loop with localCheckpoint (the
-    connected_components pattern above) replaces plan unrolling when
-    iters grows beyond a handful."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    nodes = e.select(F.col("u").alias("node")).union(
-        e.select(F.col("v").alias("node"))
-    ).distinct()
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    on the source key and one groupBy on the target key; a driver loop
+    with localCheckpoint (the connected_components pattern above)
+    replaces plan unrolling when iters grows beyond a handful.
+
+    r15: the edge list, node set, and out-degree table are materialized
+    once (localCheckpoint, the same entry treatment
+    connected_components has always had) — the unrolled plan references
+    the caller's edge subtree up to 2 + 2 x iters times (each
+    iteration's join + the node left-join), and graph_pagerank's edge
+    list is itself a join+distinct that was re-planned per reference.
+    Interleaved A/B at sf0.1: 4.59 -> 3.28 s (0.71x), ranks exact."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     base = (scale * (damping_den - damping_num)) // damping_den
     pr = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
     for _ in range(iters):
