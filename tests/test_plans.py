@@ -229,11 +229,18 @@ def test_scan_orc_pushdown(spark):
     assert "event_type" in explained.split("PushedFilters")[-1].split("]")[0]
 
 
-def test_lm_score_partial_aggregation(spark):
+def test_lm_score_partial_aggregation(spark, monkeypatch):
     # both count tables build with map-side partial aggregation, and the
-    # corpus-scale count tables are never broadcast
+    # corpus-scale count tables are never broadcast.  r15 materializes the
+    # per-doc count table (localCheckpoint), which hides its aggregation
+    # behind a Scan ExistingRDD in the executed plan — neutralize the
+    # checkpoint here so the assertion keeps seeing (and biting on) the
+    # full production aggregation shape.
+    from pyspark.sql.classic.dataframe import DataFrame
+
     from logpump_spark.queries.quality_q import text_lm_score
 
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, eager=True: self)
     df = text_lm_score(spark, SF_SMALL)
     df.collect()
     plan = _plan(df)
