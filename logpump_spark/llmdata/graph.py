@@ -36,6 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+# Budget for the driver-side union-find short-circuit: 2M edges x 2
+# longs ~ 32 MB through Arrow — far under the driver's headroom, far
+# over any near-dup graph the bench or driver fixtures produce.
+CC_DRIVER_MAX_EDGES = 2_000_000
+
 
 def _large_star(e: DataFrame) -> DataFrame:
     """(u,v) edges (any direction) -> edges connecting each node's larger
@@ -67,6 +72,56 @@ def _small_star(e: DataFrame) -> DataFrame:
     return nbr.union(own).filter(F.col("u") != F.col("v")).distinct()
 
 
+def _driver_components(cur: DataFrame) -> DataFrame | None:
+    """Union-find the edge set on the driver when it is small enough to
+    collect, or ``None`` to keep the distributed star loop.
+
+    Why (r15, the ``_collect_fit_frame`` precedent): each star round is
+    2 shuffles plus a probe action over an edge set that near-dup
+    detection has ALREADY reduced to pairs — at bench scale a few
+    thousand rows.  The loop's wall is round-count x fixed per-action
+    cost, not data.  One bounded collect plus union-to-min on the
+    driver produces the identical (node, component = min reachable id)
+    labels; graphs over the budget (or conf
+    ``logpump.cc.driverUnionFind=false``) take the distributed loop
+    unchanged, so the 100 TB path is untouched."""
+    spark = cur.sparkSession
+    if spark.conf.get("logpump.cc.driverUnionFind", "true").lower() != "true":
+        return None
+    # cur is the entry localCheckpoint — the count runs over
+    # materialized blocks, and doubles as the materialization the first
+    # star round would have paid.
+    n = cur.count()
+    if n > CC_DRIVER_MAX_EDGES:
+        return None
+    import pandas as pd
+
+    pdf = cur.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union-to-min: the smaller id stays root, so every root IS
+            # its component's minimum — the star loop's fixpoint label
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = sorted(set(pdf["u"]).union(pdf["v"]))
+    out = pd.DataFrame(
+        {"node": nodes, "component": [find(int(x)) for x in nodes]},
+        dtype="int64",
+    )
+    return spark.createDataFrame(out, schema="node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -86,6 +141,9 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    drv = _driver_components(cur)
+    if drv is not None:
+        return drv
     for i in range(max_iter):
         # lazy checkpoint: the convergence probe below is the ONE action
         # per probed round — it materializes the pending checkpoints and
