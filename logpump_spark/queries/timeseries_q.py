@@ -288,43 +288,61 @@ def timeseries_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure integer comparisons, no interpolation — and the outlier gate
     |x - med| > 3 * MAD is exact int64 arithmetic.
 
-    Scale shape: two window passes and one broadcast join, all on the
-    event_type partitioning; no per-group sort escapes its partition."""
+    Scale shape (r15, guide §2.3 — aggregate before you shuffle): ONE
+    corpus pass folds events to the (event_type, qv) multiplicity table
+    with map-side partial aggregation; every rank statistic runs on
+    that bounded table.  The old per-row rank's event_id tiebreak only
+    orders rows WITHIN one qv (or ad) value, so it never changes which
+    value sits at the median rank: the lower median is the smallest
+    value whose cumulative multiplicity reaches ceil(n/2).  The before
+    shape (plans/r15/timeseries_mad_before.txt) scanned the corpus 4x
+    and ran 4 corpus-sized window sorts; now 1 scan, 1 corpus shuffle
+    of pre-reduced counts, windows over distinct values only."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     qv = F.floor(F.col("value") * 10000).cast("long")
-    base = ev.select("event_type", qv.alias("qv"), "event_id")
-    w1 = W.partitionBy("event_type").orderBy("qv", "event_id")
-    n1 = W.partitionBy("event_type")
+    cnt = (
+        ev.groupBy("event_type", qv.alias("qv"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w_n = W.partitionBy("event_type")
+    # rk*2 == n + n%2  <=>  rk == ceil(n/2): the lower-median rank
+    tgt = F.expr("(n + n % 2) div 2")
+    w_qv = w_n.orderBy("qv")
     med = (
-        base.withColumn("rk", F.row_number().over(w1))
-        .withColumn("n", F.count(F.lit(1)).over(n1))
-        .filter(F.col("rk") * 2 == F.col("n") + (F.col("n") % 2))
-        .select("event_type", F.col("qv").alias("med"))
+        cnt.withColumn("n", F.sum("c").over(w_n))
+        .withColumn("cum", F.sum("c").over(w_qv))
+        .filter((F.col("cum") >= tgt) & (F.col("cum") - F.col("c") < tgt))
+        .select("event_type", F.col("qv").alias("med"), "n")
     )
-    dev = base.join(F.broadcast(med), "event_type").select(
+    dev = cnt.join(F.broadcast(med), "event_type").select(
         "event_type",
-        "qv",
-        "event_id",
         F.abs(F.col("qv") - F.col("med")).alias("ad"),
+        "c",
         "med",
+        "n",
     )
-    w2 = W.partitionBy("event_type").orderBy("ad", "event_id")
+    adg = (
+        dev.groupBy("event_type", "ad")
+        .agg(F.sum("c").alias("c"), F.max("med").alias("med"), F.max("n").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    w_ad = w_n.orderBy("ad")
     mad = (
-        dev.withColumn("rk", F.row_number().over(w2))
-        .withColumn("n", F.count(F.lit(1)).over(n1))
-        .filter(F.col("rk") * 2 == F.col("n") + (F.col("n") % 2))
+        adg.withColumn("cum", F.sum("c").over(w_ad))
+        .filter((F.col("cum") >= tgt) & (F.col("cum") - F.col("c") < tgt))
         .select("event_type", F.col("ad").alias("mad"))
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        adg.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             (F.max("med").cast("double") / 10000).alias("median_value"),
             (F.max("mad").cast("double") / 10000).alias("mad_value"),
-            F.sum((F.col("ad") > 3 * F.col("mad")).cast("long")).alias(
-                "n_outliers"
-            ),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), F.col("c")).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+            F.sum("c").alias("n_events"),
         )
         .orderBy("event_type")
     )
