@@ -232,32 +232,51 @@ def simhash_parts(
     chars 9-16) so the DuckDB oracle replays identical signatures; the
     halves avoid 1<<63, which ANSI engines reject as overflow.
 
-    A signature is a function of ONE document, so this is a single
-    Arrow-batched projection (numpy bit-sums over the token-hash
-    matrix) — no corpus x token explode, no 64-aggregate shuffle."""
-    import hashlib
+    A signature is a function of ONE document, so this stays a single
+    projection — no corpus x token explode, no 64-aggregate shuffle.
+    r15 (guide §4.2): token hashing moved INTO the JVM (the md5_hash60
+    idiom: conv(substring(md5(w), ...), 16, 10) equals int(hex, 16) of
+    the same chars), so the Arrow boundary carries int64 hash arrays and
+    the Python side is pure vectorized numpy over the whole batch — the
+    old per-row loop called hashlib once per TOKEN in interpreted
+    Python.  Spark's split(text, ' ') and Python's str.split(' ') agree
+    on empty/trailing tokens, so signatures are bit-identical."""
+    toks = F.split(F.col(text_col), " ")
+    hi_arr = F.transform(
+        toks, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    lo_arr = F.transform(
+        toks, lambda w: F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long")
+    )
 
-    shifts = np.arange(32, dtype=np.int64)
-    weights = (np.int64(1) << shifts)
+    weights = np.int64(1) << np.arange(32, dtype=np.int64)
 
     @F.pandas_udf("sig_hi long, sig_lo long")
-    def _sig(texts: pd.Series) -> pd.DataFrame:
-        his, los = [], []
-        for t in texts:
-            words = t.split(" ")
-            digests = [hashlib.md5(w.encode("utf-8")).hexdigest() for w in words]
-            hi = np.array([int(d[0:8], 16) for d in digests], dtype=np.int64)
-            lo = np.array([int(d[8:16], 16) for d in digests], dtype=np.int64)
-            # per bit: sum of +-1 over tokens; sign -> signature bit
-            b_lo = (2 * ((lo[:, None] >> shifts) & 1) - 1).sum(axis=0)
-            b_hi = (2 * ((hi[:, None] >> shifts) & 1) - 1).sum(axis=0)
-            los.append(int(((b_lo > 0) * weights).sum()))
-            his.append(int(((b_hi > 0) * weights).sum()))
-        return pd.DataFrame({"sig_hi": his, "sig_lo": los})
+    def _sig(hi: pd.Series, lo: pd.Series) -> pd.DataFrame:
+        n = len(hi)
+        if n == 0:
+            z = pd.Series([], dtype="int64")
+            return pd.DataFrame({"sig_hi": z, "sig_lo": z})
+        lens = np.fromiter((len(x) for x in hi), dtype=np.int64, count=n)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+
+        def fold(arrs) -> np.ndarray:
+            a = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs])
+            sig = np.zeros(n, dtype=np.int64)
+            # per bit: sum over tokens of +-1 = 2*popcount - n_tokens;
+            # sign -> signature bit.  One T-length pass per bit keeps
+            # memory O(total tokens), not O(tokens x 32).
+            for i in range(32):
+                cnt = np.add.reduceat((a >> i) & 1, starts)
+                sig += (2 * cnt - lens > 0) * weights[i]
+            return sig
+
+        return pd.DataFrame({"sig_hi": fold(hi), "sig_lo": fold(lo)})
 
     return (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), _sig(F.col(text_col)).alias("_s"))
+        .select(F.col(id_col), _sig(hi_arr, lo_arr).alias("_s"))
         .select(id_col, "_s.sig_hi", "_s.sig_lo")
     )
 
