@@ -925,6 +925,12 @@ def semantic_dedup(
     # them in as keep=true would silently claim they were deduped (and
     # diverge from an oracle that replays the capped set)
     w_cell = W.partitionBy("cell").orderBy(F.col(id_col).asc())
+    # NOT materialized (measured r15): the executed plan shows the
+    # scan -> _cell UDF -> cap window chain twice (pair scan + final
+    # keep join), but a localCheckpoint here measured 2x SLOWER at the
+    # 10x decade corpus (8.6 -> 17.8 s median) — the vector-bearing
+    # frame pays RDD serialization while the un-checkpointed shape's
+    # duplicate subtree is largely satisfied by runtime exchange reuse.
     withc = (
         withc.withColumn("_cn", F.row_number().over(w_cell))
         .filter(F.col("_cn") <= max_cell_size)
