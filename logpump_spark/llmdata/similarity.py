@@ -188,6 +188,13 @@ def _assign_np(
             return pd.Series([], dtype="int64")
         return pd.Series(_np_cells(_np_quantize(v), cids, C))
 
+    # NOT asNondeterministic (measured r15): sim_ivf_topk's executed plan
+    # stacks two ArrowEvalPython[_cell] nodes (pushed isnotnull filter +
+    # projection — the classic UDF-duplication shape), but marking the
+    # UDF non-deterministic to forbid the copy measured consistently
+    # SLOWER (topk 0.69 -> 0.81 s, recall 1.02 -> 1.11, semantic
+    # 2.25 -> 2.55 at sf0.1): it also blocks filter pushdown around the
+    # projection, which costs more than the duplicated numpy eval saves.
     return emb.select(F.col(id_col).alias("_id"), _cell(F.col(vec_col)).alias("cell"))
 
 
