@@ -70,35 +70,34 @@ _MODULES = (
 # Order matters: the driver's CORRECTNESS gate verifies the FIRST 50
 # registry entries per round.  `python -m tools.staleness` prints the
 # per-id latest driver-green round so each rotation can target the
-# stalest cohort mechanically.  Round-15 window: the two parse ids
-# whose code changed this round lead (collision-proof __lp_-prefixed
-# split-path intermediates + the Connect fallback now reading
-# spark.sql.shuffle.partitions — ADVICE r14), then the rotation the
-# r14 verdict ordered: ALL 13 ids last green at r9 (the four
-# text/timeseries ids, eight TPC-H, win_cume_dist) and the 35 stalest
-# r10 ids to fill 50.  After this round the staleness floor rises from
-# r9 to r10.
+# stalest cohort mechanically.  Round-16 window (the r15 verdict's
+# item 1): every id whose code the r15 optimization commits rewrote
+# leads — their builder-side parity is green but the DRIVER's oracle
+# has not yet touched the new code — then the ids this round's own
+# optimizations target, then the stalest cohort (the full r10
+# remainder and the head of r11) to fill 50.
 _WINDOW_PRIORITY = [
-    # r15 code changes lead (techlog/parser.py split path)
-    "parse_full_entry", "parse_scaled",
-    # the full 13-id r9 staleness cohort (tools/staleness.py order)
-    "text_decontaminate", "text_lm_score", "text_tfidf",
-    "timeseries_rate", "tpch_q10_returns", "tpch_q11_important_stock",
-    "tpch_q13_cust_distribution", "tpch_q15_top_supplier",
-    "tpch_q20_dominant_supplier", "tpch_q3_shipping",
-    "tpch_q5_nation_volume", "tpch_q6_revenue_delta", "win_cume_dist",
-    # then the 35 stalest r10 ids (tools/staleness.py order; the
-    # remaining r10 tail rotates in r16)
-    "agg_approx_distinct", "agg_corr", "agg_cube", "agg_distinct",
-    "agg_grouping_sets", "agg_metrics", "agg_percentile", "agg_pivot",
-    "agg_rollup", "agg_stats", "corpus_prepare", "doc_fingerprint",
-    "filter_pushdown", "fn_bitwise", "fn_conditional",
-    "fn_date_suite2", "fn_decimal", "fn_explode", "fn_generators",
-    "fn_json_roundtrip", "fn_null_columns", "fn_safe_cast",
-    "fn_sql_scrub", "fn_string_suite2", "join_anti", "join_asof",
-    "join_broadcast", "join_cross", "join_full_outer", "join_left",
-    "join_range", "join_semi", "multimodal_audio", "multimodal_decode",
-    "sample_topp",
+    # r15-rewritten ids (driver-oracle coverage lags the changes)
+    "dedup_components", "dedup_canonical", "dedup_cluster_stats",
+    "dedup_simhash", "dedup_substring", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "timeseries_mad", "graph_pagerank",
+    "graph_triangles", "funnel_steps_capped", "interval_max_concurrent",
+    "interval_length_sum", "text_boilerplate", "text_pii_scrub",
+    "corpus_overlap", "curation_pipeline", "sim_ivf_topk",
+    "sim_ivf_recall", "sim_pq_adc", "sample_kcenter", "dedup_semantic",
+    "split_leakage_check",
+    # r16 optimization targets (verdict items 2/3/6/7/8)
+    "timeseries_gaps", "tpch_q2_min_cost", "tpch_q9_product_profit",
+    "sim_srp_lsh", "sim_neardup", "win_running_distinct",
+    "sql_recursive_cte", "join_inner",
+    # staleness fill: the 14 remaining r10 ids (tools/staleness.py
+    # order), then the head of the r11 cohort
+    "setop_intersect", "setop_union", "sort_limit_topk", "sql_cte",
+    "sql_in_subquery", "sql_scalar_subquery", "text_lang_id",
+    "text_token_bpe", "udf_grouped_map", "udf_pandas_demo",
+    "win_first_last", "win_lag", "win_percent_rank", "win_range_frame",
+    "agg_bitmap_distinct", "agg_bool", "agg_by_day", "agg_collect",
+    "agg_entropy",
 ]
 
 
