@@ -413,11 +413,20 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # detail file is best-effort; the stdout lines are the contract
+    # r16 (VERDICT r15 "What's wrong #4"): the driver benches the same
+    # round at several core counts and each run overwrites
+    # BENCH_DETAIL.json — the r15 32-core per-id detail was lost to the
+    # subsequent 8-core sweep.  Keep a per-variant copy keyed on the
+    # core count so every sweep's detail survives the next one.
+    # Purely additive: same data, one extra file, stdout unchanged.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    variant_path = detail_path.replace(".json", f"_c{cpus}.json")
+    for path in (detail_path, variant_path):
+        try:
+            with open(path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # detail files are best-effort; stdout lines are the contract
     print(json.dumps(detail))
     sys.stdout.flush()
     print(
