@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize as _mat
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact duplicate groups: canonical keeper = min id, plus multiplicity.
@@ -385,7 +387,7 @@ def ngram_jaccard_pairs(
     tok = df.select(
         F.col(id_col), *pair_keys, F.col(len_col), band.alias("band"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
-    ).localCheckpoint(eager=False)
+    ).transform(_mat)
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     # length-band bucketing: |len_a - len_b| <= W implies the bands differ
     # by at most 1, so probing band-1/band/band+1 turns the length window

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize as _mat
+
 # Budget for the driver-side union-find short-circuit: 2M edges x 2
 # longs ~ 32 MB through Arrow — far under the driver's headroom, far
 # over any near-dup graph the bench or driver fixtures produce.
@@ -139,7 +141,7 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(_mat, eager=True)
     )
     drv = _driver_components(cur)
     if drv is not None:
@@ -150,7 +152,7 @@ def connected_components(
         # tests the fixpoint in the same job (driver-side action count is
         # what dominates the loop's fixed cost; the data per round is
         # tiny relative to the corpus)
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        nxt = _small_star(_large_star(cur)).transform(_mat)
         prev = cur
         cur = nxt
         # probe every SECOND round (and the last): star rounds are cheap
@@ -211,17 +213,17 @@ def pagerank_int(
     Interleaved A/B at sf0.1: 4.59 -> 3.28 s (0.71x), ranks exact."""
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=False)
+    ).transform(_mat)
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_mat)
     )
     outdeg = (
         e.groupBy("u")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
+        .transform(_mat)
     )
     base = (scale * (damping_den - damping_num)) // damping_den
     pr = nodes.select("node", F.lit(scale).cast("long").alias("pr"))

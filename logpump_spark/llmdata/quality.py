@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize as _mat
+
 from .dedup import tokens_col
 from .text import STOPWORDS
 
@@ -245,7 +247,7 @@ def bigram_lm_score(
     cd = (
         pairs.groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("cd"))
-        .localCheckpoint(eager=False)
+        .transform(_mat)
     )
     c2 = cd.groupBy("w1", "w2").agg(F.sum("cd").alias("c2"))
     score = c2.select(

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize as _mat
+
 from .dedup import ordered_pair_structs
 
 
@@ -341,7 +343,7 @@ def fit_ivf(
             )
         fit_emb = emb.filter(
             (F.col(id_col) - F.lit(fit_offset)) % F.lit(fit_stride) == 0
-        ).localCheckpoint(eager=False)
+        ).transform(_mat)
 
     def _cent_df(rows: list[tuple[int, list[int]]]) -> DataFrame:
         return spark.createDataFrame(rows, "cid long, c array<long>")

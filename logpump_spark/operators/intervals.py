@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .materialize import materialize as _mat
+
 _HOUR_US = 3600 * 1_000_000
 
 
@@ -58,7 +60,7 @@ def max_concurrent_intervals(
         )
         .select("b.us", "b.delta")
         .withColumn("bucket", F.expr(f"CAST(us DIV {_HOUR_US} AS BIGINT)"))
-        .localCheckpoint(eager=False)
+        .transform(_mat)
     )
 
     per_bucket = bounds.groupBy("bucket").agg(F.sum("delta").alias("net"))

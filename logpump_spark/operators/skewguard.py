@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .materialize import materialize as _mat, reliable_requested
+
 # fan-out FLOOR of the capped-prefix pre-filter (stage 1): the hot
 # key's sort splits shard-count ways, and stage 2's exact rank sees at
 # most shards * N rows per key.  The effective count scales with the
@@ -129,24 +131,17 @@ def ranged_blocks(
         # flip ONE session conf instead of threading a parameter.
         # materialize=False is an explicit no-checkpoint request and
         # outranks the conf (ADVICE r14) — only the default
-        # materialized form picks up the reliable upgrade.
-        reliable = materialize and (
-            df.sparkSession.conf.get(
-                "logpump.segmented.reliableCheckpoint", "false"
-            ).lower()
-            == "true"
-        )
+        # materialized form picks up the reliable upgrade.  r16: the
+        # conf read (and the checkpoint itself) lives in
+        # operators/materialize.py, shared with every non-segmented
+        # materialization site; the global name
+        # ``logpump.reliableCheckpoint`` and the legacy segmented name
+        # both engage it.
+        reliable = materialize and reliable_requested(df)
     if reliable:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            raise RuntimeError(
-                "ranged_blocks(reliable=True) needs "
-                "sparkContext.setCheckpointDir(<replicated path>) — "
-                "a reliable checkpoint has nowhere to write"
-            )
-        return ranged.checkpoint(eager=False)
+        return _mat(ranged, eager=False, reliable=True)
     if materialize:
-        ranged = ranged.localCheckpoint(eager=False)
+        ranged = _mat(ranged, eager=False, reliable=False)
     return ranged
 
 
@@ -252,11 +247,7 @@ def first_n_per_key(
         if len(non_null) < len(keys):
             cond = cond | F.col(key_col).isNull()
         is_hot = F.coalesce(cond, F.lit(False))
-        return (
-            df.filter(~is_hot)
-            .unionByName(_rank(df.filter(is_hot)))
-            .localCheckpoint(eager=False)
-        )
+        return _mat(df.filter(~is_hot).unionByName(_rank(df.filter(is_hot))))
 
     # adversarial over-set (> _LITERAL_KEY_LIMIT keys): lazy flag join.
     # No broadcast HINT here: an explicit F.broadcast() is honored
@@ -279,7 +270,7 @@ def first_n_per_key(
             "_fn_over_key", "_fn_over"
         )
     )
-    return under.unionByName(capped).localCheckpoint(eager=False)
+    return _mat(under.unionByName(capped))
 
 
 def over_threshold_keys(

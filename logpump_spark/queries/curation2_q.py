@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize as _mat
+
 from ..llmdata.curation import (
     _SAMPLE_MOD,
     _SAMPLE_MULT,
@@ -616,7 +618,7 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (bucket counts, then scoring) — materialize the
     # explode+md5 pass once instead of re-hashing every bigram per
     # branch; at 100 TB this is the standard featurize-once checkpoint
-    feats = feats.localCheckpoint(eager=False)
+    feats = feats.transform(_mat)
     # ONE aggregation carries both corpus counts (conditional sum for
     # the target slice) — a separate target pass would re-explode and
     # re-hash every bigram a second time

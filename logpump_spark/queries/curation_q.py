@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize as _mat
+
 from ..llmdata.curation import _SAMPLE_MOD, _SAMPLE_MULT, stratified_sample, tfidf_top_terms
 from ..llmdata.dedup import ngram_jaccard_pairs
 from ..llmdata.graph import connected_components
@@ -56,7 +58,7 @@ def _dup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
                 "n_chars",
             )
-            .localCheckpoint(eager=False)
+            .transform(_mat)
         )
     return _CC_LABEL_CACHE[key]
 
