@@ -330,6 +330,7 @@ def main() -> None:
         "seq_next_node",           # seglead hot-key gate (r12)
         "win_running_distinct",    # running-distinct gate (r12)
         "sim_neardup",             # sub-cell vocabulary detector (r12)
+        "timeseries_gaps",         # inter-arrival hot-type gate (r16)
     }
 
     # The parse plane's generated projection is enormous; HotSpot's

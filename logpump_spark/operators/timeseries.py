@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .skewguard import over_threshold_keys, ranged_blocks
+
 
 def gap_fill_daily(
     df: DataFrame,
@@ -181,6 +183,85 @@ def ohlc_resample(
         F.count(F.lit(1)).alias("n"),
         F.sum("qv").alias("volume_q"),
     )
+
+
+#: inter-arrival hot-type gate: below it the plain per-key LAG window
+#: compiles (the classic plan the bench and oracle fixtures see —
+#: sf0.1's largest event_type holds ~20k rows); above it one key owns
+#: enough rows that its single-task sort is the stage wall and the
+#: segmented rebuild wins.  Same 1M default as sessionize's
+#: HOT_KEY_THRESHOLD — the two shapes have the same single-task-per-key
+#: cost model (one global per-key sort).
+GAPS_HOT_THRESHOLD = 1_000_000
+
+
+def inter_arrival_gaps(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    hot_key_threshold: int | None = GAPS_HOT_THRESHOLD,
+) -> DataFrame:
+    """(key, gap_us) rows: the multiset of µs gaps between CONSECUTIVE
+    events per key in (unix_micros(ts), id) order — the input to any
+    inter-arrival distribution statistic (timeseries_gaps' p50/p95/max).
+
+    Count-gated like the segmented window family (r16, VERDICT r15
+    item 2): with no key over ``hot_key_threshold`` the plain LAG
+    window compiles — identical to the historical timeseries_gaps
+    plan.  A hot key routes through ``skewguard.ranged_blocks``: the
+    per-key sort splits into range blocks, LAG runs block-locally, and
+    the one gap each block boundary hides is patched from a bounded
+    per-(key, block) first/last table — |blocks| rows per key, never
+    the corpus.  EXACT, not an approximation: blocks are contiguous
+    segments of the per-key sort, so block-local consecutive pairs plus
+    one boundary pair per adjacent block pair enumerate exactly the
+    key's consecutive pairs (multiset equality pinned in
+    tests/test_timeseries_gaps_segmented.py, and gap statistics are
+    multiset functions — LAG direction, like LEAD-based gaps, yields
+    the same multiset).  ``hot_key_threshold=None`` forces the plain
+    window (expert escape hatch, mirrors the segwin family)."""
+    us = F.unix_micros(F.col(ts_col))
+    if hot_key_threshold is not None and not over_threshold_keys(
+        df, hot_key_threshold, key_col
+    ).isEmpty():
+        order = [F.col("_ia_us").asc(), F.col(id_col).asc()]
+        base = df.select(F.col(key_col), us.alias("_ia_us"), F.col(id_col))
+        ranged = ranged_blocks(base, key_col, order, "_ia_blk")
+        w_blk = W.partitionBy(key_col, "_ia_blk").orderBy(*order)
+        local = (
+            ranged.select(
+                F.col(key_col),
+                (F.col("_ia_us") - F.lag("_ia_us").over(w_blk)).alias("gap_us"),
+            )
+            .filter(F.col("gap_us").isNotNull())
+        )
+        # struct min/max order NULL fields first, matching the window's
+        # asc NULLS FIRST (the seglead heads precedent) — a NULL-ts row
+        # sorts first either way and its gap is NULL-filtered in both
+        # branches
+        pair = F.struct(F.col("_ia_us"), F.col(id_col))
+        bounds = ranged.groupBy(key_col, "_ia_blk").agg(
+            F.min(pair).alias("_ia_first"), F.max(pair).alias("_ia_last")
+        )
+        w_key = W.partitionBy(key_col).orderBy(F.col("_ia_blk").asc())
+        boundary = (
+            bounds.withColumn(
+                "_ia_prev_us", F.lag(F.col("_ia_last._ia_us")).over(w_key)
+            )
+            .select(
+                F.col(key_col),
+                (F.col("_ia_first._ia_us") - F.col("_ia_prev_us")).alias(
+                    "gap_us"
+                ),
+            )
+            .filter(F.col("gap_us").isNotNull())
+        )
+        return local.unionByName(boundary)
+    w = W.partitionBy(key_col).orderBy(us.asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(key_col), (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
 
 
 def time_decayed_by_type(
