@@ -500,6 +500,45 @@ ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
 LIMIT 100
 """
 
+# Spark-side Q2 (r16): one supply pass, part-key semi join pushed below
+# the aggregation, correlated MIN -> window min.  The oracle keeps the
+# canonical correlated _Q2_TEMPLATE; equivalence argument in the
+# tpch_q2_min_cost docstring.  p_type is the filter constant and
+# partkey membership in fpart is enforced by the semi join, so the
+# final part join is redundant and elided.
+_Q2_SPARK_TEMPLATE = """
+WITH fpart AS (
+  SELECT p_partkey FROM {part}
+  WHERE p_size <= 10 AND p_type = 'STANDARD'
+),
+supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(FLOOR((l_extendedprice / l_quantity) * 10000) AS BIGINT)) AS qcost
+  FROM {lineitem}
+  WHERE l_partkey IN (SELECT p_partkey FROM fpart)
+  GROUP BY 1, 2
+),
+esupp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM {supplier}
+  JOIN {nation} ON s_nationkey = n_nationkey
+  JOIN {region} ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+emin AS (
+  SELECT s.s_acctbal, s.s_name, s.n_name, sp.partkey, sp.qcost,
+         MIN(sp.qcost) OVER (PARTITION BY sp.partkey) AS min_qcost
+  FROM supply sp JOIN esupp s ON s.s_suppkey = sp.suppkey
+)
+SELECT s_acctbal, s_name, n_name, partkey AS p_partkey,
+       'STANDARD' AS p_type,
+       CAST(qcost AS DOUBLE) / 10000 AS unit_cost
+FROM emin
+WHERE qcost = min_qcost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
 _Q11_TEMPLATE = """
 WITH val AS (
   SELECT l_partkey AS partkey,
@@ -586,11 +625,29 @@ def _run_tpch_sql(spark: SparkSession, sf_dir: str, template: str) -> DataFrame:
 def tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
     EUROPE suppliers offering exactly the minimum unit cost — the
-    correlated-scalar-MIN shape.  Catalyst decorrelates the per-part MIN
-    into an aggregate joined back on the part key (equi join, no BNLJ);
-    unit cost is floor-quantized so the MIN and the equality are
-    engine-exact."""
-    return _run_tpch_sql(spark, sf_dir, _Q2_TEMPLATE)
+    correlated-scalar-MIN shape.  The ORACLE keeps the canonical
+    correlated form (_Q2_TEMPLATE); the Spark side runs the equivalent
+    single-pass shape (_Q2_SPARK_TEMPLATE, r16 — guide §2.4/§3.2/§3.3):
+
+    - the decorrelated plan computed the supply CTE TWICE (two full
+      lineitem scans + two (partkey, suppkey) agg shuffles — zero
+      ReusedExchange, plans/r16/tpch_q2_min_cost_executed_before.txt)
+      and joined the per-part MIN back over a SortMergeJoin; the
+      correlated MIN per part IS the window min over the same joined
+      relation, so one supply pass + MIN() OVER (PARTITION BY partkey)
+      replaces supply #2, the min aggregate, and the (qcost, partkey)
+      join back (the corpus_prepare window-min precedent, r15);
+    - the part predicate keeps 3.2% of parts, so a semi join on the
+      filtered part keys BELOW the supply aggregation drops ~97% of
+      lineitem BEFORE the (partkey, suppkey) exchange (§3.2's
+      reduce-the-big-side, realized as a broadcast semi join on the
+      dimension — exact, not approximate: restricting supply by
+      partkey keeps every surviving part's full pair set, so each
+      per-part MIN is unchanged).
+
+    Equivalence proven against the canonical oracle at sf0.001/0.01/
+    0.1 (tools/parity, value-hash) — same rows, same tail order."""
+    return _run_tpch_sql(spark, sf_dir, _Q2_SPARK_TEMPLATE)
 
 
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,6 +894,40 @@ GROUP BY n_name, o_year
 ORDER BY nation, o_year DESC
 """
 
+# Spark-side Q9 (r16, guide §3.2): the supply CTE aggregated EVERY
+# (partkey, suppkey) pair, but the query only consumes pairs of
+# '%red%' parts (12.9% of parts) — the main join discards the rest
+# after the full agg shuffle.  Pushing a semi join on the red part
+# keys BELOW the aggregation drops ~87% of lineitem before the supply
+# exchange.  Exact: supply is keyed by partkey, and every partkey the
+# main query can reference survives the semi join with its full pair
+# set, so each retained (partkey, suppkey) MIN is unchanged.  The
+# oracle keeps the canonical _Q9_TEMPLATE.
+_Q9_SPARK_TEMPLATE = """
+WITH rpart AS (
+  SELECT p_partkey FROM {part} WHERE p_name LIKE '%red%'
+),
+supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(FLOOR((l_extendedprice / l_quantity) * 10000) AS BIGINT)) AS qcost
+  FROM {lineitem}
+  WHERE l_partkey IN (SELECT p_partkey FROM rpart)
+  GROUP BY 1, 2
+)
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           - CAST(FLOOR(sp.qcost * l_quantity) AS BIGINT)) AS DOUBLE) / 10000 AS sum_profit
+FROM {part}
+JOIN {lineitem} ON p_partkey = l_partkey
+JOIN supply sp ON sp.partkey = l_partkey AND sp.suppkey = l_suppkey
+JOIN {supplier} ON s_suppkey = l_suppkey
+JOIN {orders} ON o_orderkey = l_orderkey
+JOIN {nation} ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
 _Q19_TEMPLATE = """
 SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
          / 10000 AS revenue,
@@ -899,8 +990,11 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (product type profit): per-nation yearly profit
     (revenue minus supply cost) for a part-name family; the supply
     relation is the same lineitem-derived min-unit-cost CTE Q2 uses
-    (the synthetic schema has no partsupp)."""
-    return _run_tpch_sql(spark, sf_dir, _Q9_TEMPLATE)
+    (the synthetic schema has no partsupp).  r16: the Spark side runs
+    _Q9_SPARK_TEMPLATE — the red-part semi join pushed below the
+    supply aggregation (§3.2; equivalence note at the template) — the
+    oracle keeps the canonical _Q9_TEMPLATE."""
+    return _run_tpch_sql(spark, sf_dir, _Q9_SPARK_TEMPLATE)
 
 
 def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

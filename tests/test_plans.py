@@ -496,3 +496,69 @@ def test_interval_boundaries_single_pass_and_materialized(spark):
     plan_ls = _plan(ls)
     assert "Union" not in plan_ls
     assert "Generate explode" in plan_ls  # single-pass boundary emission
+
+
+def test_q2_single_supply_pass_window_min(spark):
+    """r16 (VERDICT r15 item 3): the Spark-side Q2 computes the supply
+    CTE ONCE (the decorrelated form ran the lineitem scan + (partkey,
+    suppkey) agg twice with zero ReusedExchange) and replaces the
+    per-part MIN aggregate + SortMergeJoin join-back with a window min;
+    the part predicate pre-filters lineitem below the agg via a
+    broadcast LeftSemi (§3.2).  Interleaved A/B at sf0.1: 1.44 ->
+    0.55 s; hash exchanges 7 -> 2 (plans/r16/tpch_q2_*_executed_*)."""
+    from logpump_spark.queries.tpch_q import tpch_q2_min_cost
+
+    df = tpch_q2_min_cost(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]  # AQE-final only
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1  # supply computed once
+    assert "Window" in plan  # per-part min via window, not agg+join-back
+    assert "LeftSemi" in plan  # part keys pushed below the supply agg
+
+
+def test_q9_semi_join_below_supply_agg(spark):
+    """r16: Q9's supply CTE only feeds '%red%' parts (12.9% of parts),
+    so the red part keys semi-join-filter lineitem BELOW the supply
+    aggregation (§3.2).  Interleaved A/B at sf0.1: 1.43 -> 0.76 s."""
+    from logpump_spark.queries.tpch_q import tpch_q9_product_profit
+
+    df = tpch_q9_product_profit(spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shj_session_default_plans_shuffled_hash(spark):
+    """r15 set spark.sql.join.preferSortMergeJoin=false at the session
+    (13.1 -> 10.3 s over the 19 join-heavy ids); r16 pins it so a conf
+    regression or Spark upgrade cannot silently revert to sorting both
+    sides.  The synthetic join keeps the build side under the planner's
+    local-hash-map bound with broadcast disabled, so SHJ is the only
+    sort-free strategy available — if the conf flips back, this plans
+    a SortMergeJoin and fails."""
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # static threshold 1KB: small enough that the 600-row build side
+    # (4.8KB estimated) cannot broadcast, large enough that the
+    # planner's local-hash-map bound (threshold x shuffle partitions)
+    # still admits it; adaptive threshold -1 keeps AQE from demoting
+    # the shuffle join back to broadcast at runtime
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(200_000).select(
+            F.col("id"), (F.col("id") % 300).alias("k")
+        )
+        small = spark.range(300).select(F.col("id").alias("k"))
+        j = big.join(small, "k")
+        j.collect()
+        plan = _plan(j).split("== Initial Plan ==")[0]
+        assert "ShuffledHashJoin" in plan, plan[:800]
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
