@@ -704,6 +704,7 @@ def embedding_neardup_pairs(
     cell_col: str = "label",
     max_cell_size: int = 10_000,
     subcell_target: int | None = None,
+    assume_capped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, candidate-bounded to the
     same coarse cell (the embedding analog of LSH-bucketed text dedup).
@@ -730,19 +731,37 @@ def embedding_neardup_pairs(
     (theta/pi) per bit); below the target nothing splits and the
     operator is exhaustive-within-cell, exactly as before.  Count-gated
     like the skew guards: the detector aggregate runs at plan-BUILD
-    time (same frozen-route contract, README Design positions)."""
+    time (same frozen-route contract, README Design positions).
+
+    r16 (guide §2.4): the adversarial cap's rank window is SKIPPED when
+    it provably cannot bind — ``assume_capped=True`` (the caller just
+    applied the identical cap, semantic_dedup's case) or the detector's
+    max cell count <= ``max_cell_size`` (every post-split (cell, sc)
+    group is a subset of a label cell, so the bound transfers).  The
+    cap filter is a no-op exactly then, but the plan it compiled was
+    not: both join sides re-ran a per-cell rank window + its exchange
+    (plans/r16/sim_neardup_executed_before.txt: 2 Window sorts).
+    Results are identical by construction (pinned in
+    tests/test_densifier_scaling.py::test_cap_window_skipped_when_
+    provably_slack); a corpus whose largest cell exceeds the cap keeps
+    the rank window exactly as before."""
     group_cols = [cell_col]
+    mx = None
     if subcell_target is not None:
         mx_row = emb.groupBy(cell_col).count().agg(F.max("count")).first()
-        b = subcell_bits(mx_row[0] or 0, subcell_target)
+        mx = mx_row[0] or 0
+        b = subcell_bits(mx, subcell_target)
         if b > 0:
             emb = emb.withColumn("_sc", sign_bits_col(vec_col, b))
             group_cols = [cell_col, "_sc"]
-    w_cell = W.partitionBy(*group_cols).orderBy(F.col(id_col).asc())
-    capped = (
-        emb.withColumn("_cn", F.row_number().over(w_cell))
-        .filter(F.col("_cn") <= max_cell_size)
-    )
+    if assume_capped or (mx is not None and mx <= max_cell_size):
+        capped = emb
+    else:
+        w_cell = W.partitionBy(*group_cols).orderBy(F.col(id_col).asc())
+        capped = (
+            emb.withColumn("_cn", F.row_number().over(w_cell))
+            .filter(F.col("_cn") <= max_cell_size)
+        )
     base = capped.select(
         F.col(id_col), *[F.col(c) for c in group_cols], F.col(vec_col).alias("v")
     )
@@ -952,6 +971,10 @@ def semantic_dedup(
         vec_col=vec_col,
         cell_col="cell",
         max_cell_size=max_cell_size,
+        # withc is already capped to max_cell_size per cell just above,
+        # so the operator's own rank window could never bind — skip it
+        # (r16; the inner window ran TWICE, once per pair-join side)
+        assume_capped=True,
     )
     kept_by = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
         F.min("id_a").alias("kept_by")

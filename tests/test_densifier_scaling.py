@@ -280,3 +280,58 @@ def test_sign_bits_short_vector_matches_duckdb_under_ansi(spark):
         f"SELECT {_sign_bits_sql('embedding', 16)} AS b FROM e"
     ).fetchone()[0]
     assert want == got[1]
+
+
+def test_cap_window_skipped_when_provably_slack(spark):
+    # r16: with the detector's max cell count under max_cell_size the
+    # adversarial cap cannot bind, so the rank window is skipped — the
+    # plan loses both per-side Window sorts and results are identical.
+    pdf, df = _dense_emb(spark, n_per_label=40, n_labels=4)
+    gated = embedding_neardup_pairs(
+        df, threshold=0.9, subcell_target=NEARDUP_SUBCELL_TARGET
+    )
+    plan = gated._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan  # cap window gone
+    # forced-cap arm: max_cell_size below the detector's count keeps
+    # the window, and the cap then genuinely binds
+    forced = embedding_neardup_pairs(
+        df, threshold=0.9, subcell_target=NEARDUP_SUBCELL_TARGET,
+        max_cell_size=7,
+    )
+    fplan = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in fplan
+    # ungated twin (no detector -> window compiled, cap slack): same rows
+    base = embedding_neardup_pairs(df, threshold=0.9, subcell_target=None)
+    assert sorted(map(tuple, gated.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
+def test_semantic_dedup_inner_cap_elided(spark):
+    # r16: semantic_dedup caps cells itself before the pair scan, so
+    # the operator's inner rank window is redundant — assume_capped
+    # elides it; the OUTER cap window (output-set contract) remains.
+    from logpump_spark.llmdata.similarity import semantic_dedup
+
+    pdf, df = _dense_emb(spark, n_per_label=50, n_labels=3)
+    out = semantic_dedup(df, threshold=0.9, n_cells=3, max_cell_size=20)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the outer output-cap window subtree fans out to the pair scan's
+    # two sides plus the keep join; with the inner cap elided every
+    # remaining rank window is an instance of that ONE outer chain —
+    # they all rank by the same single window spec.  The un-elided
+    # shape stacked a second rank (inner cap) on top of the outer one.
+    # the per-branch chains are single-window: nowhere do two rank
+    # windows stack (the old inner+outer shape printed Window above
+    # Window in one branch)
+    import re
+
+    assert not re.search(
+        r"Window \[row_number.*\n\s*\+- (?:Filter [^\n]*\n\s*\+- )?Window \[row_number",
+        plan,
+    ), "stacked rank windows — inner cap not elided"
+    # capped semantics hold: no cell reports more than max_cell_size rows
+    import collections
+
+    per_cell = collections.Counter(r.cell for r in out.collect())
+    assert max(per_cell.values()) <= 20
