@@ -244,11 +244,21 @@ def simhash_parts(
     Python.  Spark's split(text, ' ') and Python's str.split(' ') agree
     on empty/trailing tokens, so signatures are bit-identical."""
     toks = F.split(F.col(text_col), " ")
+    # one md5 transform, two slice transforms (ADVICE r15): the old
+    # form called F.md5(w) inside BOTH half-lambdas, where no common-
+    # subexpression elimination crosses lambda bodies.  Hoisting the
+    # hex array makes the md5 pass a single top-level subexpression;
+    # measured ~neutral at the decade corpus (1.27 -> 1.24 s median —
+    # the matmul fold, not md5, is the stage's wall), kept for the
+    # halved hash work.  (Also measured and REJECTED: shipping 16-char
+    # hex strings across Arrow and parsing in numpy — 1.27 -> 2.31 s,
+    # the string batches cost more than the saved JVM conv.)
+    md5s = F.transform(toks, F.md5)
     hi_arr = F.transform(
-        toks, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        md5s, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     )
     lo_arr = F.transform(
-        toks, lambda w: F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long")
+        md5s, lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
     )
 
     weights = np.int64(1) << np.arange(32, dtype=np.int64)
@@ -260,6 +270,16 @@ def simhash_parts(
             z = pd.Series([], dtype="int64")
             return pd.DataFrame({"sig_hi": z, "sig_lo": z})
         lens = np.fromiter((len(x) for x in hi), dtype=np.int64, count=n)
+        # reduceat is only correct with non-empty segments (a zero-len
+        # row would silently absorb a neighbor's fold) — unreachable
+        # today because split() of non-null text yields >= 1 token,
+        # but fail LOUDLY if a future caller feeds empty arrays
+        # (ADVICE r15)
+        if not (lens > 0).all():
+            raise ValueError(
+                "simhash fold requires >= 1 token per row; got an "
+                "empty token array"
+            )
         starts = np.zeros(n, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
 

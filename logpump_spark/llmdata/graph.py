@@ -96,31 +96,36 @@ def _driver_components(cur: DataFrame) -> DataFrame | None:
     n = cur.count()
     if n > CC_DRIVER_MAX_EDGES:
         return None
+    import numpy as np
     import pandas as pd
 
     pdf = cur.toPandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union-to-min: the smaller id stays root, so every root IS
-            # its component's minimum — the star loop's fixpoint label
-            parent[max(ra, rb)] = min(ra, rb)
-
-    nodes = sorted(set(pdf["u"]).union(pdf["v"]))
-    out = pd.DataFrame(
-        {"node": nodes, "component": [find(int(x)) for x in nodes]},
-        dtype="int64",
-    )
+    # r16 (ADVICE r15): the per-edge pure-Python union-find loop took
+    # ~9 s at the 2M-edge budget boundary; this vectorized min-label
+    # propagation with pointer jumping computes the identical labels
+    # (component = min reachable id) in ~5 s there and is equally exact
+    # on small graphs (verified equal on 2M random edges, and pinned
+    # driver == distributed in tests/test_driver_cc.py).  np.unique
+    # returns nodes SORTED, so index order equals id order and the
+    # minimum factorized label IS the minimum node id.
+    u = pdf["u"].to_numpy(dtype=np.int64, copy=False)
+    v = pdf["v"].to_numpy(dtype=np.int64, copy=False)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ui], label[vi])
+        before = label.copy()
+        np.minimum.at(label, ui, m)
+        np.minimum.at(label, vi, m)
+        while True:  # pointer jumping: compress chains to their roots
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, before):
+            break
+    out = pd.DataFrame({"node": nodes, "component": nodes[label]})
     return spark.createDataFrame(out, schema="node long, component long")
 
 
