@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .dedup import tokens_col
+from ..operators.materialize import materialize as _mat
 
 # Knuth multiplicative constant (2654435761 = floor(2^32/phi)) modulo a
 # prime: spreads sequential ids uniformly; exact in int64 for id < ~3.4e9
@@ -422,13 +423,18 @@ def source_overlap_matrix(
     )
     # ONE corpus shuffle total: collect_set dedups (src, shingle)
     # occurrences itself — partial aggregation dedups map-side — so no
-    # separate DISTINCT pass, and everything downstream (pair counts AND
-    # per-source sizes) reads this per-shingle aggregate through a
-    # ReusedExchange instead of re-deriving the corpus shingle set per
-    # branch.  (A prior sh.distinct() + per-branch re-aggregation shape
-    # cost either two corpus shuffles or N corpus scans.)
-    srcsets_all = sh.groupBy("sh").agg(
-        F.array_sort(F.collect_set("src")).alias("ss")
+    # separate DISTINCT pass.  r16: the per-shingle aggregate is
+    # MATERIALIZED once (conf-aware _mat) — the r15 shape relied on
+    # ReusedExchange to share it across the three consumers (sizes +
+    # pair counts + the final join), but the executed AQE plan shows
+    # zero ReusedExchange: the whole tokenize/shingle/explode/agg plane
+    # ran 3x (plans/r16/corpus_overlap_executed_before.txt: 6 scans,
+    # 6 Generates, 6 exchanges).  Interleaved A/B: sf0.1 1.54 -> 0.64 s
+    # (0.42x), decade 2.33 -> 0.77 s (0.33x).  The materialized frame
+    # is the post-aggregation distinct-shingle table — the same bytes
+    # the query already shuffles once, persisted instead of recomputed.
+    srcsets_all = _mat(
+        sh.groupBy("sh").agg(F.array_sort(F.collect_set("src")).alias("ss"))
     )
     sizes = (
         srcsets_all.select(F.explode("ss").alias("src"))
