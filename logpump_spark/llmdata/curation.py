@@ -39,9 +39,17 @@ def tfidf_top_terms(
 
     Scale shape: the (doc, term) explode is the only big intermediate;
     tf and df are partial-aggregated map-side before their shuffles, and
-    the df table (one row per distinct term) is broadcast back onto tf."""
+    the df table (one row per distinct term) is broadcast back onto tf.
+
+    r16: the tf aggregate is MATERIALIZED once (conf-aware _mat) — it
+    feeds both the df derivation and the scored join, and the executed
+    AQE plan ran the explode + (doc, term) agg plane twice (zero
+    ReusedExchange; the corpus_overlap finding).  Interleaved A/B:
+    sf0.1 0.86 -> 0.57 s (0.67x), decade 1.44 -> 0.82 s (0.57x);
+    results identical.  The persisted frame is the post-aggregation
+    (doc, term, tf) table the query already shuffles once."""
     tok = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _mat(tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators.materialize import materialize as _mat
+
 from ..compat import dsum, quant, sql_dsum, sql_quant
 from ..tables import load
 
@@ -889,7 +891,15 @@ def agg_assoc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(
         F.col("source").isNotNull() & F.col("lang").isNotNull()
     )
-    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # r16: the contingency table is BOUNDED (|sources| x |langs| rows)
+    # and consumed by four branches (row margins, column margins, the
+    # totals, and the joined chi2 pass) — un-materialized, the corpus
+    # scan + grouped count ran four times (executed plan: 6 scans,
+    # zero ReusedExchange).  Conf-aware materialize-once: interleaved
+    # A/B 0.82 -> 0.39 s sf0.1 (0.47x), 0.59 -> 0.27 s decade (0.46x).
+    cells = _mat(
+        docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    )
     s_m = cells.groupBy("source").agg(F.sum("c").alias("ns"))
     l_m = cells.groupBy("lang").agg(F.sum("c").alias("nl"))
     tot = cells.agg(
