@@ -331,6 +331,21 @@ def main() -> None:
         "win_running_distinct",    # running-distinct gate (r12)
         "sim_neardup",             # sub-cell vocabulary detector (r12)
         "timeseries_gaps",         # inter-arrival hot-type gate (r16)
+        # r16 measurement-bug fix (OPTIMIZATION_r16.md "Timed-window
+        # accounting"): under AQE, Dataset.localCheckpoint(eager=False)
+        # executes every upstream stage AT THE CALL, i.e. during plan
+        # construction — so the r15 materialize-once rewrites leaked
+        # real work out of the write-only timer (measured: mad 5 jobs /
+        # ~1.1 s, pagerank 6 jobs / ~2.0 s, triangles 6 jobs / ~0.9 s
+        # of construction-time execution).  materialize() now plans
+        # checkpoints with AQE off so single-site materializations run
+        # lazily inside the timed write; these three ids CHAIN
+        # materializations through broadcast joins, whose futures still
+        # pre-execute at plan time, so their timers start before
+        # construction like every other id that runs real work there.
+        "timeseries_mad",          # chained count-table checkpoints (r15)
+        "graph_pagerank",          # edge/node/degree checkpoints (r15)
+        "graph_triangles",         # edge + oriented-edge checkpoints (r15)
     }
 
     # The parse plane's generated projection is enormous; HotSpot's

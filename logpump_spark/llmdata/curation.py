@@ -44,10 +44,13 @@ def tfidf_top_terms(
     r16: the tf aggregate is MATERIALIZED once (conf-aware _mat) — it
     feeds both the df derivation and the scored join, and the executed
     AQE plan ran the explode + (doc, term) agg plane twice (zero
-    ReusedExchange; the corpus_overlap finding).  Interleaved A/B:
-    sf0.1 0.86 -> 0.57 s (0.67x), decade 1.44 -> 0.82 s (0.57x);
-    results identical.  The persisted frame is the post-aggregation
-    (doc, term, tf) table the query already shuffles once."""
+    ReusedExchange; the corpus_overlap finding).  Full-window
+    interleaved A/B (materialization inside the timed region): sf0.1
+    0.84 -> 0.85 s (neutral wall — the duplicate planes ran
+    concurrently), decade 1.31 -> 1.20 s (0.91x); total WORK halves
+    (one explode+agg plane instead of two).  Results identical.  The
+    persisted frame is the post-aggregation (doc, term, tf) table the
+    query already shuffles once."""
     tok = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
     tf = _mat(tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -437,10 +440,15 @@ def source_overlap_matrix(
     # pair counts + the final join), but the executed AQE plan shows
     # zero ReusedExchange: the whole tokenize/shingle/explode/agg plane
     # ran 3x (plans/r16/corpus_overlap_executed_before.txt: 6 scans,
-    # 6 Generates, 6 exchanges).  Interleaved A/B: sf0.1 1.54 -> 0.64 s
-    # (0.42x), decade 2.33 -> 0.77 s (0.33x).  The materialized frame
-    # is the post-aggregation distinct-shingle table — the same bytes
-    # the query already shuffles once, persisted instead of recomputed.
+    # 6 Generates, 6 exchanges).  Full-window interleaved A/B
+    # (materialization charged to the same timed region as the rest,
+    # medians of 5): sf0.1 1.27 -> 1.15 s (0.90x), decade
+    # 2.37 -> 2.26 s (0.95x) wall — modest locally because the three
+    # duplicate planes ran concurrently on idle cores; the total WORK
+    # (scans, explodes, shuffles) drops 3x -> 1x, which is what counts
+    # when the cluster is not idle.  The materialized frame is the
+    # post-aggregation distinct-shingle table — the same bytes the
+    # query already shuffles once, persisted instead of recomputed.
     srcsets_all = _mat(
         sh.groupBy("sh").agg(F.array_sort(F.collect_set("src")).alias("ss"))
     )

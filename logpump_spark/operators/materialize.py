@@ -57,6 +57,22 @@ def materialize(
     its caller-level parameter precedence).  Reliable mode requires a
     configured ``sparkContext.setCheckpointDir`` and raises up-front
     rather than failing at first action.
+
+    The checkpoint subtree is PLANNED WITH AQE DISABLED (r16): under
+    AQE, ``Dataset.checkpoint(eager=False)`` calls
+    ``AdaptiveSparkPlanExec.execute()``, which materializes every
+    intermediate shuffle stage AT THE CALL — i.e. at plan-construction
+    time, outside bench.py's timed window for any query not in its
+    eager_construction set (measured: timeseries_mad ran 5 jobs /
+    ~1.1 s and graph_pagerank 6 jobs / ~2.0 s during construction).
+    A non-AQE physical plan's ``execute()`` is lazy RDD construction,
+    so with the conf flipped for just this planning call the
+    materialization runs at the FIRST ACTION — inside the timed
+    region, where the r1 bench contract expects real work.  The
+    toggle only affects the checkpointed subtree's own plan (fixed
+    shuffle partitions instead of AQE coalescing — these frames are
+    single-aggregate subtrees where that is immaterial); every
+    consumer query still plans with AQE.
     """
     if reliable is None:
         reliable = reliable_requested(df)
@@ -68,5 +84,12 @@ def materialize(
                 "sparkContext.setCheckpointDir(<replicated path>) — "
                 "a reliable checkpoint has nowhere to write"
             )
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        if reliable:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)

@@ -895,8 +895,10 @@ def agg_assoc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and consumed by four branches (row margins, column margins, the
     # totals, and the joined chi2 pass) — un-materialized, the corpus
     # scan + grouped count ran four times (executed plan: 6 scans,
-    # zero ReusedExchange).  Conf-aware materialize-once: interleaved
-    # A/B 0.82 -> 0.39 s sf0.1 (0.47x), 0.59 -> 0.27 s decade (0.46x).
+    # zero ReusedExchange).  Conf-aware materialize-once; full-window
+    # interleaved A/B (materialization inside the timed region):
+    # 0.66 -> 0.60 s sf0.1 (0.91x), 0.66 -> 0.59 s decade (0.89x)
+    # wall, with total work 4 corpus aggs -> 1.
     cells = _mat(
         docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
     )

@@ -785,61 +785,17 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lateness (ship > order date + 60d) is computed once in the CTE so
     both subqueries correlate on the pure equi key l_orderkey.
 
-    r16 (guide §2.4): the ``l`` CTE (the lineitem |><| orders fact
-    join) is referenced by l1, the EXISTS, and the NOT EXISTS, and the
-    executed plan computed it THREE times (3 lineitem + 3 orders scans,
-    zero ReusedExchange — the corpus_overlap finding).  The Spark side
-    materializes the 3-column (orderkey, suppkey, is_late) frame once
-    (conf-aware _mat) and runs the identical SQL over it; the ORACLE
-    keeps the canonical single-statement _Q21_TEMPLATE.  Interleaved
-    A/B: sf0.1 0.81 -> 0.75 s (0.93x), decade 1.85 -> 1.47 s (0.79x) —
-    the win is the two elided fact joins, so it grows with scale.
-    Parity green at sf0.001/0.01/0.1."""
-    from ..operators.materialize import materialize as _mat
-    from ..tables import load
-
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    l = _mat(
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("o_orderstatus") == "F")
-        .select(
-            F.col("l_orderkey"),
-            F.col("l_suppkey"),
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-            ).alias("is_late"),
-        )
-    )
-    l.createOrReplaceTempView("t_q21_l")
-    for t in ("supplier", "nation"):
-        load(spark, sf_dir, t).createOrReplaceTempView(f"t_tpch_{t}")
-    return spark.sql(_Q21_SPARK_BODY)
-
-
-# Spark-side Q21 body over the materialized ``l`` view (r16); matches
-# _Q21_TEMPLATE's main statement verbatim with {l} -> t_q21_l.
-_Q21_SPARK_BODY = """
-SELECT s_name, COUNT(*) AS numwait
-FROM t_q21_l l1
-JOIN t_tpch_supplier ON s_suppkey = l1.l_suppkey
-JOIN t_tpch_nation ON s_nationkey = n_nationkey
-WHERE n_name = 'NATION_3'
-  AND l1.is_late
-  AND EXISTS (
-    SELECT 1 FROM t_q21_l l2
-    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-  )
-  AND NOT EXISTS (
-    SELECT 1 FROM t_q21_l l3
-    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      AND l3.is_late
-  )
-GROUP BY s_name
-ORDER BY numwait DESC, s_name
-LIMIT 100
-"""
+    r16 MEASURED AND REJECTED: materializing the ``l`` CTE once (it is
+    referenced by l1, the EXISTS, and the NOT EXISTS, and the executed
+    plan computes the fact join three times with zero ReusedExchange).
+    Under write-only timing the checkpoint looked 0.79x at decade, but
+    with the materialization charged to the SAME timed window as the
+    rest of the query (construct+write) the three-arm A/B read plain
+    0.82 / ckpt 0.84 / persist 0.81 s at sf0.1 and plain 1.96 / ckpt
+    2.14 / persist 2.09 s at decade — the three duplicated subtrees
+    run CONCURRENTLY on idle cores and beat compute-once-then-fan-out
+    (the r15 funnel-chain lesson, reconfirmed).  Canonical form kept."""
+    return _run_tpch_sql(spark, sf_dir, _Q21_TEMPLATE)
 
 
 SPARK_QUERIES.update(
