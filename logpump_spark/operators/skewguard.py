@@ -93,11 +93,14 @@ def ranged_blocks(
     default retires).  Measured at the k=64 hot twin the checkpoint is
     wall-NEUTRAL-to-faster: the upstream scan + shuffle runs ONCE
     instead of twice, which pays for writing the blocks (numbers in
-    SCALING.md §4.1).  Note ``eager=False`` only defers the block
-    persist — AQE still materializes the range shuffle when the
-    checkpoint call plans the frame, so segmented construction runs the
-    shuffle at plan-BUILD time (the same frozen-route contract as the
-    count gates that routed here).
+    SCALING.md §4.1).  r16: the checkpoint is planned with AQE
+    disabled (operators/materialize.py), so ``eager=False`` genuinely
+    defers execution — the range shuffle runs at the consumers' FIRST
+    ACTION, inside the bench's timed window, not at plan build (it
+    used to run at the checkpoint call because AdaptiveSparkPlanExec
+    materializes its stages eagerly).  Exactness is unchanged: both
+    consumers read ONE checkpointed RDD whose range bounds are sampled
+    once by its single shuffle dependency.
 
     Fault-tolerance trade (stated, not hidden): localCheckpoint
     truncates lineage — losing an executor AFTER its blocks
