@@ -333,19 +333,32 @@ def main() -> None:
         "timeseries_gaps",         # inter-arrival hot-type gate (r16)
         # r16 measurement-bug fix (OPTIMIZATION_r16.md "Timed-window
         # accounting"): under AQE, Dataset.localCheckpoint(eager=False)
-        # executes every upstream stage AT THE CALL, i.e. during plan
-        # construction — so the r15 materialize-once rewrites leaked
-        # real work out of the write-only timer (measured: mad 5 jobs /
-        # ~1.1 s, pagerank 6 jobs / ~2.0 s, triangles 6 jobs / ~0.9 s
-        # of construction-time execution).  materialize() now plans
-        # checkpoints with AQE off so single-site materializations run
-        # lazily inside the timed write; these three ids CHAIN
-        # materializations through broadcast joins, whose futures still
-        # pre-execute at plan time, so their timers start before
-        # construction like every other id that runs real work there.
+        # executes every upstream shuffle stage AT THE CALL, i.e.
+        # during plan construction — so the r15/r16 materialize-once
+        # rewrites leaked real work out of the write-only timer
+        # (measured: mad 5 jobs / ~1.1 s, pagerank 6 jobs / ~2.0 s,
+        # triangles 6 jobs / ~0.9 s of construction-time execution).
+        # Planning those subtrees with AQE disabled (so they run
+        # lazily inside the timed write) was tried and REVERTED: the
+        # interleaved full-window A/B read 1.2-3.5x SLOWER without
+        # AQE's runtime join conversions + coalescing (pagerank 1.87
+        # vs 4.06 s, triangles 0.66 vs 2.28 s — materialize.py
+        # docstring has the full table).  So the fast AQE planning
+        # stays and the accounting moves here: every id whose
+        # construction reaches a materialize() site with a shuffle
+        # below it (probed per id: tools/probe_construct_jobs.py)
+        # starts its timer before construction.
         "timeseries_mad",          # chained count-table checkpoints (r15)
         "graph_pagerank",          # edge/node/degree checkpoints (r15)
         "graph_triangles",         # edge + oriented-edge checkpoints (r15)
+        "text_lm_score",           # bigram count-table checkpoint (r15)
+        "agg_assoc_suite",         # contingency-cell checkpoint (r16)
+        "corpus_overlap",          # shingle source-set checkpoint (r16)
+        "text_tfidf",              # (doc,term) tf checkpoint (r16)
+        # dedup_ngram_jaccard / split_leakage_check / sample_dsir also
+        # materialize, but their checkpointed subtrees are narrow (no
+        # shuffle below) — nothing executes at construction (probe:
+        # 1 listing job only), so they keep the write-only window.
     }
 
     # The parse plane's generated projection is enormous; HotSpot's

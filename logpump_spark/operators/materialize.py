@@ -58,21 +58,24 @@ def materialize(
     configured ``sparkContext.setCheckpointDir`` and raises up-front
     rather than failing at first action.
 
-    The checkpoint subtree is PLANNED WITH AQE DISABLED (r16): under
-    AQE, ``Dataset.checkpoint(eager=False)`` calls
-    ``AdaptiveSparkPlanExec.execute()``, which materializes every
-    intermediate shuffle stage AT THE CALL — i.e. at plan-construction
-    time, outside bench.py's timed window for any query not in its
-    eager_construction set (measured: timeseries_mad ran 5 jobs /
-    ~1.1 s and graph_pagerank 6 jobs / ~2.0 s during construction).
-    A non-AQE physical plan's ``execute()`` is lazy RDD construction,
-    so with the conf flipped for just this planning call the
-    materialization runs at the FIRST ACTION — inside the timed
-    region, where the r1 bench contract expects real work.  The
-    toggle only affects the checkpointed subtree's own plan (fixed
-    shuffle partitions instead of AQE coalescing — these frames are
-    single-aggregate subtrees where that is immaterial); every
-    consumer query still plans with AQE.
+    The checkpoint subtree is PLANNED WITH AQE ON (the session
+    default).  Under AQE, ``Dataset.checkpoint(eager=False)`` calls
+    ``AdaptiveSparkPlanExec.execute()``, which materializes the
+    upstream shuffle stages AT THE CALL — i.e. at plan-construction
+    time.  r16 first tried planning these subtrees with AQE disabled
+    so the work would run lazily inside bench.py's timed write window,
+    then MEASURED the two modes end-to-end (construct+write,
+    interleaved, 4 reps each, sf0.1): non-AQE-planned checkpoints are
+    1.2-3.5x SLOWER (graph_pagerank 1.87 vs 4.06 s, graph_triangles
+    0.66 vs 2.28 s, timeseries_mad 1.11 vs 1.49 s,
+    interval_max_concurrent 0.83 vs 1.41 s, text_lm_score 1.17 vs
+    1.42 s) — AQE's runtime join conversions and partition coalescing
+    on the checkpointed subtree are real optimizations, not overhead.
+    So the FAST planning mode stays, and the measurement-honesty
+    problem is solved where it belongs: every query id that reaches a
+    ``materialize()`` site during construction is in bench.py's
+    ``eager_construction`` set, which starts the timer BEFORE
+    construction so the stage materialization is charged to the query.
     """
     if reliable is None:
         reliable = reliable_requested(df)
@@ -84,12 +87,6 @@ def materialize(
                 "sparkContext.setCheckpointDir(<replicated path>) — "
                 "a reliable checkpoint has nowhere to write"
             )
-    conf = df.sparkSession.conf
-    prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        if reliable:
-            return df.checkpoint(eager=eager)
-        return df.localCheckpoint(eager=eager)
-    finally:
-        conf.set("spark.sql.adaptive.enabled", prev)
+    if reliable:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
